@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute); the terminal action
+is a count-style reduction so results never land on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pids_drg_esoa_spark.plans.catalog import all_specs
+    from pids_drg_esoa_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+
+    # Headline set: one per operator family, heaviest variants.
+    headline = [n for n in (
+        "tpch_q1_pricing_summary",
+        "j1_left_join_fact_dim",
+        "j3_broadcast_dim_chain",
+        "w5_topn_per_key",
+        "w_running_sum",
+        "a5_dedup_deterministic",
+        "j9_j10_candidate_bridge",
+        "dedup_minhash_lsh_pairs",
+        "ann_cosine_topk",
+        "text_quality_scores",
+    ) if n in specs]
+
+    # Warm the JVM/codegen path once so timings measure the plan, not startup.
+    specs["tpch_q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        n_rows = specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n_rows >= 0
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Oracle-gated query catalog.
+
+Every operator from SURVEY.md §2 (plus the large-scale data-pipeline
+operators) registers one named query here. Each entry pairs
+
+- a Spark plan: ``fn(spark, sf_dir) -> DataFrame``, written with the
+  DataFrame/SQL API so Catalyst owns the physical strategy, and
+- an ANSI-SQL oracle DuckDB runs on the same parquet tables.
+
+The driver executes both at sf=0.01 and hash-compares (row count +
+schema + order-insensitive value hash, columns sorted by name). Rules
+every entry follows for engine-portable determinism:
+
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round()``ed (sum→2dp, avg/ratio→6dp) so the
+  ±1-ulp difference from different accumulation orders can't leak;
+- DuckDB ``SUM(int)`` yields HUGEINT → oracles cast to BIGINT;
+- DuckDB ``regexp_replace`` is first-match-only → oracles pass 'g';
+- tie-prone top-k / rank-1 / dedup queries carry explicit total
+  orderings (the reference relies on stable pandas sorts — SURVEY §7
+  "order-dependence");
+- timestamps in outputs are formatted to strings.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules whose import registers queries.
+_MODULES = (
+    "pids_drg_esoa_spark.plans.relational",
+    "pids_drg_esoa_spark.plans.scalars",
+    "pids_drg_esoa_spark.plans.temporal",
+    "pids_drg_esoa_spark.plans.bridge_demo",
+    "pids_drg_esoa_spark.plans.domain",
+    "pids_drg_esoa_spark.operators.dedup",
+    "pids_drg_esoa_spark.operators.similarity",
+    "pids_drg_esoa_spark.operators.textstats",
+    "pids_drg_esoa_spark.operators.multimodal",
+    "pids_drg_esoa_spark.streaming.windowed",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _MODULES:
+        importlib.import_module(mod)
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
