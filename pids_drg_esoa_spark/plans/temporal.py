@@ -1,1 +1,204 @@
-"""Placeholder — populated incrementally."""
+"""Temporal operators: as-of join, range join, sessionization, funnel.
+
+The reference has zero temporal logic (SURVEY §2.9) — these are the
+engine-completeness operators a claims/event pipeline needs at scale.
+Spark lacks native as-of/range joins; both are expressed as an
+equi-join on the entity key with a residual range predicate plus a
+window argmax — the strategy that survives 100 TB because the shuffle
+is on the equi key, and skewed keys split under AQE.
+
+``events.ts`` is int64 nanoseconds on the Spark side (see
+sources.tables) — all time arithmetic here is exact integer ns,
+matched in the oracles via ``epoch_ns(ts)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from .catalog import register
+
+NS_PER_S = 1_000_000_000
+
+
+@register(
+    "t_asof_join_latest_order",
+    oracle="""
+    SELECT event_id, user_id, event_type, o_orderkey AS asof_orderkey
+    FROM (
+        SELECT e.event_id, e.user_id, e.event_type, o.o_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND epoch_us(o.o_orderdate) * 1000 <= epoch_ns(e.ts)  -- naive==tz-free
+    ) WHERE rn = 1
+    """,
+)
+def t_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user.
+    Equi-join on the user key with a residual time predicate, then
+    window rank-1 with a deterministic final key. Equivalent to
+    DuckDB's ASOF JOIN (tie-broken); scales because the shuffle is on
+    user_id, not time."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ at date granularity; datediff(date)
+    # is timezone-free in both engines (unix_micros would shift with
+    # the session tz, which the driver does not pin).
+    order_ns = (
+        F.datediff(o.o_orderdate.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * (86400 * NS_PER_S)
+    )
+    joined = e.join(o, (e.user_id == o.o_custkey) & (order_ns <= e.ts), "inner")
+    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+@register(
+    "t_range_join_ship_window",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(l.l_linenumber) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS n_late
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def t_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval predicate over a joined time window: per order, line
+    count and how many shipped beyond orderdate+30d. The equi key
+    carries the join; the range is a residual predicate folded into a
+    conditional aggregate — no O(n·m) interval join materializes."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return j.groupBy("o_orderkey").agg(
+        F.count("l_linenumber").cast("bigint").alias("n_lines"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+    )
+
+
+@register(
+    "t_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               sum(is_new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running
+    sum of session-start flags, then per-session rollup). The batch
+    form of session_window; streaming variant in streaming/windowed."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = F.col("ts") - F.lag("ts").over(w)
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(gap_ns.isNull() | (gap_ns > 1800 * NS_PER_S), 1).otherwise(0),
+    )
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new_session").over(wcum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
+@register(
+    "t_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+               AS value_delta
+    FROM events
+    """,
+)
+def t_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead delta per entity over a total ordering (ns-exact)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@register(
+    "t_time_bucket_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch_ns(ts) / 21600000000000) * 21600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour time-bucket rollup (hypertable-rollup shape).
+    Bucket key is epoch-seconds so the group key is engine-portable;
+    the streaming twin uses window(ts, '6 hours')."""
+    e = table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts") / (21600 * NS_PER_S)) * 21600).cast("bigint")
+    return e.groupBy(
+        bucket.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@register(
+    "t_funnel_match",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_converted
+    FROM (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+               min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    WHERE first_view IS NOT NULL AND first_click > first_view
+      AND first_purchase > first_click
+    """,
+)
+def t_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) match: users whose first view →
+    first click → first purchase occur in order. One shuffle on
+    user_id; conditional min instead of three self-joins."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return agg.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))

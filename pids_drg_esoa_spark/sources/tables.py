@@ -122,8 +122,25 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Parquet scan → Catalyst gets pushdown
-    and column pruning for free on every downstream plan."""
+    and column pruning for free on every downstream plan.
+
+    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; we read it as raw int64 nanoseconds (nanosAsLong) and keep
+    it integral. Every temporal plan does exact ns arithmetic against
+    the oracle's ``epoch_ns(ts)`` — truncating to micros would silently
+    diverge (all rows carry sub-microsecond residue). ``ts_micros()``
+    derives a real TimestampType column where one is needed
+    (streaming)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_micros(col: str = "ts"):
+    """events.ts (int64 ns) → TimestampType, microsecond-truncated."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
