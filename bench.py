@@ -33,10 +33,14 @@ def main() -> None:
         "w5_topn_per_key",
         "w_running_sum",
         "a5_dedup_deterministic",
+        "t_asof_join_latest_order",
+        "t_sessionize",
         "j9_j10_candidate_bridge",
         "dedup_minhash_lsh_pairs",
+        "dedup_simhash_fingerprints",
         "ann_cosine_topk",
         "text_quality_scores",
+        "mm_image_decode_stub",
     ) if n in specs]
 
     # Warm the JVM/codegen path once so timings measure the plan, not startup.

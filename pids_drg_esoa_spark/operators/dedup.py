@@ -1,1 +1,284 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all engine-portable and oracle-gated:
+
+- exact: content-hash groupBy (the only dedup the reference has —
+  dedup-tag-join-back, tagger.py:436-448 / runners.py:192-230 A6).
+- MinHash + LSH: shingle → 8-permutation signature → 4 banded buckets
+  → candidate pairs → exact-Jaccard verification. The 100 TB path:
+  candidate generation is a self-join on (band, key) — shuffle is
+  O(docs·bands), never O(docs²).
+- SimHash: 32-bit majority fingerprint for hamming-style blocking.
+- Blocked n-gram Jaccard: exact near-dup verification inside a
+  blocking key (language), the quadratic-safe exact check.
+
+Portability notes: the "hash family" is md5 with literal integer
+seeds and lexicographic-min over hex strings (uniform, available in
+both engines — xxhash64/hash() are not); Jaccard thresholds compare
+in integer arithmetic (3·common ≥ 2·union) so no float ever hits the
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from ..plans.catalog import register
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r=2 → P(candidate) = 1-(1-j^2)^4
+
+
+# ---------------------------------------------------------------------------
+# Reusable operator functions (DataFrame in → DataFrame out)
+# ---------------------------------------------------------------------------
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh).
+    Narrow (explode) — no shuffle; shingling scales linearly."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(idx).alias("i"), toks.alias("t"))
+        .select(
+            "doc",
+            F.concat_ws(
+                " ", *[F.element_at(F.col("t"), F.col("i") + off) for off in range(n)]
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signature(shingles: DataFrame) -> DataFrame:
+    """8 min-hashes per doc in ONE aggregation pass (no seed
+    explosion): md5 with a literal seed prefix, lexicographic min."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"m{h}")
+        for h in range(N_HASHES)
+    ]
+    return shingles.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (r=2), self-join on (band_idx, band_key)."""
+    banded = sig.select(
+        "doc",
+        F.expr(
+            "stack(4, 0, concat(m0,m1), 1, concat(m2,m3), "
+            "2, concat(m4,m5), 3, concat(m6,m7)) as (band_idx, band_key)"
+        ),
+    )
+    a = banded.select(
+        F.col("doc").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set join; output
+    integer (n_common, n_union)."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc").alias("doc_b"), "sh")
+    common = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("n_common")).cast("bigint").alias("n_union"),
+        )
+    )
+
+
+# SQL fragment shared by the shingle-based oracles (word 3-grams).
+_SQL_SHINGLES = """
+    toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+    shd AS (
+        SELECT DISTINCT doc,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+    FROM documents
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash grouping, deterministic survivor
+    (min id). The reference's dedup-then-join-back (A6) generalized;
+    at scale this is one shuffle on a 128-bit key."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc,
+               {", ".join(f"min(md5('{h}|' || sh)) AS m{h}" for h in range(N_HASHES))}
+        FROM shd GROUP BY doc
+    ),
+    banded AS (
+        SELECT doc, 0 AS band_idx, m0 || m1 AS band_key FROM sig
+        UNION ALL SELECT doc, 1, m2 || m3 FROM sig
+        UNION ALL SELECT doc, 2, m4 || m5 FROM sig
+        UNION ALL SELECT doc, 3, m6 || m7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM shd GROUP BY doc),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shd sa ON sa.doc = c.doc_a
+        JOIN shd sb ON sb.doc = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(za.n + zb.n - n_common AS BIGINT) AS n_union
+    FROM common
+    JOIN sizes za ON za.doc = doc_a
+    JOIN sizes zb ON zb.doc = doc_b
+    WHERE 3 * n_common >= 2 * (za.n + zb.n - n_common)
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (Jaccard ≥ 2/3, integer
+    compare). Signature is one agg pass; banding makes candidate
+    generation a (band,key) equi-self-join — the shape that survives
+    100 TB (Broder minhashing + banding as in MMDS ch.3)."""
+    d = table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", 3)
+    pairs = lsh_candidate_pairs(minhash_signature(sh))
+    verified = verify_jaccard(pairs, sh)
+    return verified.filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
+
+
+def _simhash_bits_spark(tok_col: str = "tok") -> list:
+    """32 majority-vote bit aggregates from md5 hex-char high bits:
+    hex digit ≥ 8 ⇔ top bit set — engine-portable bit extraction."""
+    h = F.md5(F.col(tok_col))
+    outs = []
+    for i in range(32):
+        bit = F.substring(h, i + 1, 1).isin(*"89abcdef")
+        outs.append(
+            F.when(F.sum(F.when(bit, 1).otherwise(-1)) > 0, "1").otherwise("0").alias(f"b{i}")
+        )
+    return outs
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+        "h AS (SELECT doc_id, md5(tok) AS hx FROM tok)\n"
+        "SELECT doc_id, "
+        + " || ".join(
+            f"(CASE WHEN sum(CASE WHEN substring(hx, {i + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for i in range(32)
+        )
+        + " AS simhash\nFROM h GROUP BY doc_id"
+    ),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32: per-token md5, majority vote per bit position over
+    all token occurrences (Charikar). One groupBy(doc) pass; fingerprints
+    feed hamming-distance blocking downstream."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    agg = tok.groupBy("doc_id").agg(*_simhash_bits_spark())
+    return agg.select(
+        "doc_id", F.concat(*[F.col(f"b{i}") for i in range(32)]).alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_blocked",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    langs AS (SELECT doc_id AS doc, lang FROM documents),
+    shl AS (SELECT s.doc, l.lang, s.sh FROM shd s JOIN langs l ON l.doc = s.doc),
+    sizes AS (SELECT doc, count(*) AS n FROM shd GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+        FROM shl a JOIN shl b
+          ON a.lang = b.lang AND a.sh = b.sh AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(za.n + zb.n - n_common AS BIGINT) AS n_union
+    FROM common
+    JOIN sizes za ON za.doc = doc_a
+    JOIN sizes zb ON zb.doc = doc_b
+    WHERE 2 * n_common >= (za.n + zb.n - n_common)
+    """,
+)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard (≥ 1/2) within a language block — the
+    exact-verification tier. Blocking bounds the shingle join; at
+    100 TB the LSH operator generates candidates and this verifies."""
+    d = table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", 3)
+    langs = d.select(F.col("doc_id").alias("doc"), "lang")
+    shl = sh.join(langs, "doc")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = shl.select(F.col("doc").alias("doc_a"), "lang", "sh")
+    b = shl.select(F.col("doc").alias("doc_b"), "lang", "sh")
+    common = (
+        a.join(b, ["lang", "sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("n_common")).cast("bigint").alias("n_union"),
+        )
+    )
+    return out.filter(2 * F.col("n_common") >= F.col("n_union"))

@@ -1,1 +1,185 @@
-"""Placeholder — populated incrementally."""
+"""Candidate-generation bridge: the reference's Part 4 as ONE plan.
+
+Reference shape (runners.py:1012-1094 J9, :792-1335 J10, :959-1010 W3,
+:1337-1383 reason labels): build a token index over the catalog,
+generate candidates per input row, apply typed compatibility
+predicates, pick the best by an explicit rank tuple, and label the
+failure reason with a fixed priority.
+
+Re-expressed Spark-first on the synthetic schema:
+- input rows   = lineitem (its part's name = the free-text description,
+                 l_quantity = the requested dose)
+- catalog      = part     (candidate space)
+- J9 candidate gen = explode name tokens → equi-join token index,
+  capped at 20 candidates per token by ascending partkey — the
+  reference's LIMIT-per-lookup (W5) made deterministic; caps bound
+  the fan-out at 100 TB exactly like its candidate-space reduction
+  (docs/annex_f_atc_matching.md:45-52).
+- J10 predicates = dose window (|size − qty| ≤ 5) and form equality
+  (p_type class).
+- W3 rank        = exact-name ⊳ shared-token count ⊳ dose distance ⊳
+  partkey (every key explicit — SURVEY §7 tie-break parity).
+- reason label   = matched ⊳ dose_mismatch ⊳ form_mismatch ⊳
+  no_candidate (dose outranks form, mirroring runners.py:1337-1383).
+
+The candidate index is lineitem-independent, so it is built once per
+distinct catalog part and joined to the fact — the dedup-then-join-
+back optimization the reference hand-rolls (A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from .catalog import register
+
+CAND_PER_TOKEN = 20
+DOSE_TOL = 5
+
+_ORACLE = f"""
+WITH src_tok AS (
+    SELECT p_partkey AS src_partkey, p_name AS src_name, p_type AS src_type,
+           unnest(string_split(p_name, ' ')) AS tok
+    FROM part
+),
+index_exploded AS (
+    SELECT unnest(string_split(p_name, ' ')) AS tok,
+           p_partkey AS cand_partkey, p_name AS cand_name,
+           p_type AS cand_type, p_size AS cand_size
+    FROM part
+),
+index_tok AS (
+    SELECT tok, cand_partkey, cand_name, cand_type, cand_size
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY tok ORDER BY cand_partkey) AS rn
+        FROM index_exploded
+    ) WHERE rn <= {CAND_PER_TOKEN}
+),
+cand AS (
+    SELECT s.src_partkey, s.src_name, s.src_type,
+           i.cand_partkey, i.cand_name, i.cand_type, i.cand_size,
+           count(*) AS n_shared
+    FROM src_tok s JOIN index_tok i ON s.tok = i.tok
+    GROUP BY ALL
+),
+scored AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           c.cand_partkey, c.cand_size, c.n_shared,
+           (c.cand_name = c.src_name)                    AS is_exact,
+           (abs(c.cand_size - l.l_quantity) <= {DOSE_TOL}) AS dose_ok,
+           (c.cand_type = c.src_type)                    AS form_ok
+    FROM lineitem l JOIN cand c ON l.l_partkey = c.src_partkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY is_exact DESC, n_shared DESC,
+                        abs(cand_size - l_quantity) ASC, cand_partkey ASC) AS rn
+    FROM scored WHERE dose_ok AND form_ok
+),
+flags AS (
+    SELECT l_orderkey, l_linenumber,
+           max(CASE WHEN dose_ok AND form_ok THEN 1 ELSE 0 END) AS has_valid,
+           max(CASE WHEN form_ok THEN 1 ELSE 0 END)             AS has_form,
+           count(*)                                             AS n_cand
+    FROM scored GROUP BY l_orderkey, l_linenumber
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       r.cand_partkey AS best_partkey,
+       CASE WHEN f.has_valid = 1 THEN 'matched'
+            WHEN f.has_form = 1  THEN 'dose_mismatch'
+            WHEN f.n_cand > 0    THEN 'form_mismatch'
+            ELSE 'no_candidate' END AS reason
+FROM lineitem l
+LEFT JOIN flags f ON f.l_orderkey = l.l_orderkey AND f.l_linenumber = l.l_linenumber
+LEFT JOIN ranked r ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber
+                  AND r.rn = 1
+"""
+
+
+@register("j9_j10_candidate_bridge", oracle=_ORACLE)
+def j9_j10_candidate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-4 bridge plan: token-index candidate generation (J9) →
+    typed compatibility predicates (J10) → explicit rank tuple (W3) →
+    priority reason labels. One shuffle to group candidates, one
+    window, broadcast dims; the token index is fact-independent."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+
+    src_tok = part.select(
+        F.col("p_partkey").alias("src_partkey"),
+        F.col("p_name").alias("src_name"),
+        F.col("p_type").alias("src_type"),
+        F.explode(F.split("p_name", " ")).alias("tok"),
+    )
+    w_tok = W.partitionBy("tok").orderBy("p_partkey")
+    index_tok = (
+        part.select(
+            F.explode(F.split("p_name", " ")).alias("tok"),
+            F.col("p_partkey").alias("cand_partkey"),
+            F.col("p_name").alias("cand_name"),
+            F.col("p_type").alias("cand_type"),
+            F.col("p_size").alias("cand_size"),
+        )
+        .withColumn("rn", F.row_number().over(W.partitionBy("tok").orderBy("cand_partkey")))
+        .filter(F.col("rn") <= CAND_PER_TOKEN)
+        .drop("rn")
+    )
+    cand = (
+        src_tok.join(index_tok, "tok")
+        .groupBy(
+            "src_partkey", "src_name", "src_type",
+            "cand_partkey", "cand_name", "cand_type", "cand_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = li.join(F.broadcast(cand), li.l_partkey == cand.src_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "cand_partkey",
+        "cand_size",
+        "n_shared",
+        (F.col("cand_name") == F.col("src_name")).alias("is_exact"),
+        (F.abs(F.col("cand_size") - F.col("l_quantity")) <= DOSE_TOL).alias("dose_ok"),
+        (F.col("cand_type") == F.col("src_type")).alias("form_ok"),
+    )
+    ranked = (
+        scored.filter(F.col("dose_ok") & F.col("form_ok"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey", "l_linenumber").orderBy(
+                    F.desc("is_exact"),
+                    F.desc("n_shared"),
+                    F.asc(F.abs(F.col("cand_size") - F.col("l_quantity"))),
+                    F.asc("cand_partkey"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.col("cand_partkey").alias("best_partkey"))
+    )
+    flags = scored.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.when(F.col("dose_ok") & F.col("form_ok"), 1).otherwise(0)).alias("has_valid"),
+        F.max(F.when(F.col("form_ok"), 1).otherwise(0)).alias("has_form"),
+        F.count(F.lit(1)).alias("n_cand"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .join(flags, ["l_orderkey", "l_linenumber"], "left")
+        .join(ranked, ["l_orderkey", "l_linenumber"], "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "best_partkey",
+            F.when(F.col("has_valid") == 1, "matched")
+            .when(F.col("has_form") == 1, "dose_mismatch")
+            .when(F.col("n_cand") > 0, "form_mismatch")
+            .otherwise("no_candidate")
+            .alias("reason"),
+        )
+    )

@@ -1,1 +1,81 @@
-"""Placeholder — populated incrementally."""
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY §2.9); its closest analog is the
+incremental `esoa_pt_*` part-file concat. Here the same events flow
+runs as a real streaming query: parquet file source → event-time
+bucket aggregation → memory sink. ``stream_tumbling_event_counts`` is
+executed by the actual streaming engine yet oracle-checked against
+batch SQL (one availableNow pass ⇒ deterministic totals).
+
+Watermark + window + append-mode (late-data semantics) are covered in
+tests/test_streaming.py — they need a TimestampType column, and the
+driver's oracle hash is happier with integral bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.catalog import register
+
+NS_PER_S = 1_000_000_000
+
+# events schema as the streaming source sees it (ts = int64 ns;
+# see sources.tables on TIMESTAMP(NANOS)).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory; glob-filter to the events
+    # table inside the shared sf dir.
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+@register(
+    "stream_tumbling_event_counts",
+    oracle="""
+    SELECT CAST(floor(epoch_ns(ts) / 21600000000000) * 21600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time buckets computed BY THE STREAMING ENGINE
+    (file source → complete-mode agg → memory sink), then returned as
+    a DataFrame. Matches the batch oracle exactly because one
+    availableNow pass sees all input."""
+    src = read_events_stream(spark, sf_dir)
+    bucket = (F.floor(F.col("ts") / (21600 * NS_PER_S)) * 21600).cast("bigint")
+    agg = src.groupBy(bucket.alias("bucket_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    name = "stream_tumbling_event_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
