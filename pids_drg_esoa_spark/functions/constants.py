@@ -1,0 +1,216 @@
+"""Vocabulary layer: the domain constants as DATA, not code.
+
+The reference keeps ~2K lines of constant tables in
+unified_constants.py (stopwords :39-99, salt tokens :127-161,
+FORM_CANON :326-486, ROUTE_CANON :492-545, FORM_TO_ROUTES :551-793,
+form equivalence :799-820, unit factors :827-856, combination-ATC
+patterns :864-896, synonyms :1038-1237, garbage tokens :1016-1031).
+Here each becomes a small broadcastable mapping with the same
+structure; entries are representative (drawn from public
+pharmacology — WHO ATC conventions, USP dosage-form vocabulary) and
+grow by data edits, never code edits.
+
+At scale these ship to executors once as broadcast variables /
+literal maps inside expressions — never a per-row Python closure.
+"""
+
+from __future__ import annotations
+
+# Tokens that never carry meaning for generic-name matching
+# (reference GARBAGE_TOKENS / packaging stopwords).
+STOPWORDS: frozenset[str] = frozenset(
+    """
+    a an and as by each for in of on or per the to with w/ w/o
+    bottle box vial amp ampule ampoule blister pack sachet tube
+    nebule drop drops free sugar
+    """.split()
+)
+
+# Salt / ester descriptors that attach to a base molecule
+# (reference SALT_TOKENS text_utils.py context; used by
+# extract_base_and_salts F6 and strip_salt_suffix F22).
+SALT_TOKENS: frozenset[str] = frozenset(
+    """
+    hydrochloride hcl sodium potassium calcium magnesium sulfate
+    sulphate phosphate acetate citrate tartrate maleate mesylate
+    besilate besylate fumarate succinate stearate palmitate
+    decanoate valerate propionate dipropionate butyrate nitrate
+    bromide chloride iodide gluconate lactate carbonate bicarbonate
+    trometamol dihydrate monohydrate anhydrous base
+    """.split()
+)
+
+# Dosage-form canonicalization (reference FORM_CANON).
+FORM_CANON: dict[str, str] = {
+    "tab": "tablet",
+    "tabs": "tablet",
+    "tablet": "tablet",
+    "tablets": "tablet",
+    "cap": "capsule",
+    "caps": "capsule",
+    "capsule": "capsule",
+    "capsules": "capsule",
+    "susp": "suspension",
+    "suspension": "suspension",
+    "syr": "syrup",
+    "syrup": "syrup",
+    "sol": "solution",
+    "soln": "solution",
+    "solution": "solution",
+    "inj": "injection",
+    "injection": "injection",
+    "amp": "injection",
+    "vial": "injection",
+    "cream": "cream",
+    "oint": "ointment",
+    "ointment": "ointment",
+    "gel": "gel",
+    "supp": "suppository",
+    "suppository": "suppository",
+    "neb": "nebule",
+    "nebule": "nebule",
+    "mdi": "inhaler",
+    "inhaler": "inhaler",
+    "patch": "patch",
+    "sachet": "sachet",
+    "powder": "powder",
+    "lotion": "lotion",
+    "spray": "spray",
+    "drops": "drops",
+}
+
+# Route canonicalization (reference ROUTE_CANON + map_route_token
+# routes_forms.py:23-49 — 'Inj.:' expands to parenteral routes).
+ROUTE_CANON: dict[str, str] = {
+    "po": "oral",
+    "oral": "oral",
+    "orally": "oral",
+    "iv": "intravenous",
+    "intravenous": "intravenous",
+    "im": "intramuscular",
+    "intramuscular": "intramuscular",
+    "sc": "subcutaneous",
+    "subcut": "subcutaneous",
+    "subcutaneous": "subcutaneous",
+    "sl": "sublingual",
+    "sublingual": "sublingual",
+    "top": "topical",
+    "topical": "topical",
+    "oph": "ophthalmic",
+    "ophthalmic": "ophthalmic",
+    "otic": "otic",
+    "nasal": "nasal",
+    "rectal": "rectal",
+    "vaginal": "vaginal",
+    "inhalation": "inhalation",
+    "inhaled": "inhalation",
+}
+
+# Multi-route label expansion ("Inj.:" → parenteral family).
+ROUTE_LABEL_EXPANSION: dict[str, tuple[str, ...]] = {
+    "oral:": ("oral",),
+    "inj.:": ("intravenous", "intramuscular", "subcutaneous"),
+    "iv:": ("intravenous",),
+    "im:": ("intramuscular",),
+    "sc:": ("subcutaneous",),
+    "iv/sc:": ("intravenous", "subcutaneous"),
+    "iv/im:": ("intravenous", "intramuscular"),
+    "topical:": ("topical",),
+    "ophthalmic:": ("ophthalmic",),
+    "rectal:": ("rectal",),
+    "inhalation:": ("inhalation",),
+}
+
+# Form → plausible routes (reference FORM_TO_ROUTES), for route
+# imputation when the text names only a form.
+FORM_TO_ROUTES: dict[str, tuple[str, ...]] = {
+    "tablet": ("oral",),
+    "capsule": ("oral",),
+    "syrup": ("oral",),
+    "suspension": ("oral",),
+    "solution": ("oral", "intravenous", "topical"),
+    "injection": ("intravenous", "intramuscular", "subcutaneous"),
+    "cream": ("topical",),
+    "ointment": ("topical", "ophthalmic"),
+    "gel": ("topical",),
+    "suppository": ("rectal",),
+    "nebule": ("inhalation",),
+    "inhaler": ("inhalation",),
+    "patch": ("topical",),
+    "drops": ("ophthalmic", "otic", "oral"),
+    "spray": ("nasal", "topical"),
+}
+
+# Interchangeable-form equivalence groups (reference FORM_EQUIVALENTS
+# scoring.py:73-86: tablet↔capsule, syrup↔suspension↔solution…).
+FORM_EQUIVALENCE_GROUPS: tuple[frozenset[str], ...] = (
+    frozenset({"tablet", "capsule"}),
+    frozenset({"syrup", "suspension", "solution", "drops"}),
+    frozenset({"cream", "ointment", "gel", "lotion"}),
+    frozenset({"nebule", "inhaler"}),
+)
+
+# Mass-unit → mg factors (reference UNIT_TO_MG).
+UNIT_TO_MG: dict[str, float] = {
+    "mg": 1.0,
+    "g": 1000.0,
+    "gm": 1000.0,
+    "gram": 1000.0,
+    "grams": 1000.0,
+    "mcg": 0.001,
+    "ug": 0.001,
+    "µg": 0.001,
+    "kg": 1_000_000.0,
+    "ng": 0.000001,
+}
+
+# Spelling/typo + synonym normalization applied inside normalize_text
+# (reference text_utils.py:49-65 typo fixes + SPELLING_SYNONYMS).
+TEXT_CANON_REPLACEMENTS: tuple[tuple[str, str], ...] = (
+    (r"\bpolymixin\b", "polymyxin"),
+    (r"\bhydrochlorde\b", "hydrochloride"),
+    (r"\bmicrogram(s)?\b", "mcg"),
+    (r"\bcc\b", "ml"),
+    (r"\bgm\b", "g"),
+    (r"\biv\b", "intravenous"),
+    (r"\bparacetamole\b", "paracetamol"),
+)
+
+GENERIC_SYNONYMS: dict[str, str] = {
+    "acetaminophen": "paracetamol",
+    "salbutamol sulphate": "salbutamol sulfate",
+    "vitamin c": "ascorbic acid",
+    "vitamin b1": "thiamine",
+    "vitamin b6": "pyridoxine",
+    "vitamin b12": "cyanocobalamin",
+    "adrenaline": "epinephrine",
+    "noradrenaline": "norepinephrine",
+    "frusemide": "furosemide",
+    "lignocaine": "lidocaine",
+    "pnss": "sodium chloride",
+    "d5w": "dextrose",
+}
+
+# Combination-ATC detection (reference is_combination_atc
+# unified_constants.py:949-963: prefix families + suffix set).
+COMBINATION_ATC_PREFIXES: tuple[str, ...] = ("C09BA", "C09DA", "C09DB", "C10BA", "C10BX")
+COMBINATION_ATC_SUFFIXES: frozenset[int] = frozenset({20, 30} | set(range(50, 60)))
+
+# IV diluent canonical classes (reference normalize_diluent
+# runners.py:382-414 — water ≠ saline ≠ half-saline ≠ ringers).
+DILUENT_CLASSES: dict[str, str] = {
+    "water": "WATER",
+    "sterile water": "WATER",
+    "water for injection": "WATER",
+    "0.9% sodium chloride": "NORMAL_SALINE",
+    "normal saline": "NORMAL_SALINE",
+    "nss": "NORMAL_SALINE",
+    "pnss": "NORMAL_SALINE",
+    "0.45% sodium chloride": "HALF_SALINE",
+    "half saline": "HALF_SALINE",
+    "lactated ringers": "LACTATED_RINGERS",
+    "ringers lactate": "LACTATED_RINGERS",
+    "acetated ringers": "ACETATED_RINGERS",
+    "d5w": "D5_WATER",
+    "5% dextrose": "D5_WATER",
+}

@@ -1,0 +1,204 @@
+"""Token-level extraction — the Python-fidelity (pandas_udf) tier.
+
+These functions carry the reference's irreducibly-stateful token
+logic: salt/base splitting, combination normalization, compound-salt
+merging. They run as Arrow-batched pandas_udfs (partition-parallel —
+the Spark replacement for the reference's ProcessPoolExecutor
+machinery, concurrency.py:63-120 §2.8) and each has a plain-Python
+twin that golden tests pin to the reference's own test cases
+(tests/test_generic_normalization.py:16-50,
+ tests/test_annex_f_normalization_stigmine.py:18-37).
+
+Reference parity targets:
+- extract_base_and_salts   text_utils.py:219-351 (F6)
+- detect_compound_salts    tokenizer.py:929-954  (F18)
+- normalize_generic_combination — the IN/WITH/AND → ' + ' combination
+  rewrite of generic_normalization (reference tests §5)
+- strip_salt_suffix        tokenizer.py:1395-1435 (F22)
+- build_combination_keys   lookup.py:309-402     (F30)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .constants import FORM_CANON, ROUTE_CANON, SALT_TOKENS, STOPWORDS
+from .dose import _AMOUNT_RE, _PACK_RE, _PCT_RE, _RATIO_RE
+from .text import normalize_text_py
+
+# Single-ion tokens: two adjacent ones form one compound salt drug
+# ("SODIUM + CHLORIDE" ⇒ "SODIUM CHLORIDE", F18).
+PURE_IONS: frozenset[str] = frozenset(
+    "sodium potassium calcium magnesium chloride sulfate sulphate "
+    "phosphate carbonate bicarbonate lactate gluconate acetate".split()
+)
+
+_DOSE_RES = [re.compile(p) for p in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE)]
+_FORM_ROUTE_TOKENS = frozenset(FORM_CANON) | frozenset(ROUTE_CANON)
+_AS_SALT_PAREN = re.compile(r"\(\s*as\s+([^)]+)\)", re.IGNORECASE)
+_AS_SALT_TAIL = re.compile(r"\s+as\s+(.+)$", re.IGNORECASE)
+
+
+def _is_pure_salt_compound(tokens: list[str]) -> bool:
+    """Pure-salt protection (F22): every token is a salt descriptor ⇒
+    the whole thing IS the drug (SODIUM CHLORIDE), don't strip."""
+    return len(tokens) > 0 and all(t.lower() in SALT_TOKENS for t in tokens)
+
+
+def extract_base_and_salts_py(name: str | None) -> tuple[str, list[str]]:
+    """F6: split a molecule string into base name + salt descriptors.
+    Handles '( as X)' parentheticals, trailing 'as X', and trailing
+    salt-token trimming with pure-salt protection."""
+    if not name:
+        return "", []
+    s = re.sub(r"\s+", " ", name).strip()
+    salts: list[str] = []
+
+    for m in _AS_SALT_PAREN.finditer(s):
+        salts.extend(t.strip().upper() for t in re.split(r"\+|,", m.group(1)) if t.strip())
+    s = _AS_SALT_PAREN.sub(" ", s)
+
+    m = _AS_SALT_TAIL.search(s)
+    if m and not _is_pure_salt_compound(s[: m.start()].split()):
+        salts.extend(t.strip().upper() for t in re.split(r"\+|,", m.group(1)) if t.strip())
+        s = s[: m.start()]
+
+    tokens = s.split()
+    while len(tokens) > 1 and tokens[-1].lower() in SALT_TOKENS:
+        if _is_pure_salt_compound(tokens):
+            break
+        salts.insert(0, tokens.pop().upper())
+    base = re.sub(r"\s+", " ", " ".join(tokens)).strip()
+    return base, salts
+
+
+def strip_salt_suffix_py(name: str | None) -> str:
+    """F22: base name only (longest trailing salt run removed, pure
+    compounds protected)."""
+    return extract_base_and_salts_py(name)[0]
+
+
+def detect_compound_salts_py(parts: list[str]) -> list[str]:
+    """F18: merge adjacent single-ion components into one compound
+    ('SODIUM','CHLORIDE' → 'SODIUM CHLORIDE')."""
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        cur = parts[i]
+        if (
+            i + 1 < len(parts)
+            and len(cur.split()) == 1
+            and len(parts[i + 1].split()) == 1
+            and cur.lower() in PURE_IONS
+            and parts[i + 1].lower() in PURE_IONS
+        ):
+            out.append(f"{cur} {parts[i + 1]}")
+            i += 2
+        else:
+            out.append(cur)
+            i += 1
+    return out
+
+
+def _clean_component(part: str) -> str:
+    """Drop dose expressions, form/route/packaging tokens from one
+    combination component."""
+    s = part
+    for rx in _DOSE_RES:
+        s = rx.sub(" ", s)
+    kept = [
+        t
+        for t in s.split()
+        if t not in STOPWORDS and t not in _FORM_ROUTE_TOKENS and not re.fullmatch(r"[0-9.]+", t)
+    ]
+    return " ".join(kept).strip()
+
+
+def normalize_generic_combination_py(text: str | None) -> str:
+    """Combination normalization (reference generic_normalization
+    semantics, tests/test_generic_normalization.py): normalize, strip
+    doses/forms, split components on IN / WITH / AND / '+', merge
+    compound salt ions, join ' + ' uppercased.
+
+    'DEXTROSE IN LACTATED RINGERS WITH POTASSIUM CHLORIDE AND
+    MAGNESIUM SULFATE' → 'DEXTROSE + LACTATED RINGERS + POTASSIUM
+    CHLORIDE + MAGNESIUM SULFATE'; 'SODIUM + CHLORIDE INJECTION' →
+    'SODIUM CHLORIDE'."""
+    if not text:
+        return ""
+    # Parenthetical spans (brands, salt markers, packaging codes like
+    # "(OP)") are extracted separately (F8) and excluded from generic
+    # extraction (reference tokenizer.py:1113-1392 exclusion contexts).
+    s = normalize_text_py(re.sub(r"\([^)]*\)", " ", text))
+    raw_parts = re.split(r"\bin\b|\bwith\b|\band\b|\+", s)
+    parts = [p for p in (_clean_component(p) for p in raw_parts) if p]
+    parts = detect_compound_salts_py(parts)
+    seen: set[str] = set()
+    uniq = []
+    for p in parts:
+        if p not in seen:
+            seen.add(p)
+            uniq.append(p)
+    return " + ".join(p.upper() for p in uniq)
+
+
+def build_combination_keys_py(components: list[str]) -> list[str]:
+    """F30: lookup-key variants for a combination — sorted/original/
+    reversed ' + ' joins, 'A AND B', Oxford 'A, B AND C', and the
+    space-join — all lowercased for the unified-reference join."""
+    comps = [c.strip().lower() for c in components if c and c.strip()]
+    comps = list(dict.fromkeys(comps))
+    if not comps:
+        return []
+    keys = []
+
+    def add(k: str) -> None:
+        if k and k not in keys:
+            keys.append(k)
+
+    add(" + ".join(sorted(comps)))
+    add(" + ".join(comps))
+    add(" + ".join(reversed(comps)))
+    if len(comps) == 2:
+        add(f"{comps[0]} and {comps[1]}")
+    elif len(comps) > 2:
+        add(", ".join(comps[:-1]) + f" and {comps[-1]}")
+    add(" ".join(comps))
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# pandas_udf wrappers (Arrow-batched; schema'd structs, not dicts)
+# ---------------------------------------------------------------------------
+BASE_SALTS_SCHEMA = T.StructType(
+    [
+        T.StructField("base", T.StringType()),
+        T.StructField("salts", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(BASE_SALTS_SCHEMA)
+def extract_base_and_salts(s: pd.Series) -> pd.DataFrame:
+    res = s.map(extract_base_and_salts_py)
+    return pd.DataFrame({"base": res.map(lambda t: t[0]), "salts": res.map(lambda t: t[1])})
+
+
+@F.pandas_udf(T.StringType())
+def normalize_generic_combination(s: pd.Series) -> pd.Series:
+    return s.map(normalize_generic_combination_py)
+
+
+@F.pandas_udf(T.StringType())
+def strip_salt_suffix(s: pd.Series) -> pd.Series:
+    return s.map(strip_salt_suffix_py)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def build_combination_keys(comps: pd.Series) -> pd.Series:
+    return comps.map(lambda c: build_combination_keys_py(list(c) if c is not None else []))

@@ -1,0 +1,114 @@
+"""Labs pipeline: the minimum end-to-end slice (SURVEY §7 step 1).
+
+Reference semantics (pipelines/labs/…):
+- prepare (prepare_labs.py:13-14,27-48,71-72): require ITEM_NUMBER /
+  ITEM_REF_CODE / DESCRIPTION; keep ITEM_REF_CODE ==
+  'LaboratoryAndDiagnostic'; drop ITEM_NUMBER in [1540, 1896]; drop
+  null/empty descriptions; dedupe (ITEM_NUMBER, DESCRIPTION); sort.
+- match (match_labs.py:18-36,51-66,86-108 J11): normalize description
+  (lower, non-alnum→space, collapse) → exact join against the labs
+  master; misses fall back to the Diagnostics catalog; coalesce
+  precedence master > diagnostics, with a match_source label.
+
+Spark-first: the two catalogs broadcast (they are small dims); the
+eSOA side never shuffles. The reference's first-wins dict semantics
+(`setdefault`, match_labs.py:35 — SURVEY §7 order-dependence) becomes
+an explicit min-key dedupe of the master per normalized description.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window as W
+
+from ..functions.text import normalize_basic
+from .base import BasePipeline, PipelineContext, register_pipeline
+
+EXCLUDED_ITEM_RANGE = (1540, 1896)
+
+
+def prepare_labs(esoa: DataFrame) -> DataFrame:
+    required = {"ITEM_NUMBER", "ITEM_REF_CODE", "DESCRIPTION"}
+    missing = required - set(esoa.columns)
+    if missing:
+        raise ValueError(f"labs input missing required columns: {sorted(missing)}")
+    lo, hi = EXCLUDED_ITEM_RANGE
+    return (
+        esoa.filter(F.col("ITEM_REF_CODE") == "LaboratoryAndDiagnostic")
+        .filter(~F.col("ITEM_NUMBER").cast("long").between(lo, hi))
+        .filter(F.col("DESCRIPTION").isNotNull() & (F.trim("DESCRIPTION") != ""))
+        .dropDuplicates(["ITEM_NUMBER", "DESCRIPTION"])
+    )
+
+
+def _first_wins(df: DataFrame, key: str, order: str) -> DataFrame:
+    """Deterministic replacement for dict-setdefault first-wins."""
+    w = W.partitionBy(key).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFrame) -> DataFrame:
+    """Two-level lookup with coalesce precedence (J11)."""
+    e = esoa_prepared.withColumn("desc_norm", normalize_basic("DESCRIPTION"))
+
+    m = _first_wins(
+        master.select(
+            normalize_basic("DESCRIPTION").alias("desc_norm"),
+            F.col("ITEM_NUMBER").alias("master_item_number"),
+            F.col("DESCRIPTION").alias("master_description"),
+            F.col("IS_OFFICIAL").alias("master_is_official"),
+        ),
+        "desc_norm",
+        "master_item_number",
+    )
+    d = _first_wins(
+        diagnostics.select(
+            normalize_basic("desc").alias("desc_norm"),
+            F.col("code").alias("diag_code"),
+            F.col("desc").alias("diag_description"),
+        ),
+        "desc_norm",
+        "diag_code",
+    )
+    return (
+        e.join(F.broadcast(m), "desc_norm", "left")
+        .join(F.broadcast(d), "desc_norm", "left")
+        .withColumn(
+            "matched_description",
+            F.coalesce("master_description", "diag_description"),
+        )
+        .withColumn(
+            "match_source",
+            F.when(F.col("master_description").isNotNull(), "labs_master")
+            .when(F.col("diag_description").isNotNull(), "diagnostics")
+            .otherwise("unmatched"),
+        )
+        .orderBy(F.col("ITEM_NUMBER").cast("long"))
+    )
+
+
+def coverage_metrics(matched: DataFrame) -> DataFrame:
+    """A7: counts + percentages per match source."""
+    total = F.sum(F.lit(1)).alias("n_total")
+    return matched.agg(
+        total,
+        F.sum(F.when(F.col("match_source") == "labs_master", 1).otherwise(0)).alias("n_master"),
+        F.sum(F.when(F.col("match_source") == "diagnostics", 1).otherwise(0)).alias("n_diag"),
+        F.sum(F.when(F.col("match_source") == "unmatched", 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
+@register_pipeline
+class LabsPipeline(BasePipeline):
+    item_ref_code = "LaboratoryAndDiagnostic"
+
+    def prepare_inputs(self, ctx: PipelineContext) -> None:
+        ctx.artifacts["esoa_prepared"] = prepare_labs(ctx.inputs["esoa"])
+
+    def match(self, ctx: PipelineContext) -> None:
+        ctx.artifacts["esoa_matched_labs"] = match_labs(
+            ctx.artifacts["esoa_prepared"], ctx.inputs["labs_master"], ctx.inputs["diagnostics"]
+        )
+
+    def post_run(self, ctx: PipelineContext) -> None:
+        ctx.artifacts["metrics"] = coverage_metrics(ctx.artifacts["esoa_matched_labs"])

@@ -1,0 +1,269 @@
+"""The drug tagger as ONE declarative DataFrame plan.
+
+Reference: UnifiedTagger._tag_batch (tagger.py:560-1030, SURVEY §3.3)
+— per-batch loops over texts doing parse → key expansion → DuckDB
+IN-list/prefix/fuzzy lookups → candidate assembly → rule-based
+selection. Spark-first restructuring:
+
+  stage 1-2 (parse, keys)   → column derivations (native + pandas_udf)
+  stage 3   (lookups)       → broadcast hash joins against the
+                              unified dims (replaces DuckDB + indexes,
+                              tagger.py:161-205)
+  stage 4   (candidates)    → union of match tiers with explicit
+                              match_priority (mixture 0, token 1,
+                              brand 2, fuzzy 3 — tagger.py:707-834)
+  stage 5   (selection)     → window rank-1 over an explicit tuple
+                              (scoring.py:203-387 W1; every tie-break
+                              key explicit per SURVEY §7)
+
+The 'batch' concept vanishes: dedupe-by-text once (A6), tag distinct
+texts, join back. Dims broadcast — at 100 TB the fact side never
+shuffles; the only wide op is the per-doc candidate window, whose key
+(text) is near-unique so skew is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.fuzzy import fuzz_ratio, length_band_filter
+from ..functions.text import normalize_text
+from ..functions.tokens import normalize_generic_combination, strip_salt_suffix
+
+FUZZY_MIN_RATIO = 85.0
+
+PRIORITY_MIXTURE = 0
+PRIORITY_TOKEN = 1
+PRIORITY_BRAND = 2
+PRIORITY_FUZZY = 3
+
+
+def _components(esoa: DataFrame, text_col: str) -> DataFrame:
+    """Stages 1-2: dedupe texts, extract combination components."""
+    docs = (
+        esoa.select(F.col(text_col).alias("raw_text"))
+        .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
+        .distinct()
+        .withColumn("text_norm", normalize_text(F.col("raw_text")))
+        .withColumn("combo_str", normalize_generic_combination(F.col("raw_text")))
+        .withColumn(
+            "components",
+            F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
+        )
+        .withColumn("n_comp", F.size("components"))
+    )
+    return docs
+
+
+def _token_matches(
+    keys: DataFrame, generics_dim: DataFrame, synonyms_dim: DataFrame | None,
+    brands_dim: DataFrame | None,
+) -> DataFrame:
+    """Stage 3 for single tokens: exact ⊳ synonym ⊳ brand ⊳ fuzzy,
+    each tier consuming only the previous tier's misses (the
+    reference's cascade, lookup.py:223-306)."""
+    g = F.broadcast(generics_dim.select(F.lower("generic_name").alias("gkey"),
+                                        "generic_name", "drugbank_id"))
+
+    exact = keys.join(g, keys.key == F.col("gkey")).select(
+        "raw_text", "key", "generic_name", "drugbank_id",
+        F.lit(PRIORITY_TOKEN).alias("match_priority"), F.lit("exact").alias("match_reason"),
+    )
+    unmatched = keys.join(g, keys.key == F.col("gkey"), "left_anti")
+
+    tiers = [exact]
+    if synonyms_dim is not None:
+        syn = F.broadcast(
+            synonyms_dim.select(F.lower("synonym").alias("skey"),
+                                F.lower("generic_name").alias("target_key"))
+        )
+        syn_hit = (
+            unmatched.join(syn, unmatched.key == F.col("skey"))
+            .join(g, F.col("target_key") == F.col("gkey"))
+            .select(
+                "raw_text", "key", "generic_name", "drugbank_id",
+                F.lit(PRIORITY_TOKEN).alias("match_priority"),
+                F.lit("synonym").alias("match_reason"),
+            )
+        )
+        tiers.append(syn_hit)
+        unmatched = unmatched.join(syn, unmatched.key == F.col("skey"), "left_anti")
+
+    if brands_dim is not None:
+        br = F.broadcast(
+            brands_dim.select(F.lower("brand_name").alias("bkey"),
+                              F.lower("generic_name").alias("target_key"))
+        )
+        brand_hit = (
+            unmatched.join(br, unmatched.key == F.col("bkey"))
+            .join(g, F.col("target_key") == F.col("gkey"))
+            .select(
+                "raw_text", "key", "generic_name", "drugbank_id",
+                F.lit(PRIORITY_BRAND).alias("match_priority"),
+                F.lit("brand").alias("match_reason"),
+            )
+        )
+        tiers.append(brand_hit)
+        unmatched = unmatched.join(br, unmatched.key == F.col("bkey"), "left_anti")
+
+    # Fuzzy tier: length-band + first-letter blocking (provably
+    # lossless for ratio ≥ 85), Python scorer only on survivors (J6).
+    blocked = unmatched.filter(F.length("key") >= 4).join(
+        g,
+        (F.substring(unmatched.key, 1, 1) == F.substring(F.col("gkey"), 1, 1))
+        & length_band_filter(F.length(unmatched.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+    )
+    scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
+        F.col("ratio") >= FUZZY_MIN_RATIO
+    )
+    w = W.partitionBy("raw_text", "key").orderBy(
+        F.desc("ratio"), F.asc(F.length("gkey")), F.asc("gkey")
+    )
+    fuzzy_hit = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "raw_text", "key", "generic_name", "drugbank_id",
+            F.lit(PRIORITY_FUZZY).alias("match_priority"),
+            F.lit("fuzzy").alias("match_reason"),
+        )
+    )
+    tiers.append(fuzzy_hit)
+
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def tag_descriptions(
+    esoa: DataFrame,
+    generics_dim: DataFrame,
+    atc_dim: DataFrame,
+    synonyms_dim: DataFrame | None = None,
+    brands_dim: DataFrame | None = None,
+    mixtures_dim: DataFrame | None = None,
+    text_col: str = "raw_text",
+) -> DataFrame:
+    """Tag each distinct description with (generic_name, drugbank_id,
+    atc_codes, match_reason). Returns one row per input text; callers
+    join back on text (A6)."""
+    docs = _components(esoa, text_col)
+
+    # --- mixture tier: sorted component_key → unified_mixtures (J8) ---
+    candidates = []
+    if mixtures_dim is not None:
+        mx = F.broadcast(
+            mixtures_dim.select(
+                "component_key",
+                F.col("mixture_name").alias("generic_name"),
+                "drugbank_id",
+            )
+        )
+        combo_key = F.array_join(F.array_sort("components"), "|")
+        mixture_hits = (
+            docs.filter(F.col("n_comp") >= 2)
+            .withColumn("component_key", combo_key)
+            .join(mx, "component_key")
+            .select(
+                "raw_text", "generic_name", "drugbank_id",
+                F.lit(PRIORITY_MIXTURE).alias("match_priority"),
+                F.lit("combination_key").alias("match_reason"),
+            )
+        )
+        candidates.append(mixture_hits)
+
+    # --- token tier: explode components, salt-strip, cascade ---
+    keys = (
+        docs.select("raw_text", F.explode("components").alias("component"))
+        .withColumn("key", F.lower(strip_salt_suffix(F.col("component"))))
+        .filter(F.col("key") != "")
+        .select("raw_text", "key")
+        .distinct()
+    )
+    token_hits = _token_matches(keys, generics_dim, synonyms_dim, brands_dim)
+
+    # synthesized combination: all components of a multi-part input
+    # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly)
+    per_doc = token_hits.groupBy("raw_text").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.array_join(F.array_sort(F.collect_set("generic_name")), " + ").alias("joined_name"),
+        F.max("match_priority").alias("worst_priority"),
+        F.array_join(F.array_sort(F.collect_set("match_reason")), "+").alias("joined_reason"),
+    )
+    combo_docs = docs.select("raw_text", "n_comp").filter(F.col("n_comp") >= 2)
+    synthesized = (
+        combo_docs.join(per_doc, "raw_text")
+        .filter(F.col("n_matched") == F.col("n_comp"))
+        .select(
+            "raw_text",
+            F.col("joined_name").alias("generic_name"),
+            F.lit(None).cast("string").alias("drugbank_id"),
+            F.col("worst_priority").alias("match_priority"),
+            F.concat(F.lit("combination_tokens:"), "joined_reason").alias("match_reason"),
+        )
+    )
+    single_hits = (
+        docs.filter(F.col("n_comp") <= 1)
+        .select("raw_text")
+        .join(token_hits, "raw_text")
+        .select(
+            "raw_text", "generic_name", "drugbank_id", "match_priority", "match_reason"
+        )
+    )
+    candidates.extend([synthesized, single_hits])
+
+    all_cand = candidates[0]
+    for c in candidates[1:]:
+        all_cand = all_cand.unionByName(c)
+
+    # --- ATC attach + preference ordering (W2: non-combination ATCs
+    # first, then shorter, then lexical — unified_constants.py:949-963)
+    atc = F.broadcast(
+        atc_dim.select(F.col("generic_name").alias("atc_generic"), "atc_code", "is_combination_atc")
+    )
+    with_atc = (
+        all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
+        .groupBy("raw_text", "generic_name", "drugbank_id", "match_priority", "match_reason")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("is_combination_atc").cast("int").alias("combo"),
+                                F.length("atc_code").alias("len"),
+                                F.col("atc_code").alias("code"),
+                            )
+                        )
+                    ),
+                    lambda s: s["code"],
+                ),
+                "|",
+            ).alias("atc_codes")
+        )
+    )
+
+    # --- stage 5: best candidate per doc (W1 tuple, fully explicit) ---
+    w = W.partitionBy("raw_text").orderBy(
+        F.asc("match_priority"),
+        F.desc(F.length("generic_name")),
+        F.asc("generic_name"),
+        F.asc("atc_codes"),
+    )
+    best = (
+        with_atc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("atc_primary", F.split("atc_codes", "\\|").getItem(0))
+    )
+    return (
+        docs.select("raw_text", "text_norm", "combo_str", "n_comp")
+        .join(best, "raw_text", "left")
+        .withColumn("matched", F.col("generic_name").isNotNull())
+        .withColumn(
+            "match_reason", F.coalesce("match_reason", F.lit("unmatched"))
+        )
+    )

@@ -1,0 +1,64 @@
+"""End-to-end labs pipeline test on reference-shaped fixtures
+(FIXTURES.md §2/§11)."""
+
+from __future__ import annotations
+
+from pids_drg_esoa_spark.pipelines.base import PipelineContext, get_pipeline
+from pids_drg_esoa_spark.pipelines.labs import prepare_labs
+
+
+def _fixtures(spark):
+    esoa = spark.createDataFrame(
+        [
+            ("101", "LaboratoryAndDiagnostic", "CBC; Platelet Count (auto)"),
+            ("102", "LaboratoryAndDiagnostic", "URINALYSIS"),
+            ("103", "LaboratoryAndDiagnostic", "Chest X-Ray PA"),
+            ("104", "LaboratoryAndDiagnostic", "totally unknown assay"),
+            ("105", "DrugsAndMedicine", "PARACETAMOL 500MG TAB"),  # wrong category
+            ("1600", "LaboratoryAndDiagnostic", "EXCLUDED BAND ITEM"),  # range filter
+            ("106", "LaboratoryAndDiagnostic", None),  # null desc
+            ("102", "LaboratoryAndDiagnostic", "URINALYSIS"),  # dup
+        ],
+        "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string",
+    )
+    master = spark.createDataFrame(
+        [
+            ("L1", "CBC Platelet Count auto", "Y"),
+            ("L2", "Urinalysis", "Y"),
+        ],
+        "ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string",
+    )
+    diagnostics = spark.createDataFrame(
+        [("D9", "chest x ray PA", "rad", "spec", "", "")],
+        "code string, desc string, cat string, spec string, etc string, misc string",
+    )
+    return esoa, master, diagnostics
+
+
+def test_prepare_filters(spark):
+    esoa, *_ = _fixtures(spark)
+    prepared = prepare_labs(esoa)
+    items = {r.ITEM_NUMBER for r in prepared.collect()}
+    assert items == {"101", "102", "103", "104"}
+
+
+def test_labs_pipeline_end_to_end(spark):
+    esoa, master, diagnostics = _fixtures(spark)
+    pipe = get_pipeline("LaboratoryAndDiagnostic")
+    ctx = PipelineContext(
+        spark=spark,
+        inputs={"esoa": esoa, "labs_master": master, "diagnostics": diagnostics},
+    )
+    timings: dict[str, float] = {}
+    pipe.run(ctx, timing_hook=lambda name, sec: timings.setdefault(name, sec))
+
+    out = {r.ITEM_NUMBER: r for r in ctx.artifacts["esoa_matched_labs"].collect()}
+    assert out["101"].match_source == "labs_master"  # punctuation-insensitive exact
+    assert out["101"].matched_description == "CBC Platelet Count auto"
+    assert out["102"].match_source == "labs_master"
+    assert out["103"].match_source == "diagnostics"  # fallback catalog
+    assert out["104"].match_source == "unmatched"
+
+    m = ctx.artifacts["metrics"].collect()[0]
+    assert (m.n_total, m.n_master, m.n_diag, m.n_unmatched) == (4, 2, 1, 1)
+    assert set(timings) == {"pre_run", "prepare_inputs", "match", "post_run"}
