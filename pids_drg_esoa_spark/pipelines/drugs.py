@@ -1,0 +1,224 @@
+"""Drugs pipeline: reference build + PNF preparation + tagging parts.
+
+Reference lifecycle (SURVEY §3.2, run_drugs_all.py):
+- Part 1: build the unified_* reference tables
+  (build_unified_reference.py:67-535) — DrugBank is the spine; WHO
+  and PNF generics are added only if absent (anti-join U2/J12), then
+  per-entity aggregates (synonyms pipe-agg A3, mixtures component_key
+  J8, brands first-wins dedupe A5).
+- Part 2/3: tag Annex F / eSOA descriptions (plans.tagger).
+- Part 4: bridge tagged eSOA rows to Annex F drug codes (plans.bridge).
+
+Everything here is a declarative transform on DataFrames; dims are
+small (≪10 MB) and broadcast at use sites. The order-dependent bits
+of the reference (keep='first' dedupes) carry explicit orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window as W
+
+from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
+from ..functions.text import normalize_text, slug_id
+from ..functions.tokens import extract_base_and_salts
+from ..functions.constants import ROUTE_LABEL_EXPANSION
+from .base import BasePipeline, PipelineContext, register_pipeline
+
+
+# ---------------------------------------------------------------------------
+# Part 1a: unified reference build
+# ---------------------------------------------------------------------------
+def build_unified_generics(
+    drugbank: DataFrame, who_atc: DataFrame, pnf: DataFrame
+) -> DataFrame:
+    """unified_generics (build_unified_reference.py:163-288): DrugBank
+    spine; WHO then PNF names added only when their name_key is new
+    (left_anti), each row tagged with its source."""
+    db = drugbank.select(
+        "drugbank_id",
+        F.upper("generic_name").alias("generic_name"),
+        F.lower(F.trim("generic_name")).alias("name_key"),
+        F.lit("drugbank").alias("source"),
+    ).dropDuplicates(["name_key"])
+
+    who = who_atc.select(
+        F.lit(None).cast("string").alias("drugbank_id"),
+        F.upper("atc_name").alias("generic_name"),
+        F.lower(F.trim("atc_name")).alias("name_key"),
+        F.lit("who").alias("source"),
+    ).dropDuplicates(["name_key"])
+
+    pnf_g = pnf.select(
+        F.lit(None).cast("string").alias("drugbank_id"),
+        F.upper("generic_name").alias("generic_name"),
+        F.lower(F.trim("generic_name")).alias("name_key"),
+        F.lit("pnf").alias("source"),
+    ).dropDuplicates(["name_key"])
+
+    out = db
+    for extra in (who, pnf_g):
+        new = extra.join(out.select("name_key"), "name_key", "left_anti")
+        out = out.unionByName(new)
+    return out
+
+
+def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
+    """unified_synonyms (…py:296-306 A3): sorted-distinct pipe-agg per
+    (drugbank_id, generic_name)."""
+    return (
+        synonym_rows.groupBy("drugbank_id", "generic_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set(F.upper("synonym"))), "|").alias("synonyms")
+        )
+    )
+
+
+def build_unified_atc(drugbank_atc: DataFrame, who_atc: DataFrame) -> DataFrame:
+    """unified_atc (…py:314-364): DrugBank codes + WHO codes for
+    generics not already covered (anti-join on generic+code)."""
+    db = drugbank_atc.select(
+        "drugbank_id", F.upper("generic_name").alias("generic_name"), F.upper("atc_code").alias("atc_code")
+    )
+    who = who_atc.select(
+        F.lit(None).cast("string").alias("drugbank_id"),
+        F.upper("atc_name").alias("generic_name"),
+        F.upper("atc_code").alias("atc_code"),
+    )
+    new = who.join(db.select("generic_name", "atc_code"), ["generic_name", "atc_code"], "left_anti")
+    return db.unionByName(new).dropDuplicates(["generic_name", "atc_code", "drugbank_id"])
+
+
+def build_unified_brands(fda_brands: DataFrame, drugbank_brands: DataFrame) -> DataFrame:
+    """unified_brands (…py:425-459): two sources, deterministic
+    first-wins per brand (source priority then generic lexical —
+    replaces keep='first' row-order dependence, SURVEY §7)."""
+    fda = fda_brands.select(
+        F.upper("brand_name").alias("brand_name"),
+        F.upper("generic_name").alias("generic_name"),
+        F.lit(None).cast("string").alias("drugbank_id"),
+        F.lit("fda").alias("source"),
+        F.lit(1).alias("prio"),
+    )
+    db = drugbank_brands.select(
+        F.upper("brand_name").alias("brand_name"),
+        F.upper("generic_name").alias("generic_name"),
+        "drugbank_id",
+        F.lit("drugbank").alias("source"),
+        F.lit(0).alias("prio"),
+    )
+    merged = db.unionByName(fda)
+    w = W.partitionBy("brand_name").orderBy("prio", "generic_name")
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "prio")
+    )
+
+
+def build_unified_mixtures(mixtures: DataFrame) -> DataFrame:
+    """unified_mixtures (…py:486-500 J8): sorted lowercase pipe-join of
+    component generics = the order-insensitive combination key."""
+    comps = F.split(F.lower("component_generics"), "\\s*\\+\\s*")
+    return mixtures.select(
+        "drugbank_id",
+        F.upper("mixture_name").alias("mixture_name"),
+        F.upper("component_generics").alias("component_generics"),
+        F.array_join(F.array_sort(comps), "|").alias("component_key"),
+        F.size(comps).cast("int").alias("component_count"),
+    ).dropDuplicates(["component_key", "drugbank_id"])
+
+
+# ---------------------------------------------------------------------------
+# Part 1b: PNF preparation (P1 derivation battery, prepare.py:63-135)
+# ---------------------------------------------------------------------------
+def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
+    """pnf_prepared: ~the reference's 25-column derivation — normalize,
+    base/salt split (F6), slug id (F4), route-label expansion +
+    explode (F24/P7), dose parse to struct (F9), mg conversions
+    (F10/F11). One narrow pass; the only explode is per allowed
+    route."""
+    route_map = F.create_map(
+        *[
+            x
+            for label, routes in ROUTE_LABEL_EXPANSION.items()
+            for x in (F.lit(label), F.array(*[F.lit(r) for r in routes]))
+        ]
+    )
+    spec_col = F.coalesce(
+        *[F.col(c) for c in ("Technical Specifications", "Specs", "Specification")
+          if c in pnf_raw.columns],
+        F.lit(""),
+    )
+    base_salts = extract_base_and_salts(F.col("Molecule"))
+    dose = parse_dose(spec_col)
+    routes = F.coalesce(
+        route_map[F.lower(F.trim("Route"))],
+        F.array(F.lower(F.trim("Route"))),
+    )
+    d = (
+        pnf_raw.withColumn("raw_molecule", F.col("Molecule"))
+        .withColumn("generic_normalized", normalize_text(F.col("Molecule")))
+        .withColumn("_bs", base_salts)
+        .withColumn("generic_name", F.upper(F.col("_bs.base")))
+        .withColumn("salt_form", F.array_join("_bs.salts", " + "))
+        .withColumn("generic_id", slug_id(F.col("_bs.base")))
+        .withColumn("atc_code", F.upper(F.trim("ATC Code")))
+        .withColumn("dose", dose)
+        .withColumn("strength_mg", to_mg(dose["strength"], dose["unit"]))
+        .withColumn("ratio_mg_per_ml", ratio_mg_per_ml(
+            to_mg(dose["strength"], dose["unit"]), dose["per_val"]))
+        .withColumn("route", F.explode(routes))
+        .drop("_bs")
+    )
+    return d
+
+
+@register_pipeline
+class DrugsPipeline(BasePipeline):
+    """ITEM_REF_CODE dispatcher entry for drugs (SURVEY §3.1)."""
+
+    item_ref_code = "DrugsAndMedicine"
+
+    def prepare_inputs(self, ctx: PipelineContext) -> None:
+        ctx.artifacts["pnf_prepared"] = prepare_pnf(ctx.inputs["pnf"])
+        ctx.artifacts["unified_generics"] = build_unified_generics(
+            ctx.inputs["drugbank_generics"], ctx.inputs["who_atc"],
+            ctx.artifacts["pnf_prepared"],
+        )
+        ctx.artifacts["unified_atc"] = build_unified_atc(
+            ctx.inputs["drugbank_atc"], ctx.inputs["who_atc"]
+        )
+        ctx.artifacts["unified_brands"] = build_unified_brands(
+            ctx.inputs["fda_brands"], ctx.inputs["drugbank_brands"]
+        )
+        ctx.artifacts["unified_mixtures"] = build_unified_mixtures(ctx.inputs["mixtures"])
+
+    def match(self, ctx: PipelineContext) -> None:
+        from ..plans.tagger import tag_descriptions
+        from ..functions.constants import COMBINATION_ATC_PREFIXES, COMBINATION_ATC_SUFFIXES
+
+        atc = ctx.artifacts["unified_atc"]
+        suffix = F.substring(F.col("atc_code"), 6, 2).cast("int")
+        is_combo = F.col("atc_code").rlike("^(" + "|".join(COMBINATION_ATC_PREFIXES) + ")") | (
+            suffix.isin(*COMBINATION_ATC_SUFFIXES)
+        )
+        atc_flagged = atc.withColumn("is_combination_atc", is_combo)
+        ctx.artifacts["esoa_with_atc"] = tag_descriptions(
+            ctx.inputs["esoa"],
+            generics_dim=ctx.artifacts["unified_generics"],
+            atc_dim=atc_flagged,
+            brands_dim=ctx.artifacts["unified_brands"],
+            mixtures_dim=ctx.artifacts["unified_mixtures"].withColumnRenamed(
+                "mixture_name", "mixture_name"
+            ).selectExpr("component_key", "mixture_name", "drugbank_id"),
+            text_col="raw_text",
+        )
+
+    def post_run(self, ctx: PipelineContext) -> None:
+        tagged = ctx.artifacts["esoa_with_atc"]
+        ctx.artifacts["metrics"] = tagged.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("matched").cast("int")).alias("n_matched"),
+            F.sum(F.when(F.col("atc_primary").isNotNull(), 1).otherwise(0)).alias("n_atc"),
+        )

@@ -1,0 +1,65 @@
+"""Writers: CSV/Parquet sinks + the append-only metrics log.
+
+- S6 CSV sink (io_utils.py:14-16) — for interop; Parquet is the
+  canonical persisted format here (columnar, pushdown-friendly).
+- S8 append-only metrics history (runners.py:1498-1531) as an
+  append-mode Parquet table with a run timestamp column.
+- S7 (Excel report with freeze panes) is a driver-side presentation
+  step: collect a SMALL result and hand it to pandas/xlsxwriter —
+  gated behind an import-try since xlsxwriter may be absent.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S6. single_file=True coalesces to one part — only for small
+    outputs (reports); large tables keep their partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def append_metrics(spark: SparkSession, path: str, metrics: dict[str, float | int | str]) -> None:
+    """S8: append one stamped metrics row. Append-mode Parquet — each
+    run adds a file; readers see the union (the reference's
+    metrics_history.csv semantics without read-modify-write)."""
+    row = dict(metrics)
+    stamp = datetime.now(timezone.utc).isoformat()
+    df = spark.createDataFrame([tuple(row.values()) + (stamp,)],
+                               list(row.keys()) + ["recorded_at"])
+    df.write.mode("append").parquet(path)
+
+
+def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).orderBy(F.col("recorded_at"))
+
+
+def write_excel_report(df: DataFrame, path: str, sheet: str = "report", max_rows: int = 100_000) -> bool:
+    """S7: driver-side Excel presentation sink (match_labs.py:116-123
+    — freeze panes + autofilter). Returns False when xlsxwriter is
+    unavailable (import-try gate per environment rules)."""
+    try:
+        import xlsxwriter  # noqa: F401
+    except ImportError:
+        return False
+    pdf = df.limit(max_rows).toPandas()
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="xlsxwriter") as xw:
+        pdf.to_excel(xw, sheet_name=sheet, index=False)
+        ws = xw.sheets[sheet]
+        ws.freeze_panes(1, 0)
+        ws.autofilter(0, 0, len(pdf), max(len(pdf.columns) - 1, 0))
+    return True

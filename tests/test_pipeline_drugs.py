@@ -1,0 +1,118 @@
+"""Drugs pipeline tests: unified reference build semantics (anti-join
+merge, first-wins brands, mixture keys), PNF prep derivations, and the
+end-to-end Part-1→Part-3 flow on FIXTURES.md-shaped inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pids_drg_esoa_spark.pipelines.base import PipelineContext, get_pipeline
+from pids_drg_esoa_spark.pipelines.drugs import (
+    build_unified_brands,
+    build_unified_generics,
+    build_unified_mixtures,
+    prepare_pnf,
+)
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    return {
+        "pnf": spark.createDataFrame(
+            [
+                ("AMLODIPINE ( as BESILATE)", "Oral:", "C08CA01", "5 mg tablet"),
+                ("PARACETAMOL", "Inj.:", "N02BE01", "150 mg/mL ampule"),
+                ("SODIUM CHLORIDE", "IV:", "B05XA03", "0.9% solution"),
+            ],
+            "`Molecule` string, `Route` string, `ATC Code` string, `Technical Specifications` string",
+        ).withColumnRenamed("Molecule", "Molecule"),
+        "drugbank_generics": spark.createDataFrame(
+            [("DB00316", "Paracetamol"), ("DB00381", "Amlodipine")],
+            "drugbank_id string, generic_name string",
+        ),
+        "who_atc": spark.createDataFrame(
+            [("N02BE01", "PARACETAMOL"), ("R03AC02", "SALBUTAMOL")],
+            "atc_code string, atc_name string",
+        ),
+        "drugbank_atc": spark.createDataFrame(
+            [("DB00316", "PARACETAMOL", "N02BE01"), ("DB00381", "AMLODIPINE", "C08CA01")],
+            "drugbank_id string, generic_name string, atc_code string",
+        ),
+        "fda_brands": spark.createDataFrame(
+            [("BIOGESIC", "PARACETAMOL"), ("AMBIGUOUS", "ZZZ GENERIC")],
+            "brand_name string, generic_name string",
+        ),
+        "drugbank_brands": spark.createDataFrame(
+            [("AMBIGUOUS", "AAA GENERIC", "DB99999")],
+            "brand_name string, generic_name string, drugbank_id string",
+        ),
+        "mixtures": spark.createDataFrame(
+            [("DBMIX01", "Amoxicillin + Clavulanic acid", "clavulanic acid + amoxicillin")],
+            "drugbank_id string, mixture_name string, component_generics string",
+        ),
+        "esoa": spark.createDataFrame(
+            [
+                ("PARACETAMOL 500MG TAB",),
+                ("BIOGESIC TABLET",),
+                ("SALBUTAMOL NEBULE",),   # only in WHO
+                ("UNKNOWN STUFF",),
+            ],
+            "raw_text string",
+        ),
+    }
+
+
+def test_unified_generics_anti_join_merge(spark, inputs):
+    pnf_prepared = prepare_pnf(inputs["pnf"])
+    g = build_unified_generics(inputs["drugbank_generics"], inputs["who_atc"], pnf_prepared)
+    rows = {r.name_key: r for r in g.collect()}
+    assert rows["paracetamol"].source == "drugbank"  # spine wins
+    assert rows["paracetamol"].drugbank_id == "DB00316"
+    assert rows["salbutamol"].source == "who"  # added (absent in spine)
+    assert rows["sodium chloride"].source == "pnf"  # added last
+    assert rows["amlodipine"].source == "drugbank"
+
+
+def test_unified_brands_first_wins_deterministic(spark, inputs):
+    b = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
+    rows = {r.brand_name: r for r in b.collect()}
+    # drugbank (prio 0) beats fda for the shared brand
+    assert rows["AMBIGUOUS"].generic_name == "AAA GENERIC"
+    assert rows["BIOGESIC"].generic_name == "PARACETAMOL"
+
+
+def test_unified_mixtures_key_is_order_insensitive(spark, inputs):
+    m = build_unified_mixtures(inputs["mixtures"])
+    row = m.collect()[0]
+    assert row.component_key == "amoxicillin|clavulanic acid"
+    assert row.component_count == 2
+
+
+def test_prepare_pnf_derivations(spark, inputs):
+    p = prepare_pnf(inputs["pnf"])
+    rows = p.collect()
+    amlo = [r for r in rows if r.generic_name == "AMLODIPINE"]
+    assert len(amlo) == 1 and amlo[0].route == "oral"
+    assert amlo[0].salt_form == "BESILATE"
+    assert amlo[0].generic_id == "amlodipine"
+    assert amlo[0].strength_mg == 5.0
+    # Inj.: expands to the parenteral family (one row per route)
+    para_routes = {r.route for r in rows if r.generic_name == "PARACETAMOL"}
+    assert para_routes == {"intravenous", "intramuscular", "subcutaneous"}
+    para = [r for r in rows if r.generic_name == "PARACETAMOL"][0]
+    assert para.ratio_mg_per_ml == 150.0
+
+
+def test_drugs_pipeline_end_to_end(spark, inputs):
+    pipe = get_pipeline("DrugsAndMedicine")
+    ctx = PipelineContext(spark=spark, inputs=dict(inputs))
+    pipe.run(ctx)
+    out = {r.raw_text: r for r in ctx.artifacts["esoa_with_atc"].collect()}
+    assert out["PARACETAMOL 500MG TAB"].match_reason == "exact"
+    assert out["PARACETAMOL 500MG TAB"].atc_primary == "N02BE01"
+    assert out["BIOGESIC TABLET"].generic_name == "PARACETAMOL"
+    assert out["SALBUTAMOL NEBULE"].generic_name == "SALBUTAMOL"
+    assert not out["UNKNOWN STUFF"].matched
+    m = ctx.artifacts["metrics"].collect()[0]
+    assert (m.n_total, m.n_matched) == (4, 3)

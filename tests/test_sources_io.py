@@ -1,0 +1,83 @@
+"""IO layer tests: CSV round-trips, part-file concat+dedupe, dated
+resolution, metrics append, column resolver."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pids_drg_esoa_spark.sources.readers import (
+    latest_dated_file,
+    read_csv,
+    read_part_files,
+    read_table_prefer_parquet,
+    resolve_text_column,
+)
+from pids_drg_esoa_spark.sources.writers import append_metrics, read_metrics, write_parquet
+
+
+def test_csv_failfast_required(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p), required=("a", "b"))
+    assert df.count() == 2
+    with pytest.raises(ValueError, match="missing required"):
+        read_csv(spark, str(p), required=("a", "zzz"))
+
+
+def test_csv_bom_header(spark, tmp_path):
+    p = tmp_path / "bom.csv"
+    p.write_bytes("﻿DESCRIPTION,v\nfoo,1\n".encode("utf-8"))
+    df = read_csv(spark, str(p))
+    assert "DESCRIPTION" in df.columns
+
+
+def test_part_files_concat_dedupe(spark, tmp_path):
+    (tmp_path / "esoa_pt_1.csv").write_text("ITEM,DESCRIPTION\n1,alpha\n2,beta\n")
+    (tmp_path / "esoa_pt_2.csv").write_text("ITEM,DESCRIPTION\n2,beta\n3,gamma\n")
+    (tmp_path / "esoa_pt_10.csv").write_text("ITEM,DESCRIPTION\n3,gamma\n4,delta\n")
+    df = read_part_files(spark, str(tmp_path), "esoa", dedupe_cols=["ITEM", "DESCRIPTION"])
+    rows = {(r.ITEM, r.DESCRIPTION, r.part_no) for r in df.collect()}
+    # first part wins: ITEM 2 from part 1, ITEM 3 from part 2
+    assert rows == {("1", "alpha", 1), ("2", "beta", 1), ("3", "gamma", 2), ("4", "delta", 10)}
+
+
+def test_latest_dated(tmp_path):
+    for name in ("fda_2024-01-01.csv", "fda_2024-06-30.csv", "fda_2023-12-31.csv", "other.csv"):
+        (tmp_path / name).write_text("x\n1\n")
+    assert latest_dated_file(str(tmp_path), "fda").endswith("fda_2024-06-30.csv")
+    assert latest_dated_file(str(tmp_path), "nope") is None
+
+
+def test_prefer_parquet(spark, tmp_path):
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(base + ".parquet")
+    df = read_table_prefer_parquet(spark, base)
+    assert df.collect()[0].v == "a"
+
+
+def test_metrics_append_accumulates(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    append_metrics(spark, path, {"run": "r1", "coverage_pct": 95.5})
+    append_metrics(spark, path, {"run": "r2", "coverage_pct": 96.0})
+    hist = read_metrics(spark, path)
+    assert hist.count() == 2
+    assert {r.run for r in hist.collect()} == {"r1", "r2"}
+    assert "recorded_at" in hist.columns
+
+
+def test_resolve_text_column(spark):
+    df = spark.createDataFrame([("x",)], "DESCRIPTION string")
+    assert resolve_text_column(df) == "DESCRIPTION"
+    df2 = spark.createDataFrame([("x",)], "unrelated string")
+    with pytest.raises(ValueError):
+        resolve_text_column(df2)
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string")
+    write_parquet(df, out, partition_by=("k",))
+    assert os.path.isdir(os.path.join(out, "k=a"))
+    assert spark.read.parquet(out).count() == 2
