@@ -54,12 +54,13 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
 
 
 def minhash_signature(shingles: DataFrame) -> DataFrame:
-    """8 min-hashes per doc in ONE aggregation pass (no seed
-    explosion): md5 with a literal seed prefix, lexicographic min."""
+    """8 min-hashes AND the set size per doc in ONE aggregation pass
+    (no seed explosion): md5 with a literal seed prefix, lexicographic
+    min. Carrying n here spares the verify stage a shingle recompute."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"m{h}")
         for h in range(N_HASHES)
-    ]
+    ] + [F.count(F.lit(1)).alias("n_sh")]
     return shingles.groupBy("doc").agg(*aggs)
 
 
@@ -84,10 +85,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def verify_jaccard(
+    pairs: DataFrame, shingles: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle-set join; output
-    integer (n_common, n_union)."""
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    integer (n_common, n_union). Pass precomputed sizes (doc, n) —
+    e.g. from the signature pass — to skip a shingle recompute."""
+    if sizes is None:
+        sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col("doc").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc").alias("doc_b"), "sh")
     common = (
@@ -187,8 +192,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (Broder minhashing + banding as in MMDS ch.3)."""
     d = table(spark, sf_dir, "documents")
     sh = word_shingles(d, "text", "doc_id", 3)
-    pairs = lsh_candidate_pairs(minhash_signature(sh))
-    verified = verify_jaccard(pairs, sh)
+    sig = minhash_signature(sh)
+    pairs = lsh_candidate_pairs(sig)
+    verified = verify_jaccard(pairs, sh, sizes=sig.select("doc", F.col("n_sh").alias("n")))
     return verified.filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
 
 

@@ -1,0 +1,151 @@
+"""Structured Streaming semantics tests: watermark + append-mode late
+data, stateful sessionization (applyInPandasWithState), and the
+foreachBatch incremental part-file flow."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _mem_stream(spark, rows, schema, tmp_path, name, transform, output_mode="append"):
+    """Drive a rate-free file-backed stream synchronously."""
+    src_dir = tmp_path / f"{name}_src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src_dir / "data")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "data"))
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_watermark_window_append(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: append mode emits
+    only closed windows; all data in one batch ⇒ every window closes
+    at end-of-stream."""
+    rows = [
+        ("2024-01-01 00:01:00", "a", 1.0),
+        ("2024-01-01 00:04:00", "a", 2.0),
+        ("2024-01-01 00:06:00", "b", 3.0),
+        ("2024-01-01 01:00:00", "a", 4.0),  # advances watermark far ahead
+    ]
+    schema = "ts_str string, k string, v double"
+
+    def transform(s):
+        return (
+            s.withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        )
+
+    out = _mem_stream(spark, rows, schema, tmp_path, "wm_append", transform)
+    got = {(r.window.start.minute, r.k): (r.n, r.total) for r in out.collect()}
+    assert got[(0, "a")] == (2, 3.0)
+    assert got[(5, "b")] == (1, 3.0)
+    assert got[(0, "a")][0] == 2
+
+
+def test_stateful_sessionize_applyInPandasWithState(spark, tmp_path):
+    """Custom stateful operator: 30-min-gap sessionization with
+    GroupState — the streaming twin of plans.temporal.t_sessionize."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = [
+        (0, "2024-01-01 00:00:00"),
+        (0, "2024-01-01 00:10:00"),
+        (0, "2024-01-01 01:00:00"),  # gap > 30 min → new session
+        (1, "2024-01-01 00:00:00"),
+    ]
+    schema = "user_id long, ts_str string"
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_epoch", T.LongType()),
+        ]
+    )
+
+    def count_sessions(key, pdfs, state: GroupState):
+        n_sessions, n_events, last = state.get if state.exists else (0, 0, None)
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend(
+                int(pd.Timestamp(t).timestamp()) for t in pdf["ts_str"]
+            )
+        for e in sorted(epochs):
+            if last is None or e - last > 1800:
+                n_sessions += 1
+            n_events += 1
+            last = e
+        state.update((n_sessions, n_events, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    def transform(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            count_sessions,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = _mem_stream(
+        spark, rows, schema, tmp_path, "sessions_state", transform, output_mode="update"
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in out.collect()}
+    assert got[0] == (2, 3)
+    assert got[1] == (1, 1)
+
+
+def test_incremental_part_files_foreachbatch(spark, tmp_path):
+    """foreachBatch over esoa_pt_* files: each part tagged once; the
+    second run (new checkpoint-aware query) processes only new parts."""
+    from pids_drg_esoa_spark.streaming.incremental import stream_esoa_parts
+
+    src = tmp_path / "parts"
+    src.mkdir()
+    (src / "esoa_pt_1.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n1,DrugsAndMedicine,PARACETAMOL 500MG TAB\n"
+    )
+    (src / "esoa_pt_2.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n2,DrugsAndMedicine,SALBUTAMOL NEBULE\n"
+    )
+    seen: list[tuple[int, int]] = []
+
+    def process(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    q = stream_esoa_parts(spark, str(src), process, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert sorted(n for _, n in seen) == [1, 1]  # one part per micro-batch
+
+    # new part arrives; resumed query processes ONLY it
+    (src / "esoa_pt_3.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n3,DrugsAndMedicine,AMLODIPINE 5MG TAB\n"
+    )
+    seen.clear()
+    q2 = stream_esoa_parts(spark, str(src), process, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert [n for _, n in seen] == [1]
