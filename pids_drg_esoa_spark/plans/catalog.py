@@ -48,6 +48,7 @@ _MODULES = (
     "pids_drg_esoa_spark.plans.relational",
     "pids_drg_esoa_spark.plans.scalars",
     "pids_drg_esoa_spark.plans.temporal",
+    "pids_drg_esoa_spark.plans.advanced",
     "pids_drg_esoa_spark.plans.bridge_demo",
     "pids_drg_esoa_spark.plans.domain",
     "pids_drg_esoa_spark.operators.dedup",

@@ -578,18 +578,26 @@ def w5_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_partkey, l_quantity, l_extendedprice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
     FROM lineitem
     """,
 )
 def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per partition over a total ordering — cumulative
-    window surface (no reference analog; engine completeness)."""
+    window surface (no reference analog; engine completeness).
+    (orderkey, linenumber) is not unique here, so the ordering extends
+    to the quantity-bearing columns: any rows still tied are identical
+    in every ordering column, which makes the prefix-sum multiset
+    engine-independent."""
     l = table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_quantity", "l_extendedprice",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return l.select(
