@@ -38,7 +38,9 @@ PURE_IONS: frozenset[str] = frozenset(
     "phosphate carbonate bicarbonate lactate gluconate acetate".split()
 )
 
-_DOSE_RES = [re.compile(p) for p in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE)]
+# one alternation pass instead of four sequential substitutions —
+# ratio first so its prefix can't be half-consumed by the amount arm
+_DOSE_ALL_RE = re.compile("|".join(f"(?:{p})" for p in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE)))
 _FORM_ROUTE_TOKENS = frozenset(FORM_CANON) | frozenset(ROUTE_CANON)
 _AS_SALT_PAREN = re.compile(r"\(\s*as\s+([^)]+)\)", re.IGNORECASE)
 _AS_SALT_TAIL = re.compile(r"\s+as\s+(.+)$", re.IGNORECASE)
@@ -108,9 +110,7 @@ def detect_compound_salts_py(parts: list[str]) -> list[str]:
 def _clean_component(part: str) -> str:
     """Drop dose expressions, form/route/packaging tokens from one
     combination component."""
-    s = part
-    for rx in _DOSE_RES:
-        s = rx.sub(" ", s)
+    s = _DOSE_ALL_RE.sub(" ", part)
     kept = [
         t
         for t in s.split()

@@ -199,7 +199,7 @@ class DrugsPipeline(BasePipeline):
         from ..functions.constants import COMBINATION_ATC_PREFIXES, COMBINATION_ATC_SUFFIXES
 
         atc = ctx.artifacts["unified_atc"]
-        suffix = F.substring(F.col("atc_code"), 6, 2).cast("int")
+        suffix = F.expr("try_cast(substring(atc_code, 6, 2) AS int)")
         is_combo = F.col("atc_code").rlike("^(" + "|".join(COMBINATION_ATC_PREFIXES) + ")") | (
             suffix.isin(*COMBINATION_ATC_SUFFIXES)
         )

@@ -1,0 +1,148 @@
+"""run_drugs_all equivalent: the 4-part production flow + run summary.
+
+Reference (run_drugs_all.py:3-10, docs/annex_f_atc_matching.md:16-31):
+Part 1 build unified reference → Part 2 tag Annex F → Part 3 tag eSOA
+(dedup-by-text) → Part 4 bridge eSOA→Drug Codes; every run appends
+coverage metrics (metrics_history) and writes run_summary.md sections
+(run_drugs_all.py:52-117,702-783).
+
+Spark-first: Parts 2-4 are each one DataFrame job over the dims built
+in Part 1; parquet checkpoints between parts are optional (pass
+``checkpoint_dir``) — within one session the whole flow is a single
+lazy DAG.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.bridge import bridge_metrics, bridge_to_drug_codes
+from ..plans.tagger import tag_descriptions
+from ..sources.writers import append_metrics
+from .drugs import (
+    build_unified_atc,
+    build_unified_brands,
+    build_unified_generics,
+    build_unified_mixtures,
+    prepare_pnf,
+)
+from ..functions.constants import COMBINATION_ATC_PREFIXES, COMBINATION_ATC_SUFFIXES
+
+
+@dataclass
+class RunResult:
+    annex_with_atc: DataFrame
+    esoa_with_atc: DataFrame
+    esoa_with_drug_code: DataFrame
+    coverage: dict[str, int] = field(default_factory=dict)
+    summary_md: str = ""
+
+
+def _flag_combination_atc(atc: DataFrame) -> DataFrame:
+    suffix = F.expr("try_cast(substring(atc_code, 6, 2) AS int)")
+    is_combo = F.col("atc_code").rlike("^(" + "|".join(COMBINATION_ATC_PREFIXES) + ")") | (
+        suffix.isin(*COMBINATION_ATC_SUFFIXES)
+    )
+    return atc.withColumn("is_combination_atc", is_combo)
+
+
+def _coverage(tagged: DataFrame) -> tuple[int, int, int]:
+    row = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("atc_primary").isNotNull(), 1).otherwise(0)).alias("n_atc"),
+        F.sum(F.when(F.col("drugbank_id").isNotNull(), 1).otherwise(0)).alias("n_db"),
+    ).collect()[0]
+    return row.n, row.n_atc, row.n_db
+
+
+def run_drugs_all(
+    spark: SparkSession,
+    inputs: dict[str, DataFrame],
+    metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> RunResult:
+    """Parts 1-4. ``inputs`` carries the reference-shaped tables:
+    pnf, drugbank_generics, drugbank_atc, drugbank_brands, fda_brands,
+    who_atc, mixtures, annex_f (drug_code, drug_description), esoa
+    (raw_text)."""
+    # ---- Part 1: unified reference ------------------------------------
+    pnf_prepared = prepare_pnf(inputs["pnf"])
+    generics = build_unified_generics(
+        inputs["drugbank_generics"], inputs["who_atc"], pnf_prepared
+    )
+    atc = _flag_combination_atc(build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"]))
+    brands = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
+    mixtures = build_unified_mixtures(inputs["mixtures"]).selectExpr(
+        "component_key", "mixture_name", "drugbank_id"
+    )
+    if checkpoint_dir:
+        for name, df in [("unified_generics", generics), ("unified_atc", atc),
+                         ("unified_brands", brands), ("unified_mixtures", mixtures)]:
+            path = os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(path)
+        generics = spark.read.parquet(os.path.join(checkpoint_dir, "unified_generics"))
+        atc = spark.read.parquet(os.path.join(checkpoint_dir, "unified_atc"))
+        brands = spark.read.parquet(os.path.join(checkpoint_dir, "unified_brands"))
+        mixtures = spark.read.parquet(os.path.join(checkpoint_dir, "unified_mixtures"))
+
+    def tag(df: DataFrame, text_col: str) -> DataFrame:
+        return tag_descriptions(
+            df, generics_dim=generics, atc_dim=atc, brands_dim=brands,
+            mixtures_dim=mixtures, text_col=text_col,
+        )
+
+    # ---- Part 2: Annex F tagging --------------------------------------
+    annex_tagged = tag(
+        inputs["annex_f"].select(F.col("drug_description").alias("raw_text")), "raw_text"
+    ).join(
+        inputs["annex_f"].select(
+            "drug_code", F.col("drug_description").alias("raw_text")
+        ),
+        "raw_text",
+        "right",
+    ).persist()
+
+    # ---- Part 3: eSOA tagging (dedupe-by-text inside the tagger) ------
+    # persist: consumed by coverage, Part 4, and the caller.
+    esoa_tagged = tag(inputs["esoa"], "raw_text").persist()
+
+    # ---- Part 4: bridge to drug codes ---------------------------------
+    bridged = bridge_to_drug_codes(esoa_tagged, inputs["annex_f"]).persist()
+
+    # ---- summary + metrics (run_drugs_all.py:52-117) ------------------
+    a_n, a_atc, a_db = _coverage(annex_tagged)
+    e_n, e_atc, e_db = _coverage(esoa_tagged)
+    reason_rows = bridge_metrics(bridged).collect()
+    n_bridged = sum(r.n for r in reason_rows if r.match_reason == "matched")
+    n_total = sum(r.n for r in reason_rows)
+
+    def pct(x: int, n: int) -> str:
+        return f"{(100.0 * x / n):.1f}%" if n else "n/a"
+
+    lines = [
+        "## Run summary",
+        f"- Annex F rows tagged: {a_n}; ATC {a_atc} ({pct(a_atc, a_n)}); "
+        f"DrugBank {a_db} ({pct(a_db, a_n)})",
+        f"- eSOA rows tagged: {e_n}; ATC {e_atc} ({pct(e_atc, e_n)}); "
+        f"DrugBank {e_db} ({pct(e_db, e_n)})",
+        f"- eSOA → Drug Code: {n_bridged} ({pct(n_bridged, n_total)})",
+        "- Part 4 failure breakdown:",
+    ] + [
+        f"  - {r.match_reason}: {r.n} ({pct(r.n, n_total)})"
+        for r in reason_rows
+        if r.match_reason != "matched"
+    ]
+    summary = "\n".join(lines)
+
+    coverage = {
+        "annex_total": a_n, "annex_atc": a_atc, "annex_drugbank": a_db,
+        "esoa_total": e_n, "esoa_atc": e_atc, "esoa_drugbank": e_db,
+        "esoa_drug_code": n_bridged,
+    }
+    if metrics_path:
+        append_metrics(spark, metrics_path, {k: str(v) for k, v in coverage.items()})
+    return RunResult(annex_tagged, esoa_tagged, bridged, coverage, summary)

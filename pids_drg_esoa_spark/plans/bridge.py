@@ -127,7 +127,7 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
             F.split(F.lower(F.coalesce("generic_name", F.lit(""))), " \\+ "),
             lambda x: x != "",
         ).alias("components"),
-    )
+    ).persist()  # reused by candidate gen AND the final left join
     index = F.broadcast(build_annex_index(annex_f))
 
     cand = (
@@ -150,7 +150,7 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
             & (F.col("esoa_route") == F.col("annex_route"))
         ).alias("route_ok"),
         F.col("esoa_dose.kind").alias("esoa_dose_kind"),
-    )
+    ).persist()  # reused by the valid-rank window and the flags rollup
 
     # W3: best fully-valid candidate; every tie-break key explicit.
     valid = flagged.filter(F.col("dose_ok") & F.col("form_ok"))

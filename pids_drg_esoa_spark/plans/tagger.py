@@ -54,7 +54,12 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
         )
         .withColumn("n_comp", F.size("components"))
     )
-    return docs
+    # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
+    # combos, final join): without persist the pandas_udf extraction
+    # re-executes per branch — measured 5× end-to-end cost. Distinct
+    # texts are small relative to the fact table (the whole point of
+    # dedupe-by-text), so caching them is the production shape too.
+    return docs.persist()
 
 
 def _token_matches(
@@ -183,7 +188,7 @@ def tag_descriptions(
         .select("raw_text", "key")
         .distinct()
     )
-    token_hits = _token_matches(keys, generics_dim, synonyms_dim, brands_dim)
+    token_hits = _token_matches(keys, generics_dim, synonyms_dim, brands_dim).persist()
 
     # synthesized combination: all components of a multi-part input
     # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly)

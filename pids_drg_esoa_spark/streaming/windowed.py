@@ -79,3 +79,92 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               sum(is_new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    GroupState per user): 30-min-gap sessionization executed by the
+    streaming engine, hash-matched against the batch SQL oracle —
+    the reference has no streaming at all (SURVEY §2.9); this is the
+    applyInPandasWithState surface the 100 TB event path needs.
+    One availableNow batch ⇒ deterministic session numbering."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("session_id", T.LongType()),
+            T.StructField("last_ns", T.LongType()),
+        ]
+    )
+    GAP_NS = 1800 * NS_PER_S
+
+    def sessionize(key, pdfs, state: GroupState):
+        session_id, last_ns = state.get if state.exists else (0, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        counts: dict[int, int] = {}
+        for ns in rows["ts"]:
+            ns = int(ns)
+            if last_ns is None or ns - last_ns > GAP_NS:
+                session_id += 1
+            counts[session_id] = counts.get(session_id, 0) + 1
+            last_ns = ns
+        state.update((session_id, last_ns))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "session_id": list(counts),
+                "n_events": list(counts.values()),
+            }
+        )
+
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_stateful_sessionize_sink"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,124 @@
+"""4-part runner + CLI end-to-end tests on reference-shaped fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from pids_drg_esoa_spark.pipelines.runner import run_drugs_all
+
+
+@pytest.fixture(scope="module")
+def flow_inputs(spark):
+    return {
+        "pnf": spark.createDataFrame(
+            [("PARACETAMOL", "Oral:", "N02BE01", "500 mg tablet")],
+            "`Molecule` string, `Route` string, `ATC Code` string, `Technical Specifications` string",
+        ),
+        "drugbank_generics": spark.createDataFrame(
+            [("DB00316", "Paracetamol"), ("DB01060", "Amoxicillin")],
+            "drugbank_id string, generic_name string",
+        ),
+        "drugbank_atc": spark.createDataFrame(
+            [("DB00316", "PARACETAMOL", "N02BE01")],
+            "drugbank_id string, generic_name string, atc_code string",
+        ),
+        "drugbank_brands": spark.createDataFrame(
+            [("BIOGESIC", "PARACETAMOL", "DB00316")],
+            "brand_name string, generic_name string, drugbank_id string",
+        ),
+        "fda_brands": spark.createDataFrame(
+            [("TEMPRA", "PARACETAMOL")], "brand_name string, generic_name string"
+        ),
+        "who_atc": spark.createDataFrame(
+            [("N02BE01", "PARACETAMOL"), ("J01CA04", "AMOXICILLIN")],
+            "atc_code string, atc_name string",
+        ),
+        "mixtures": spark.createDataFrame(
+            [("DBMIX01", "Amoxicillin + Clavulanic acid", "amoxicillin + clavulanic acid")],
+            "drugbank_id string, mixture_name string, component_generics string",
+        ),
+        "annex_f": spark.createDataFrame(
+            [
+                ("D001", "PARACETAMOL 500|MG|TABLET"),
+                ("D002", "AMOXICILLIN 250|MG|CAPSULE"),
+            ],
+            "drug_code string, drug_description string",
+        ),
+        "esoa": spark.createDataFrame(
+            [
+                ("PARACETAMOL 500MG TAB",),
+                ("BIOGESIC 500 MG TABLET",),
+                ("TEMPRA 500 MG TAB",),
+                ("AMOXICILLIN 500MG CAP",),   # dose mismatch vs annex 250
+                ("MYSTERY TONIC",),
+            ],
+            "raw_text string",
+        ),
+    }
+
+
+def test_run_drugs_all_flow(spark, flow_inputs, tmp_path):
+    res = run_drugs_all(
+        spark, flow_inputs, metrics_path=str(tmp_path / "metrics_history")
+    )
+    # Part 2: both annex rows tagged with ATC
+    annex = {r.drug_code: r for r in res.annex_with_atc.collect()}
+    assert annex["D001"].atc_primary == "N02BE01"
+    assert annex["D002"].generic_name == "AMOXICILLIN"
+
+    # Part 3 coverage: 4 of 5 texts tagged
+    assert res.coverage["esoa_total"] == 5
+    assert res.coverage["esoa_atc"] == 4
+
+    # Part 4: paracetamol variants matched; amoxicillin dose-mismatch
+    bridged = {r.raw_text: r for r in res.esoa_with_drug_code.collect()}
+    assert bridged["PARACETAMOL 500MG TAB"].drug_code == "D001"
+    assert bridged["BIOGESIC 500 MG TABLET"].drug_code == "D001"
+    assert bridged["AMOXICILLIN 500MG CAP"].match_reason == "dose_mismatch"
+    assert bridged["MYSTERY TONIC"].match_reason == "no_generic"
+    assert res.coverage["esoa_drug_code"] == 3
+
+    # summary text has the reference's section shape
+    assert "eSOA → Drug Code: 3" in res.summary_md
+    assert "dose_mismatch: 1" in res.summary_md
+
+    # metrics history appended
+    hist = spark.read.parquet(str(tmp_path / "metrics_history"))
+    assert hist.count() == 1
+
+
+def test_cli_end_to_end(spark, tmp_path, flow_inputs):
+    """Drive the labs pipeline through the CLI surface (module main)."""
+    import os
+
+    from pids_drg_esoa_spark import cli
+
+    base = tmp_path / "inputs" / "laboratory_and_diagnostic"
+    base.mkdir(parents=True)
+    esoa = spark.createDataFrame(
+        [("101", "LaboratoryAndDiagnostic", "URINALYSIS")],
+        "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string",
+    )
+    master = spark.createDataFrame(
+        [("L2", "Urinalysis", "Y")], "ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string"
+    )
+    diag = spark.createDataFrame(
+        [("D9", "chest x ray", "r", "s", "", "")],
+        "code string, desc string, cat string, spec string, etc string, misc string",
+    )
+    for name, df in [("esoa", esoa), ("labs_master", master), ("diagnostics", diag)]:
+        df.write.parquet(str(base / f"{name}.parquet"))
+
+    rc = cli.main(
+        [
+            "--item-ref-code", "LaboratoryAndDiagnostic",
+            "--inputs-dir", str(tmp_path / "inputs"),
+            "--output-dir", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(
+        os.path.join(str(tmp_path / "out"), "laboratory_and_diagnostic", "esoa_matched_labs")
+    )
+    row = out.collect()[0]
+    assert row.match_source == "labs_master"
