@@ -89,10 +89,12 @@ def run_drugs_all(
         brands = spark.read.parquet(os.path.join(checkpoint_dir, "unified_brands"))
         mixtures = spark.read.parquet(os.path.join(checkpoint_dir, "unified_mixtures"))
 
+    synonyms = inputs.get("synonyms")  # optional (synonym, generic_name) rows
+
     def tag(df: DataFrame, text_col: str) -> DataFrame:
         return tag_descriptions(
             df, generics_dim=generics, atc_dim=atc, brands_dim=brands,
-            mixtures_dim=mixtures, text_col=text_col,
+            mixtures_dim=mixtures, synonyms_dim=synonyms, text_col=text_col,
         )
 
     # ---- Part 2: Annex F tagging --------------------------------------

@@ -28,9 +28,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+import pandas as pd
+from pyspark.sql import types as T
+
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
 from ..functions.text import normalize_text
 from ..functions.tokens import normalize_generic_combination, strip_salt_suffix
+from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
+
+
+@F.pandas_udf(T.StringType())
+def _vaccine_canon(s: pd.Series) -> pd.Series:
+    return s.map(normalize_vaccine_name_py)
+
+
+@F.pandas_udf(T.StringType())
+def _classify_input(text: pd.Series, n_comp: pd.Series) -> pd.Series:
+    return pd.Series(
+        [classify_input_py(t, int(n) if n is not None else 0) for t, n in zip(text, n_comp)]
+    )
 
 FUZZY_MIN_RATIO = 85.0
 
@@ -53,6 +69,8 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
             F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
         )
         .withColumn("n_comp", F.size("components"))
+        .withColumn("vaccine_canon", _vaccine_canon(F.col("raw_text")))
+        .withColumn("input_class", _classify_input(F.col("raw_text"), F.col("n_comp")))
     )
     # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
     # combos, final join): without persist the pandas_udf extraction
@@ -264,11 +282,22 @@ def tag_descriptions(
         .drop("rn")
         .withColumn("atc_primary", F.split("atc_codes", "\\|").getItem(0))
     )
+    # Vaccine override at result assembly (tagger.py:953-1028): the
+    # canonical vaccine name supersedes whatever the token tiers found.
     return (
-        docs.select("raw_text", "text_norm", "combo_str", "n_comp")
-        .join(best, "raw_text", "left")
-        .withColumn("matched", F.col("generic_name").isNotNull())
-        .withColumn(
-            "match_reason", F.coalesce("match_reason", F.lit("unmatched"))
+        docs.select(
+            "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon"
         )
+        .join(best, "raw_text", "left")
+        .withColumn(
+            "generic_name", F.coalesce("vaccine_canon", "generic_name")
+        )
+        .withColumn(
+            "match_reason",
+            F.when(F.col("vaccine_canon").isNotNull(), "vaccine").otherwise(
+                F.coalesce("match_reason", F.lit("unmatched"))
+            ),
+        )
+        .withColumn("matched", F.col("generic_name").isNotNull())
+        .drop("vaccine_canon")
     )

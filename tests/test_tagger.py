@@ -124,3 +124,26 @@ def test_dedup_by_text_single_row_per_text(spark, dims):
     )
     rows = tag_descriptions(esoa, **dims).collect()
     assert len(rows) == 1
+
+
+def test_vaccine_override_and_input_class(spark, dims):
+    out = _tag(
+        spark,
+        dims,
+        [
+            "MMR VACCINE 0.5ML",
+            "5% DEXTROSE IN 0.9% SODIUM CHLORIDE 1 L BOTTLE",
+            "PARACETAMOL 500MG TAB",
+        ],
+    )
+    vax = out["MMR VACCINE 0.5ML"]
+    assert vax.generic_name == "MEASLES + MUMPS + RUBELLA VACCINE"
+    assert vax.match_reason == "vaccine"
+    assert vax.matched
+
+    iv = out["5% DEXTROSE IN 0.9% SODIUM CHLORIDE 1 L BOTTLE"]
+    assert iv.input_class == "iv_solution"
+
+    single = out["PARACETAMOL 500MG TAB"]
+    assert single.input_class == "single"
+    assert single.match_reason == "exact"
