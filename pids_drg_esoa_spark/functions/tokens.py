@@ -202,3 +202,96 @@ def strip_salt_suffix(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def build_combination_keys(comps: pd.Series) -> pd.Series:
     return comps.map(lambda c: build_combination_keys_py(list(c) if c is not None else []))
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM/codegen) combination normalizer — the tagger's hot path.
+# Same semantics as normalize_generic_combination_py, pinned by
+# tests/test_native_combination_parity.py over golden cases AND a
+# generated corpus. Python in the loop was the measured bottleneck of
+# the 146K-row flow; this keeps extraction whole-stage-codegen'd.
+# ---------------------------------------------------------------------------
+def normalize_generic_combination_native(col):
+    """Column twin of normalize_generic_combination_py (SURVEY §2.7):
+    strip parentheticals → normalize_text → drop dose expressions →
+    split components on IN/WITH/AND/+ → per-component token filtering
+    (stopwords, form/route vocab, bare numbers) → adjacent pure-ion
+    merge (F18) → order-preserving dedupe → ' + ' join, uppercased."""
+    from pyspark.sql import Column, functions as F
+
+    from .text import normalize_text
+
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, r"\([^)]*\)", " ")
+    s = normalize_text(s)
+    for pat in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE):
+        s = F.regexp_replace(s, pat, " ")
+
+    drop_tokens = sorted(
+        {t for t in STOPWORDS} | {t for t in _FORM_ROUTE_TOKENS}
+    )
+    drop_arr = F.array(*[F.lit(t) for t in drop_tokens])
+    ions_arr = F.array(*[F.lit(t) for t in sorted(PURE_IONS)])
+
+    def clean_part(p: Column) -> Column:
+        toks = F.filter(
+            F.split(F.trim(p), " +"),
+            lambda t: (t != "")
+            & ~F.array_contains(drop_arr, t)
+            & ~t.rlike("^[0-9.]+$"),
+        )
+        return F.array_join(toks, " ")
+
+    parts = F.filter(
+        F.transform(
+            F.split(s, r"\bin\b|\bwith\b|\band\b|\+"), clean_part
+        ),
+        lambda p: p != "",
+    )
+
+    # F18 adjacent pure-ion merge + order-preserving dedupe in one
+    # left-to-right aggregate: acc = (out array, pending ion or '').
+    empty = F.array().cast("array<string>")
+    merged = F.aggregate(
+        parts,
+        F.struct(empty.alias("out"), F.lit("").alias("pend")),
+        lambda acc, x: F.when(
+            (acc["pend"] != "")
+            & F.array_contains(ions_arr, x)
+            & ~x.contains(" "),
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat_ws(" ", acc["pend"], x))).alias("out"),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.when(
+                F.array_contains(ions_arr, x) & ~x.contains(" "),
+                F.struct(
+                    F.when(acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"])))
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    x.alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(
+                        F.when(acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"])))
+                        .otherwise(acc["out"]),
+                        F.array(x),
+                    ).alias("out"),
+                    F.lit("").alias("pend"),
+                )
+            )
+        ),
+        lambda acc: F.when(
+            acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"]),
+    )
+    deduped = F.aggregate(
+        merged,
+        empty,
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return F.upper(F.array_join(deduped, " + "))

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
 from ..functions.text import normalize_text
-from ..functions.tokens import normalize_generic_combination, strip_salt_suffix
+from ..functions.tokens import normalize_generic_combination_native, strip_salt_suffix
 from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
 
 
@@ -63,7 +63,9 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
         .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
         .distinct()
         .withColumn("text_norm", normalize_text(F.col("raw_text")))
-        .withColumn("combo_str", normalize_generic_combination(F.col("raw_text")))
+        # native (whole-stage-codegen) twin of the Python extractor —
+        # equivalence pinned by tests/test_native_combination_parity.py
+        .withColumn("combo_str", normalize_generic_combination_native(F.col("raw_text")))
         .withColumn(
             "components",
             F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
