@@ -657,3 +657,90 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "a6_dedup_compute_joinback",
+    oracle="""
+    WITH distinct_types AS (
+        SELECT DISTINCT p_type FROM part
+    ),
+    computed AS (
+        SELECT p_type, md5(lower(p_type)) AS type_fingerprint FROM distinct_types
+    )
+    SELECT p.p_partkey, p.p_type, c.type_fingerprint
+    FROM part p JOIN computed c ON p.p_type = c.p_type
+    """,
+)
+def a6_dedup_compute_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 dedup-then-join-back: run the expensive derivation once per
+    DISTINCT value, join results back to all rows — the reference's
+    tag-unique-texts optimization (tagger.py:436-448,
+    runners.py:192-230) as an explicit plan shape. At 100 TB this is
+    the difference between |rows| and |distinct| UDF invocations."""
+    p = table(spark, sf_dir, "part")
+    computed = (
+        p.select("p_type").distinct()
+        .withColumn("type_fingerprint", F.md5(F.lower("p_type")))
+    )
+    return p.join(F.broadcast(computed), "p_type").select(
+        "p_partkey", "p_type", "type_fingerprint"
+    )
+
+
+@register(
+    "j7_brand_swap_lookup",
+    oracle="""
+    WITH brand_map AS (
+        SELECT DISTINCT p_brand AS brand, first_value(p_type) OVER (
+            PARTITION BY p_brand ORDER BY p_partkey) AS canonical
+        FROM part
+    )
+    SELECT p.p_partkey,
+           p.p_brand,
+           coalesce(m.canonical, p.p_brand) AS resolved
+    FROM part p LEFT JOIN brand_map m ON p.p_brand = m.brand
+    """,
+)
+def j7_brand_swap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 dict-index swap join: token → canonical replacement via a
+    broadcast map with passthrough for misses (the brand→generic swap,
+    lookup.py:34-49, tagger.py:624-631). The map itself is derived
+    deterministically (first-wins by partkey)."""
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_partkey")
+    brand_map = (
+        p.withColumn("canonical", F.first("p_type").over(w))
+        .select(F.col("p_brand").alias("brand"), "canonical")
+        .distinct()
+    )
+    return p.join(F.broadcast(brand_map), p.p_brand == F.col("brand"), "left").select(
+        "p_partkey",
+        "p_brand",
+        F.coalesce("canonical", "p_brand").alias("resolved"),
+    )
+
+
+@register(
+    "f8_parenthetical_planted",
+    oracle="""
+    SELECT doc_id, source AS first_paren, CAST(1 AS BIGINT) AS n_parens
+    FROM documents
+    """,
+)
+def f8_parenthetical_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 parenthetical extraction (text_utils.py:143-165) under the
+    planted-round-trip oracle: wrap the source column in parens inside
+    the text, extract it back with the real extractor."""
+    from ..functions.text import parenthetical_phrases
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", "source", F.concat("text", F.lit(" ("), "source", F.lit(")")).alias("t")
+    )
+    phrases = parenthetical_phrases(F.col("t"))
+    return planted.select(
+        "doc_id",
+        F.element_at(phrases, 1).alias("first_paren"),
+        F.size(phrases).cast("bigint").alias("n_parens"),
+    )
