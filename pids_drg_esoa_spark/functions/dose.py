@@ -28,11 +28,18 @@ from .constants import UNIT_TO_MG
 
 NUM = r"([0-9]+(?:\.[0-9]+)?)"
 MASS_UNITS = r"(mcg|ug|mg|g|gm|grams?|kg|iu|units?|meq|mmol)"
-PER_UNITS = r"(ml|l|tab|tablet|cap|capsule|sachet|drop|actuation|spray|puff|dose)"
+# Longest-first alternation; plural nouns and gtt included because the
+# reference parses both "mg/tab" and "mg per 2 tabs" (dose.py:10-100).
+PER_UNITS = (
+    r"(ml|l|tablets|tablet|tabs|tab|capsules|capsule|caps|cap|sachets|sachet"
+    r"|drops|drop|gtt|actuations|actuation|sprays|spray|puffs|puff|doses|dose)"
+)
+# Ratio separator: '/' or the word 'per' ("5 mg per 5 ml" ≡ "5 mg/5 ml").
+_RATIO_SEP = r"(?:/|\bper\b)"
 
 # Pack pattern first: "10 x 500 mg" — the trailing amount is the dose.
 _PACK_RE = rf"[0-9]+\s*x\s*{NUM}\s*{MASS_UNITS}\b"
-_RATIO_RE = rf"{NUM}\s*{MASS_UNITS}\s*/\s*{NUM}?\s*{PER_UNITS}\b"
+_RATIO_RE = rf"{NUM}\s*{MASS_UNITS}\s*{_RATIO_SEP}\s*{NUM}?\s*{PER_UNITS}\b"
 _AMOUNT_RE = rf"{NUM}\s*{MASS_UNITS}\b"
 _PCT_RE = rf"{NUM}\s*%"
 
@@ -56,6 +63,21 @@ def _canon_unit(u: str | None) -> str | None:
     return {"gm": "g", "gram": "g", "grams": "g", "ug": "mcg", "unit": "iu", "units": "iu"}.get(u, u)
 
 
+_PER_UNIT_CANON = {
+    "tablets": "tab", "tablet": "tab", "tabs": "tab",
+    "capsules": "cap", "capsule": "cap", "caps": "cap",
+    "sachets": "sachet", "drops": "drop", "gtt": "drop",
+    "actuations": "actuation", "sprays": "spray", "puffs": "puff",
+    "doses": "dose",
+}
+
+
+def _canon_per_unit(u: str | None) -> str | None:
+    if u is None:
+        return None
+    return _PER_UNIT_CANON.get(u, u)
+
+
 def parse_dose_py(text: str | None) -> Dose:
     """Python twin: priority ratio > amount > percent; pack unmasking;
     L→mL on the per-side (×1000 into per_val)."""
@@ -66,7 +88,7 @@ def parse_dose_py(text: str | None) -> Dose:
     if m:
         strength, unit = float(m.group(1)), _canon_unit(m.group(2))
         per_val = float(m.group(3)) if m.group(3) else 1.0
-        per_unit = m.group(4)
+        per_unit = _canon_per_unit(m.group(4))
         if per_unit == "l":
             per_val, per_unit = per_val * 1000.0, "ml"
         return Dose("ratio", strength, unit, per_val, per_unit, None)
@@ -91,6 +113,13 @@ def _canon_unit_col(u: Column) -> Column:
     )
 
 
+def _canon_per_unit_col(u: Column) -> Column:
+    expr = u
+    for raw, canon in _PER_UNIT_CANON.items():
+        expr = F.when(u == raw, canon).otherwise(expr)
+    return expr
+
+
 def parse_dose(col: Column | str) -> Column:
     """Native dose parser → struct(kind, strength, unit, per_val,
     per_unit, pct). Same regex bank and priority as the Python twin;
@@ -109,7 +138,7 @@ def parse_dose(col: Column | str) -> Column:
 
     per_val_raw = F.when(r_pval == "", F.lit(1.0)).otherwise(r_pval.cast("double"))
     per_val = F.when(r_punit == "l", per_val_raw * 1000.0).otherwise(per_val_raw)
-    per_unit = F.when(r_punit == "l", F.lit("ml")).otherwise(r_punit)
+    per_unit = F.when(r_punit == "l", F.lit("ml")).otherwise(_canon_per_unit_col(r_punit))
 
     has_ratio = r_str != ""
     has_pack = pk_str != ""

@@ -11,7 +11,8 @@ selection. Spark-first restructuring:
                               tagger.py:161-205)
   stage 4   (candidates)    → union of match tiers with explicit
                               match_priority (mixture 0, token 1,
-                              brand 2, fuzzy 3 — tagger.py:707-834)
+                              brand 2, prefix 3, fuzzy 4 —
+                              tagger.py:707-834, lookup.py:287-300)
   stage 5   (selection)     → window rank-1 over an explicit tuple
                               (scoring.py:203-387 W1; every tie-break
                               key explicit per SURVEY §7)
@@ -53,7 +54,8 @@ FUZZY_MIN_RATIO = 85.0
 PRIORITY_MIXTURE = 0
 PRIORITY_TOKEN = 1
 PRIORITY_BRAND = 2
-PRIORITY_FUZZY = 3
+PRIORITY_PREFIX = 3
+PRIORITY_FUZZY = 4
 
 
 def _components(esoa: DataFrame, text_col: str) -> DataFrame:
@@ -133,12 +135,37 @@ def _token_matches(
         tiers.append(brand_hit)
         unmatched = unmatched.join(br, unmatched.key == F.col("bkey"), "left_anti")
 
-    # Fuzzy tier: length-band + first-letter blocking (provably
-    # lossless for ratio ≥ 85), Python scorer only on survivors (J6).
+    # Prefix tier (lookup.py:287-295 via lookup_generic_prefix):
+    # dim name starts with "<token> " — catches salt-suffixed dims
+    # ('amoxicillin' → 'AMOXICILLIN TRIHYDRATE', fuzzy ratio ~67
+    # would miss it). Reference keeps LIMIT 3 ordered by length;
+    # same top-3 here so downstream selection sees the same pool.
+    pref = unmatched.join(
+        g, F.col("gkey").startswith(F.concat(unmatched.key, F.lit(" ")))
+    )
+    wp = W.partitionBy("raw_text", "key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
+    prefix_hit = (
+        pref.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "raw_text", "key", "generic_name", "drugbank_id",
+            F.lit(PRIORITY_PREFIX).alias("match_priority"),
+            F.lit("prefix").alias("match_reason"),
+        )
+    )
+    tiers.append(prefix_hit)
+    unmatched = unmatched.join(
+        g, F.col("gkey").startswith(F.concat(unmatched.key, F.lit(" "))), "left_anti"
+    )
+
+    # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
+    # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
+    # threshold; a first-letter block would drop leading-char typos
+    # like 'setirizine'→'cetirizine' @ ratio 90, which the reference's
+    # unblocked rapidfuzz scan keeps). Python scorer only on survivors.
     blocked = unmatched.filter(F.length("key") >= 4).join(
         g,
-        (F.substring(unmatched.key, 1, 1) == F.substring(F.col("gkey"), 1, 1))
-        & length_band_filter(F.length(unmatched.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+        length_band_filter(F.length(unmatched.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
     )
     scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
         F.col("ratio") >= FUZZY_MIN_RATIO
@@ -210,10 +237,23 @@ def tag_descriptions(
     )
     token_hits = _token_matches(keys, generics_dim, synonyms_dim, brands_dim).persist()
 
-    # synthesized combination: all components of a multi-part input
-    # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly)
-    per_doc = token_hits.groupBy("raw_text").agg(
-        F.count(F.lit(1)).alias("n_matched"),
+    # synthesized combination: EVERY component of a multi-part input
+    # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly).
+    # The gate counts DISTINCT matched components, not hit rows: tiers
+    # are many-to-many (duplicate generic_name in dims), so a raw row
+    # count lets one component with 2 hits mask another with 0. Each
+    # component first resolves to its best hit (rank-1 per key) so the
+    # joined name contains exactly one generic per component.
+    w_key = W.partitionBy("raw_text", "key").orderBy(
+        F.asc("match_priority"), F.desc(F.length("generic_name")), F.asc("generic_name")
+    )
+    best_per_key = (
+        token_hits.withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    per_doc = best_per_key.groupBy("raw_text").agg(
+        F.countDistinct("key").alias("n_matched"),
         F.array_join(F.array_sort(F.collect_set("generic_name")), " + ").alias("joined_name"),
         F.max("match_priority").alias("worst_priority"),
         F.array_join(F.array_sort(F.collect_set("match_reason")), "+").alias("joined_reason"),

@@ -142,6 +142,16 @@ DOSE_CASES = [
     ("1 g vial", Dose("amount", 1.0, "g", None, None, None)),
     ("DOBUTAMINE 250MG/10ML", Dose("ratio", 250.0, "mg", 10.0, "ml", None)),
     ("2 mg/L solution", Dose("ratio", 2.0, "mg", 1000.0, "ml", None)),
+    # ' per ' separator and plural/gtt per-units (reference dose.py
+    # parses both; ADVICE r1) — plurals canonicalize to the singular.
+    ("5 mg per 5 ml", Dose("ratio", 5.0, "mg", 5.0, "ml", None)),
+    ("AMOXICILLIN 250 mg per 5 mL SUSP", Dose("ratio", 250.0, "mg", 5.0, "ml", None)),
+    ("1 mg/2 tabs", Dose("ratio", 1.0, "mg", 2.0, "tab", None)),
+    ("500 mcg per capsule", Dose("ratio", 500.0, "mcg", 1.0, "cap", None)),
+    ("2 mg/drop", Dose("ratio", 2.0, "mg", 1.0, "drop", None)),
+    ("0.5 mg per gtt", Dose("ratio", 0.5, "mg", 1.0, "drop", None)),
+    ("100 mcg per 2 puffs", Dose("ratio", 100.0, "mcg", 2.0, "puff", None)),
+    ("PERINDOPRIL 4 mg tablet", Dose("amount", 4.0, "mg", None, None, None)),
     ("no dose here", Dose()),
 ]
 

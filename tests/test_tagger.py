@@ -126,6 +126,48 @@ def test_dedup_by_text_single_row_per_text(spark, dims):
     assert len(rows) == 1
 
 
+def test_prefix_tier_salt_suffixed_dim(spark, dims):
+    """lookup.py:287-295: token 'cefuroxime' must reach dim
+    'CEFUROXIME AXETIL' via the prefix tier (fuzzy ratio ~78 < 85
+    would miss it); ADVICE r1."""
+    generics = spark.createDataFrame(
+        [("CEFUROXIME AXETIL", "DB01112"), ("PARACETAMOL", "DB00316")],
+        "generic_name string, drugbank_id string",
+    )
+    dims2 = dict(dims, generics_dim=generics)
+    out = _tag(spark, dims2, ["CEFUROXIME 500MG TAB"])
+    row = out["CEFUROXIME 500MG TAB"]
+    assert (row.generic_name, row.match_reason) == ("CEFUROXIME AXETIL", "prefix")
+
+
+def test_fuzzy_leading_char_typo(spark, dims):
+    """Leading-character typo ('setirizine'→'CETIRIZINE', ratio 90)
+    must survive blocking — the reference's rapidfuzz scan is
+    unblocked; ADVICE r1."""
+    generics = spark.createDataFrame(
+        [("CETIRIZINE", "DB00341")], "generic_name string, drugbank_id string"
+    )
+    dims2 = dict(dims, generics_dim=generics, mixtures_dim=None)
+    out = _tag(spark, dims2, ["SETIRIZINE 10MG TAB"])
+    row = out["SETIRIZINE 10MG TAB"]
+    assert (row.generic_name, row.match_reason) == ("CETIRIZINE", "fuzzy")
+
+
+def test_combination_gate_counts_distinct_components(spark, dims):
+    """A component matching 2 dim rows must not offset a component
+    matching 0: no synthesized combination unless EVERY component has
+    a hit (tagger.py:707-834; ADVICE r1 high)."""
+    generics = spark.createDataFrame(
+        # PARACETAMOL twice (distinct drugbank ids) — many-to-many tier
+        [("PARACETAMOL", "DB00316"), ("PARACETAMOL", "DB99999")],
+        "generic_name string, drugbank_id string",
+    )
+    dims2 = dict(dims, generics_dim=generics, mixtures_dim=None)
+    out = _tag(spark, dims2, ["PARACETAMOL + UNKNOWNCOMPOUNDXYZ 500MG"])
+    row = out["PARACETAMOL + UNKNOWNCOMPOUNDXYZ 500MG"]
+    assert not (row.match_reason or "").startswith("combination_tokens:")
+
+
 def test_vaccine_override_and_input_class(spark, dims):
     out = _tag(
         spark,
