@@ -191,8 +191,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation a (band,key) equi-self-join — the shape that survives
     100 TB (Broder minhashing + banding as in MMDS ch.3)."""
     d = table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "text", "doc_id", 3)
-    sig = minhash_signature(sh)
+    # The shingle relation feeds three consumers (signature agg, both
+    # sides of the verify join) and the signature feeds three more
+    # (two banded self-join branches, sizes): persist both or the
+    # explode/agg subtrees re-execute per consumer. MEMORY_AND_DISK
+    # default — at cluster scale shingles spill, which is still far
+    # cheaper than recomputing the scan+explode 3×.
+    sh = word_shingles(d, "text", "doc_id", 3).persist()
+    sig = minhash_signature(sh).persist()
     pairs = lsh_candidate_pairs(sig)
     verified = verify_jaccard(pairs, sh, sizes=sig.select("doc", F.col("n_sh").alias("n")))
     return verified.filter(3 * F.col("n_common") >= 2 * F.col("n_union"))

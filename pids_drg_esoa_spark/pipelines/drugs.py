@@ -209,9 +209,9 @@ class DrugsPipeline(BasePipeline):
             generics_dim=ctx.artifacts["unified_generics"],
             atc_dim=atc_flagged,
             brands_dim=ctx.artifacts["unified_brands"],
-            mixtures_dim=ctx.artifacts["unified_mixtures"].withColumnRenamed(
-                "mixture_name", "mixture_name"
-            ).selectExpr("component_key", "mixture_name", "drugbank_id"),
+            mixtures_dim=ctx.artifacts["unified_mixtures"].selectExpr(
+                "component_key", "mixture_name", "drugbank_id"
+            ),
             text_col="raw_text",
         )
 

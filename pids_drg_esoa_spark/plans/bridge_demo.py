@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_join
 from ..sources.tables import table
 from .catalog import register
 
@@ -115,7 +116,6 @@ def j9_j10_candidate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("src_type"),
         F.explode(F.split("p_name", " ")).alias("tok"),
     )
-    w_tok = W.partitionBy("tok").orderBy("p_partkey")
     index_tok = (
         part.select(
             F.explode(F.split("p_name", " ")).alias("tok"),
@@ -128,15 +128,22 @@ def j9_j10_candidate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CAND_PER_TOKEN)
         .drop("rn")
     )
+    # Token keys are Zipfian (common words hit every doc): salt the
+    # fact side of the token join so hot tokens spread over 8 tasks
+    # instead of one straggler — the index side is capped at
+    # CAND_PER_TOKEN rows per token, so 8× replication is bounded.
     cand = (
-        src_tok.join(index_tok, "tok")
+        salted_join(src_tok, index_tok, "tok", n_salts=8)
         .groupBy(
             "src_partkey", "src_name", "src_type",
             "cand_partkey", "cand_name", "cand_type", "cand_size",
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    scored = li.join(F.broadcast(cand), li.l_partkey == cand.src_partkey).select(
+    # No broadcast hint on cand: it scales with the CATALOG (|part| ×
+    # avg candidates), not a fixed dim — at 100× sf a forced broadcast
+    # OOMs. AQE picks broadcast at small sf on its own.
+    scored = li.join(cand, li.l_partkey == cand.src_partkey).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
@@ -147,37 +154,32 @@ def j9_j10_candidate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("cand_size") - F.col("l_quantity")) <= DOSE_TOL).alias("dose_ok"),
         (F.col("cand_type") == F.col("src_type")).alias("form_ok"),
     )
-    # Two grouped passes + joins, NOT one window pass: the candidate
-    # relation is high-fanout (|lineitem| × ~40), so partial (map-side)
-    # aggregation crushes it before any shuffle; a combined window
-    # formulation forces a full sort of the candidate relation and
-    # measured 7× slower at sf0.1. The rank window only ever sees the
-    # valid subset.
-    ranked = (
-        scored.filter(F.col("dose_ok") & F.col("form_ok"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("l_orderkey", "l_linenumber").orderBy(
-                    F.desc("is_exact"),
-                    F.desc("n_shared"),
-                    F.asc(F.abs(F.col("cand_size") - F.col("l_quantity"))),
-                    F.asc("cand_partkey"),
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", F.col("cand_partkey").alias("best_partkey"))
+    # ONE grouped pass over the high-fanout candidate relation — not a
+    # window (full sort, measured 7× slower at sf0.1) and not two
+    # grouped passes (the li⋈cand join would execute twice). rank-1 by
+    # an ordering tuple ≡ max_by over the same tuple as a struct; the
+    # tuple is null for invalid candidates, and max_by skips null
+    # ordering keys, so best_partkey ranges over valid rows only.
+    # Partial (map-side) aggregation crushes the fanout pre-shuffle.
+    valid = F.col("dose_ok") & F.col("form_ok")
+    rank_key = F.when(
+        valid,
+        F.struct(
+            F.col("is_exact").cast("int").alias("k1"),
+            F.col("n_shared").alias("k2"),
+            (-F.abs(F.col("cand_size") - F.col("l_quantity"))).alias("k3"),
+            (-F.col("cand_partkey")).alias("k4"),
+        ),
     )
-    flags = scored.groupBy("l_orderkey", "l_linenumber").agg(
-        F.max(F.when(F.col("dose_ok") & F.col("form_ok"), 1).otherwise(0)).alias("has_valid"),
-        F.max(F.when(F.col("form_ok"), 1).otherwise(0)).alias("has_form"),
+    summary = scored.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max_by("cand_partkey", rank_key).alias("best_partkey"),
+        F.max(valid.cast("int")).alias("has_valid"),
+        F.max(F.col("form_ok").cast("int")).alias("has_form"),
         F.count(F.lit(1)).alias("n_cand"),
     )
     return (
         li.select("l_orderkey", "l_linenumber")
-        .join(flags, ["l_orderkey", "l_linenumber"], "left")
-        .join(ranked, ["l_orderkey", "l_linenumber"], "left")
+        .join(summary, ["l_orderkey", "l_linenumber"], "left")
         .select(
             "l_orderkey",
             "l_linenumber",
