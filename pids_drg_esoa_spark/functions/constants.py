@@ -214,3 +214,34 @@ DILUENT_CLASSES: dict[str, str] = {
     "d5w": "D5_WATER",
     "5% dextrose": "D5_WATER",
 }
+
+# Element drugs can be generics in their own right even though they
+# appear in salt vocabulary (reference ELEMENT_DRUGS,
+# unified_constants.py:315-319) — 'ZINC 10 MG TABLET' is a zinc
+# supplement, not a salt modifier.
+ELEMENT_DRUGS: frozenset[str] = frozenset(
+    """
+    zinc calcium iron magnesium potassium sodium copper manganese
+    selenium chromium iodine phosphorus fluoride
+    """.split()
+)
+
+# Unit / measurement tokens (reference UNIT_TOKENS,
+# unified_constants.py:827-845).
+UNIT_TOKENS: frozenset[str] = frozenset(
+    """
+    mg g mcg ug kg gms gm ml l cc iu unit units lsu mu meq meqs mol
+    mmol pct % mg/ml mcg/ml iu/ml mg/5ml mg/l
+    """.split()
+)
+
+# Regional canonical names (reference unified_constants.py:1716-1734):
+# PH/WHO naming preferred in outputs — US names map to the regional
+# canonical at result assembly.
+REGIONAL_CANONICAL: dict[str, str] = {
+    "ACETAMINOPHEN": "PARACETAMOL",
+    "ALBUTEROL": "SALBUTAMOL",
+    "EPINEPHRINE": "ADRENALINE",
+    "NOREPINEPHRINE": "NORADRENALINE",
+    "MEPERIDINE": "PETHIDINE",
+}

@@ -82,3 +82,166 @@ def forms_are_equivalent_py(a: str | None, b: str | None) -> bool:
 def routes_match_py(a: str | None, b: str | None) -> bool:
     ra, rb = normalize_route_py(a), normalize_route_py(b)
     return ra is not None and ra == rb
+
+
+# ---------------------------------------------------------------------------
+# Part-4 STRICT compatibility (reference runners.py:1195-1335). These are
+# deliberately separate from the W1-scoring helpers above: Part 4 treats a
+# MISSING form/route as compatible (the tagging stage treats missing as
+# non-matching), uses its own route synonym tables, and has a permissive
+# form fallback for container-style forms.
+# ---------------------------------------------------------------------------
+
+from .part4_tables import FORM_EQUIVALENTS_P4, FORM_TO_ROUTES_P4  # noqa: E402
+
+# runners.py:1309-1322 — route_matches equivalence groups
+PART4_ROUTE_GROUPS: dict[str, frozenset[str]] = {
+    "ORAL": frozenset({"ORAL", "PO", "BY MOUTH"}),
+    "PARENTERAL": frozenset(
+        {"PARENTERAL", "INTRAVENOUS", "IV", "INTRAMUSCULAR", "IM", "SUBCUTANEOUS", "SC", "SQ"}
+    ),
+    "INTRAVENOUS": frozenset({"INTRAVENOUS", "IV", "PARENTERAL"}),
+    "INTRAMUSCULAR": frozenset({"INTRAMUSCULAR", "IM", "PARENTERAL"}),
+    "SUBCUTANEOUS": frozenset({"SUBCUTANEOUS", "SC", "SQ", "PARENTERAL"}),
+    "INHALATION": frozenset({"INHALATION", "RESPIRATORY", "INHALED", "NEBULIZATION"}),
+    "TOPICAL": frozenset({"TOPICAL", "EXTERNAL", "CUTANEOUS"}),
+    "OPHTHALMIC": frozenset({"OPHTHALMIC", "EYE", "OCULAR"}),
+    "OTIC": frozenset({"OTIC", "EAR", "AURAL"}),
+    "NASAL": frozenset({"NASAL", "INTRANASAL"}),
+    "RECTAL": frozenset({"RECTAL", "PR"}),
+    "VAGINAL": frozenset({"VAGINAL", "PV"}),
+}
+
+# runners.py:1252-1262 — the (smaller) synonym table used by the
+# form-route-sharing branch of forms_compatible
+_P4_FORM_ROUTE_SYNONYMS: dict[str, frozenset[str]] = {
+    "ORAL": frozenset({"ORAL", "PO", "BY MOUTH"}),
+    "PARENTERAL": frozenset(
+        {"PARENTERAL", "INTRAVENOUS", "IV", "INTRAMUSCULAR", "IM", "SUBCUTANEOUS", "SC"}
+    ),
+    "INTRAVENOUS": frozenset({"INTRAVENOUS", "IV", "PARENTERAL"}),
+    "INTRAMUSCULAR": frozenset({"INTRAMUSCULAR", "IM", "PARENTERAL"}),
+    "SUBCUTANEOUS": frozenset({"SUBCUTANEOUS", "SC", "PARENTERAL"}),
+    "INHALATION": frozenset({"INHALATION", "RESPIRATORY", "INHALED", "NEBULIZATION"}),
+    "TOPICAL": frozenset({"TOPICAL", "EXTERNAL", "CUTANEOUS"}),
+    "OPHTHALMIC": frozenset({"OPHTHALMIC", "EYE", "OCULAR"}),
+    "RECTAL": frozenset({"RECTAL", "PR"}),
+}
+
+# runners.py:1277-1290 — permissive fallback when no route info exists
+_P4_COMPAT_FALLBACK: tuple[frozenset[str], ...] = (
+    frozenset({"AMPULE", "AMPOULE", "VIAL", "INJECTION", "BOTTLE"}),
+    frozenset({"SYRUP", "SUSPENSION", "SOLUTION", "ELIXIR", "LIQUID", "DROPS"}),
+    frozenset({"TABLET", "CAPSULE", "CAPLET"}),
+    frozenset({"NEBULE", "NEBULIZER", "INHALER", "AEROSOL", "MDI", "DPI"}),
+    frozenset({"CREAM", "OINTMENT", "GEL", "LOTION"}),
+    frozenset({"GRANULE", "POWDER", "SACHET"}),
+)
+
+
+def part4_route_matches_py(cand_route: str | None, esoa_route: str | None) -> bool:
+    """Strict-mode route predicate (runners.py:1298-1335): missing
+    either side = compatible; else exact or token-set overlap via the
+    equivalence groups; unknown unequal routes don't match."""
+    if not esoa_route or not cand_route:
+        return True
+    c = cand_route.upper().strip()
+    e = esoa_route.upper().strip()
+    if c == e:
+        return True
+    c_tokens: set[str] = set()
+    e_tokens: set[str] = set()
+    for base, syns in PART4_ROUTE_GROUPS.items():
+        if c in syns or c == base:
+            c_tokens |= syns | {base}
+        if e in syns or e == base:
+            e_tokens |= syns | {base}
+    return bool(c_tokens & e_tokens) if c_tokens and e_tokens else False
+
+
+def part4_forms_compatible_py(
+    cand_form: str | None,
+    esoa_form: str | None,
+    cand_route: str | None = None,
+    esoa_route: str | None = None,
+) -> bool:
+    """Route-aware form predicate (runners.py:1195-1296): equivalence
+    table, then shared-plausible-route (constrained by observed routes,
+    expanded through synonyms), then the container fallback groups."""
+    if not esoa_form or not cand_form:
+        return True
+    c = cand_form.upper().strip()
+    e = esoa_form.upper().strip()
+    if c == e:
+        return True
+    if e in FORM_EQUIVALENTS_P4.get(c, frozenset()) or c in FORM_EQUIVALENTS_P4.get(
+        e, frozenset()
+    ):
+        return True
+
+    c_routes = set(FORM_TO_ROUTES_P4.get(c, ()))
+    e_routes = set(FORM_TO_ROUTES_P4.get(e, ()))
+    if not c_routes:  # partial key match, first hit wins
+        for key in FORM_TO_ROUTES_P4:
+            if key in c or c in key:
+                c_routes.update(FORM_TO_ROUTES_P4[key])
+                break
+    if not e_routes:
+        for key in FORM_TO_ROUTES_P4:
+            if key in e or e in key:
+                e_routes.update(FORM_TO_ROUTES_P4[key])
+                break
+
+    if cand_route and cand_route.upper().strip():
+        cr = cand_route.upper().strip()
+        c_routes = c_routes & {cr} if c_routes else {cr}
+    if esoa_route and esoa_route.upper().strip():
+        er = esoa_route.upper().strip()
+        e_routes = e_routes & {er} if e_routes else {er}
+
+    if c_routes and e_routes:
+        exp_c: set[str] = set()
+        exp_e: set[str] = set()
+        for r in c_routes:
+            exp_c.add(r)
+            exp_c |= _P4_FORM_ROUTE_SYNONYMS.get(r, frozenset())
+        for r in e_routes:
+            exp_e.add(r)
+            exp_e |= _P4_FORM_ROUTE_SYNONYMS.get(r, frozenset())
+        return bool(exp_c & exp_e)
+
+    return any(c in group and e in group for group in _P4_COMPAT_FALLBACK)
+
+
+# ---------------------------------------------------------------------------
+# Native (whole-stage-codegen) twin of parse_form_py for hot paths: the
+# W1 tagger computes form_priority per candidate row, so the parse must
+# not cross into Python. regexp_extract with the same longest-first
+# alternation + a map-literal canon lookup ≡ parse_form_py (parity
+# pinned in tests/test_tagger.py::test_native_form_parse_parity).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column as _Column  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+
+_FORM_PATTERN_SQL = r"\b(" + "|".join(re.escape(k) for k in _FORM_KEYS) + r")\b"
+_FORM_CANON_MAP = None
+
+
+def parse_form_col(col: _Column | str) -> _Column:
+    global _FORM_CANON_MAP
+    if _FORM_CANON_MAP is None:
+        _FORM_CANON_MAP = _F.create_map(
+            *[_F.lit(x) for kv in FORM_CANON.items() for x in kv]
+        )
+    hit = _F.regexp_extract(_F.lower(col), _FORM_PATTERN_SQL, 1)
+    return _F.when(hit != "", _F.coalesce(_FORM_CANON_MAP[hit], hit))
+
+
+def form_equivalent_col(a: _Column, b: _Column) -> _Column:
+    """Native F27 equivalence-group membership (lowercase canon)."""
+    out = _F.lit(False)
+    for group in FORM_EQUIVALENCE_GROUPS:
+        members = sorted(group)
+        out = out | (a.isin(members) & b.isin(members))
+    return out

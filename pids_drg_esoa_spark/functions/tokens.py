@@ -295,3 +295,92 @@ def normalize_generic_combination_native(col):
         ),
     )
     return F.upper(F.array_join(deduped, " + "))
+
+
+# ---------------------------------------------------------------------------
+# F20: token categorization (reference categorize_tokens,
+# tokenizer.py:1037-1110) — buckets each token into
+# generic/salt/dose/form/route/other with the element-drug first-token
+# rule and the strict generic validation gate.
+# ---------------------------------------------------------------------------
+
+from .constants import ELEMENT_DRUGS, UNIT_TOKENS  # noqa: E402
+
+_CAT_DOSE_RE = re.compile(
+    r"(\d+(?:\.\d+)?)\s*(mg|g|mcg|ug|ml|l|iu|unit|units|pct|%|mg/ml|mcg/ml|iu/ml|mg/5ml)",
+    re.IGNORECASE,
+)
+_GENERIC_REJECTS = frozenset({"generic", "op", "gram", "100s"})
+
+
+def categorize_tokens_py(tokens: list[str]) -> dict[str, dict[str, int]]:
+    cats: dict[str, dict[str, int]] = {
+        k: {} for k in ("generic", "salt", "dose", "form", "route", "other")
+    }
+
+    def bump(cat: str, tok: str) -> None:
+        cats[cat][tok] = cats[cat].get(tok, 0) + 1
+
+    lowers = [t.lower() for t in tokens]
+    for i, low in enumerate(lowers):
+        up = tokens[i].upper()
+        if _CAT_DOSE_RE.match(low) or low in UNIT_TOKENS:
+            bump("dose", up)
+        elif low in FORM_CANON:
+            bump("form", FORM_CANON[low].upper())
+        elif low in ROUTE_CANON:
+            bump("route", ROUTE_CANON[low].upper())
+        elif low in SALT_TOKENS:
+            # element drugs are the GENERIC when they lead the name
+            if low in ELEMENT_DRUGS and lowers.index(low) == 0:
+                bump("generic", up)
+            else:
+                bump("salt", up)
+        elif up.replace(".", "").isdigit():
+            bump("dose", up)
+        elif low in STOPWORDS:
+            bump("other", up)
+        elif (
+            len(up.strip()) < 2
+            or not any(c.isalpha() for c in up)
+            or "*" in up
+            or low in _GENERIC_REJECTS
+        ):
+            bump("other", up)
+        else:
+            bump("generic", up)
+    return cats
+
+
+# ---------------------------------------------------------------------------
+# F29: plural → singular retry (reference lookup.py:52-94). Applied
+# when a token misses every lookup tier — 'TABLETS OF X' style plurals
+# and plural generic names retry in singular form.
+# ---------------------------------------------------------------------------
+
+
+def singularize_py(word: str) -> str:
+    w = word.upper()
+    if w.endswith("IES"):
+        return w[:-3] + "Y"
+    if w.endswith("ES") and len(w) > 3:
+        if w[-3] in "SXZH":
+            return w[:-2]
+        return w[:-1]
+    if w.endswith("S") and not w.endswith("SS"):
+        return w[:-1]
+    return w
+
+
+def apply_synonym_py(generic: str, synonyms: dict[str, str]) -> str:
+    """Explicit synonym first, then singular-first-word retry — the
+    singular form is returned even without a synonym hit so the exact
+    lookup can retry with it (lookup.py:69-94)."""
+    g = generic.upper()
+    if g in synonyms:
+        return synonyms[g]
+    words = g.split()
+    if words and words[0].endswith("S") and not words[0].endswith("SS"):
+        singular = " ".join([singularize_py(words[0])] + words[1:])
+        return synonyms.get(singular, singular)
+    return g

@@ -3,71 +3,194 @@
 Reference (runners.py:287-1425, SURVEY §3.2/§7 step 7): build a
 multi-key Annex index (per component generic — J9), generate
 candidates per eSOA row, evaluate strict typed compatibility
-predicates (dose/form/route — J10), pick the best by a details
-tie-break (W3), and label failures with a fixed priority
-(runners.py:1337-1383 — dose ⊳ form ⊳ route ⊳ combined).
+predicates (dose AND form AND route — J10, runners.py:1337-1365),
+pick the best valid candidate by the details-overlap tie-break (W3,
+runners.py:959-1010), and label failures with the fixed reason ladder
+dose ⊳ form ⊳ route ⊳ combined (runners.py:1373-1383).
 
-Spark-first: the Annex index is a small broadcast dim exploded by
-component; candidate evaluation is a broadcast join + Arrow-batched
-predicate UDFs (the typed dose-key logic is irreducibly Python —
-F34); selection is a window rank-1 with every key explicit.
+Spark-first shape:
+- per-side parsing (dose key + form + route + F15 details struct) is
+  ONE Arrow pandas_udf crossing per relation;
+- the dose predicate is a NATIVE column expression twin of
+  ``dose_keys_match_py`` (whole-stage codegen on the hot fanout);
+- form/route predicates are Python only on the DISTINCT
+  (form, route) × (form, route) combinations — a vocabulary-bounded
+  relation joined back broadcast, so the per-candidate path stays
+  JVM-side at any scale;
+- selection is one map-side-combinable min_by pass, no window sort.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.dosekey import DoseKey, dose_key_py, dose_keys_match_py
-from ..functions.routes_forms import forms_are_equivalent_py, parse_form_py, parse_route_py
+from ..functions.details import (
+    DETAILS_SCHEMA,
+    FORM_DETAIL_ABBREVS,
+    FORM_DETAIL_KEYWORDS,
+    RELEASE_ABBREVS,
+    RELEASE_KEYWORDS,
+    extract_drug_details_py,
+)
+from ..functions.dosekey import dose_key_py
+from ..functions.routes_forms import (
+    parse_form_py,
+    parse_route_py,
+    part4_forms_compatible_py,
+    part4_route_matches_py,
+)
 from ..functions.tokens import normalize_generic_combination_py
 
 DOSE_KEY_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
-        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("conc", T.DoubleType()),
+        T.StructField("vol", T.DoubleType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("diluent", T.StringType()),
+    ]
+)
+
+PARSED_SIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("dose", DOSE_KEY_SCHEMA),
+        T.StructField("form", T.StringType()),
+        T.StructField("route", T.StringType()),
+        T.StructField("details", DETAILS_SCHEMA),
     ]
 )
 
 
-@F.pandas_udf(DOSE_KEY_SCHEMA)
-def dose_key(text: pd.Series) -> pd.DataFrame:
-    keys = text.map(dose_key_py)
-    return pd.DataFrame(
-        {"kind": keys.map(lambda k: k.kind), "values": keys.map(lambda k: list(k.values))}
-    )
+@F.pandas_udf(PARSED_SIDE_SCHEMA)
+def parse_side(text: pd.Series, generic: pd.Series) -> pd.DataFrame:
+    """One Arrow crossing per relation: dose key (F34 cascade, with
+    the generic for NSS/D5/D10 inference), form, route, F15 details."""
+    doses, forms, routes, details = [], [], [], []
+    for t, g in zip(text, generic):
+        k = dose_key_py(t, g)
+        doses.append(
+            {
+                "kind": k.kind,
+                "amount": k.amount,
+                "conc": k.conc,
+                "vol": k.vol,
+                "unit": k.unit,
+                "diluent": k.diluent,
+            }
+        )
+        forms.append((parse_form_py(t) or "").upper() or None)
+        routes.append((parse_route_py(t)[0] or "").upper() or None)
+        details.append(extract_drug_details_py(t))
+    return pd.DataFrame({"dose": doses, "form": forms, "route": routes, "details": details})
 
 
 @F.pandas_udf(T.BooleanType())
-def dose_keys_match(ka: pd.Series, va: pd.Series, kb: pd.Series, vb: pd.Series) -> pd.Series:
-    def as_tuple(v) -> tuple:
-        return tuple(v) if v is not None else ()
-
+def _p4_forms_compatible(cf: pd.Series, ef: pd.Series, cr: pd.Series, er: pd.Series) -> pd.Series:
     return pd.Series(
-        [
-            dose_keys_match_py(DoseKey(k1, as_tuple(v1)), DoseKey(k2, as_tuple(v2)))
-            for k1, v1, k2, v2 in zip(ka, va, kb, vb)
-        ]
+        [part4_forms_compatible_py(a, b, c, d) for a, b, c, d in zip(cf, ef, cr, er)]
     )
 
 
-@F.pandas_udf(T.StringType())
-def parse_form(text: pd.Series) -> pd.Series:
-    return text.map(parse_form_py)
-
-
-@F.pandas_udf(T.StringType())
-def parse_route(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: parse_route_py(t)[0])
-
-
 @F.pandas_udf(T.BooleanType())
-def forms_compatible(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([forms_are_equivalent_py(x, y) for x, y in zip(a, b)])
+def _p4_route_matches(cr: pd.Series, er: pd.Series) -> pd.Series:
+    return pd.Series([part4_route_matches_py(a, b) for a, b in zip(cr, er)])
+
+
+def dose_keys_match_col(a: Column, b: Column) -> Column:
+    """Native twin of ``dose_keys_match_py`` (runners.py:792-957) over
+    two DOSE_KEY_SCHEMA structs — parity pinned by
+    tests/test_bridge.py::test_native_dose_match_parity."""
+    ak, bk = a["kind"], b["kind"]
+    one = F.lit(1.0)
+
+    iv_ok = (
+        (ak == bk)
+        & a["conc"].eqNullSafe(b["conc"])
+        & a["diluent"].eqNullSafe(b["diluent"])
+        & (a["vol"].isNull() | b["vol"].isNull() | (a["vol"] == b["vol"]))
+    )
+
+    mg_diff = F.abs(a["amount"] - b["amount"])
+    mg_ok = F.when(
+        a["amount"].isNull() | b["amount"].isNull(), a["amount"].eqNullSafe(b["amount"])
+    ).otherwise(
+        (mg_diff <= 0.5) | (mg_diff / F.greatest(a["amount"], b["amount"], one) <= 0.01)
+    )
+
+    au = F.coalesce(a["unit"], F.lit("mg"))
+    bu = F.coalesce(b["unit"], F.lit("mg"))
+    c_diff = F.abs(a["conc"] - b["conc"])
+    conc_ok = ((au == "iu") == (bu == "iu")) & F.when(
+        a["conc"].isNull() | b["conc"].isNull(), a["conc"].eqNullSafe(b["conc"])
+    ).otherwise(~((c_diff > 0.1) & (c_diff / F.greatest(a["conc"], b["conc"], one) > 0.01)))
+
+    # mg ↔ conc and iu ↔ conc: total via conc·vol, else 1 mL implied
+    amt = F.when(ak.isin("mg", "iu"), a["amount"]).otherwise(b["amount"])
+    cv = F.when(ak == "conc", a["conc"]).otherwise(b["conc"])
+    cvol = F.when(ak == "conc", a["vol"]).otherwise(b["vol"])
+    cunit = F.when(ak == "conc", F.coalesce(a["unit"], F.lit("mg"))).otherwise(
+        F.coalesce(b["unit"], F.lit("mg"))
+    )
+    total_hit = cvol.isNotNull() & (cvol > 0) & (F.abs(cv * cvol - amt) < 0.01)
+    direct_hit = F.abs(cv - amt) < 0.01
+    mg_conc_ok = (cunit != "iu") & (total_hit | direct_hit)
+    iu_conc_ok = (cunit == "iu") & (total_hit | direct_hit)
+
+    kinds_are = lambda x, y: ((ak == x) & (bk == y)) | ((ak == y) & (bk == x))  # noqa: E731
+    return (
+        F.when((ak == "none") | (bk == "none"), F.lit(False))
+        .when((ak == "iv") | (bk == "iv"), iv_ok)
+        .when((ak == "iu") & (bk == "iu"), a["amount"].eqNullSafe(b["amount"]))
+        .when((ak == "mg") & (bk == "mg"), mg_ok)
+        .when((ak == "conc") & (bk == "conc"), conc_ok)
+        .when(kinds_are("mg", "conc"), mg_conc_ok)
+        .when(kinds_are("iu", "conc"), iu_conc_ok)
+        .otherwise(F.lit(False))
+    )
+
+
+def details_overlap_score(details: Column, cand_desc: Column) -> Column:
+    """W3 tie-break (rank_candidate_for_drug_code, runners.py:959-1010):
+    negative weight per eSOA detail found verbatim in the candidate
+    description; lower = better."""
+    desc = F.upper(cand_desc)
+
+    def hit(field: str, weight: int) -> Column:
+        v = F.upper(details[field])
+        return F.when(v.isNotNull() & (v != "") & desc.contains(v), F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+
+    return (
+        hit("release_details", -10)
+        + hit("type_details", -5)
+        + hit("form_details", -5)
+        + hit("indication_details", -5)
+        + hit("salt_details", -3)
+        + hit("alias_details", -2)
+        + hit("iv_diluent_type", -5)
+        + hit("iv_diluent_amount", -3)
+    )
+
+
+_MODIFIER_TOKENS = RELEASE_ABBREVS | FORM_DETAIL_ABBREVS
+_MODIFIER_PHRASES = tuple(sorted(RELEASE_KEYWORDS | FORM_DETAIL_KEYWORDS, key=len, reverse=True))
+
+
+def _strip_modifiers(comp: str) -> str:
+    """Release/form modifiers ('MR', 'FILM COATED') are details, not
+    part of the lookup generic — the reference's annex names come from
+    part-3-cleaned matched_generic_name, which never carries them."""
+    up = comp.upper()
+    for phrase in _MODIFIER_PHRASES:
+        up = up.replace(phrase, " ")
+    kept = [t for t in up.split() if t not in _MODIFIER_TOKENS]
+    return " ".join(kept)
 
 
 def _annex_generic_py(desc: str | None) -> str:
@@ -85,6 +208,7 @@ def _annex_generic_py(desc: str | None) -> str:
     seen: list[str] = []
     for v in variants:
         for comp in v.split(" + "):
+            comp = _strip_modifiers(comp)
             if comp and comp not in seen:
                 seen.append(comp)
     return " + ".join(seen)
@@ -97,95 +221,124 @@ def annex_generic(desc: pd.Series) -> pd.Series:
 
 def build_annex_index(annex_f: DataFrame) -> DataFrame:
     """J9 index: one row per (component generic → drug code), with the
-    parsed dose key / form / route of the Annex entry. Small dim —
-    broadcast at the join site (replaces the reference's driver dicts,
-    runners.py:1012-1094)."""
+    parsed dose key / form / route / description of the Annex entry.
+    Small dim — broadcast at the join site (replaces the reference's
+    driver dicts, runners.py:1012-1094)."""
     parsed = annex_f.select(
         F.col("drug_code"),
         F.col("drug_description"),
         annex_generic(F.col("drug_description")).alias("annex_combo"),
-        dose_key(F.col("drug_description")).alias("annex_dose"),
-        parse_form(F.col("drug_description")).alias("annex_form"),
-        parse_route(F.col("drug_description")).alias("annex_route"),
-    )
-    return parsed.withColumn(
-        "component", F.explode(F.split(F.lower("annex_combo"), " \\+ "))
+    ).withColumn("annex_parsed", parse_side(F.col("drug_description"), F.col("annex_combo")))
+    return parsed.select(
+        "drug_code",
+        "drug_description",
+        F.col("annex_parsed.dose").alias("annex_dose"),
+        F.col("annex_parsed.form").alias("annex_form"),
+        F.col("annex_parsed.route").alias("annex_route"),
+        F.explode(F.split(F.lower("annex_combo"), " \\+ ")).alias("component"),
     ).filter(F.col("component") != "")
 
 
 def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     """tagged: output of plans.tagger (raw_text, generic_name, …).
-    Returns one row per raw_text with (drug_code, match_reason)."""
-    esoa = tagged.select(
-        "raw_text",
-        "generic_name",
-        F.col("matched").alias("has_generic"),
-        dose_key(F.col("raw_text")).alias("esoa_dose"),
-        parse_form(F.col("raw_text")).alias("esoa_form"),
-        parse_route(F.col("raw_text")).alias("esoa_route"),
-        F.filter(
-            F.split(F.lower(F.coalesce("generic_name", F.lit(""))), " \\+ "),
-            lambda x: x != "",
-        ).alias("components"),
-    ).persist()  # reused by candidate gen AND the final left join
+    Returns one row per raw_text with (drug_code, match_reason) using
+    the reference's strict dose∧form∧route gate and reason labels."""
+    esoa = (
+        tagged.select(
+            "raw_text",
+            "generic_name",
+            F.col("matched").alias("has_generic"),
+            F.filter(
+                F.split(F.lower(F.coalesce("generic_name", F.lit(""))), " \\+ "),
+                lambda x: x != "",
+            ).alias("components"),
+        )
+        .withColumn("esoa_parsed", parse_side(F.col("raw_text"), F.col("generic_name")))
+        .select(
+            "raw_text", "generic_name", "has_generic", "components",
+            F.col("esoa_parsed.dose").alias("esoa_dose"),
+            F.col("esoa_parsed.form").alias("esoa_form"),
+            F.col("esoa_parsed.route").alias("esoa_route"),
+            F.col("esoa_parsed.details").alias("esoa_details"),
+        )
+        .persist()  # reused by candidate gen AND the final left join
+    )
     index = F.broadcast(build_annex_index(annex_f))
 
     cand = (
         esoa.filter(F.col("has_generic"))
-        .select("raw_text", "esoa_dose", "esoa_form", "esoa_route",
-                F.explode("components").alias("component"))
+        .select(
+            "raw_text", "esoa_dose", "esoa_form", "esoa_route", "esoa_details",
+            F.explode("components").alias("component"),
+        )
         .join(index, "component")
-        .distinct()
+        # reference dedupes candidates per row by drug_code
+        # (runners.py:1183-1190); all non-component attrs are
+        # functionally determined by (raw_text, drug_code)
+        .dropDuplicates(["raw_text", "drug_code"])
     )
+
+    # form/route predicates: Python only on the DISTINCT vocabulary
+    # combinations (bounded by |forms|²·|routes|² regardless of data
+    # size), broadcast back — the per-candidate path stays native.
+    combos = cand.select("annex_form", "esoa_form", "annex_route", "esoa_route").distinct()
+    combo_flags = combos.select(
+        "annex_form", "esoa_form", "annex_route", "esoa_route",
+        _p4_forms_compatible("annex_form", "esoa_form", "annex_route", "esoa_route").alias(
+            "form_ok"
+        ),
+        _p4_route_matches("annex_route", "esoa_route").alias("route_ok"),
+    )
+    cf = F.broadcast(combo_flags).alias("cf")
+    cand = cand.alias("c").join(
+        cf,
+        F.col("c.annex_form").eqNullSafe(F.col("cf.annex_form"))
+        & F.col("c.esoa_form").eqNullSafe(F.col("cf.esoa_form"))
+        & F.col("c.annex_route").eqNullSafe(F.col("cf.annex_route"))
+        & F.col("c.esoa_route").eqNullSafe(F.col("cf.esoa_route")),
+        "left",
+    ).select("c.*", "cf.form_ok", "cf.route_ok")
+
     flagged = cand.select(
         "raw_text",
         "drug_code",
-        dose_keys_match(
-            F.col("esoa_dose.kind"), F.col("esoa_dose.values"),
-            F.col("annex_dose.kind"), F.col("annex_dose.values"),
-        ).alias("dose_ok"),
-        forms_compatible("esoa_form", "annex_form").alias("form_ok"),
-        (
-            F.col("esoa_route").isNotNull()
-            & (F.col("esoa_route") == F.col("annex_route"))
-        ).alias("route_ok"),
-        F.col("esoa_dose.kind").alias("esoa_dose_kind"),
-    ).persist()  # reused by the valid-rank window and the flags rollup
-
-    # W3: best fully-valid candidate; every tie-break key explicit.
-    valid = flagged.filter(F.col("dose_ok") & F.col("form_ok"))
-    w = W.partitionBy("raw_text").orderBy(
-        F.desc("route_ok"), F.asc("drug_code")
-    )
-    best = (
-        valid.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("raw_text", F.col("drug_code").alias("best_drug_code"), F.col("route_ok").alias("best_route_ok"))
+        dose_keys_match_col(F.col("esoa_dose"), F.col("annex_dose")).alias("dose_ok"),
+        "form_ok",
+        "route_ok",
+        details_overlap_score(F.col("esoa_details"), F.col("drug_description")).alias(
+            "details_score"
+        ),
     )
 
-    flags = flagged.groupBy("raw_text").agg(
-        F.max(F.when(F.col("dose_ok") & F.col("form_ok"), 1).otherwise(0)).alias("has_valid"),
-        F.max(F.when(F.col("dose_ok"), 1).otherwise(0)).alias("has_dose_ok"),
-        F.max(F.when(F.col("form_ok"), 1).otherwise(0)).alias("has_form_ok"),
+    # W3 + flags in ONE grouped pass (map-side combinable; no window
+    # sort over the fanout). Valid = dose ∧ form ∧ route
+    # (runners.py:1357-1365); best valid by (details_score, drug_code).
+    valid = F.col("dose_ok") & F.col("form_ok") & F.col("route_ok")
+    rank_key = F.when(valid, F.struct(F.col("details_score"), F.col("drug_code")))
+    summary = flagged.groupBy("raw_text").agg(
+        F.min_by("drug_code", rank_key).alias("best_drug_code"),
+        F.max(valid.cast("int")).alias("has_valid"),
+        F.max(F.col("dose_ok").cast("int")).alias("has_dose_ok"),
+        F.max(F.col("form_ok").cast("int")).alias("has_form_ok"),
+        F.max(F.col("route_ok").cast("int")).alias("has_route_ok"),
         F.count(F.lit(1)).alias("n_cand"),
     )
 
-    out = (
-        esoa.join(flags, "raw_text", "left")
-        .join(best, "raw_text", "left")
-        .select(
-            "raw_text",
-            "generic_name",
-            F.when(F.col("has_valid") == 1, F.col("best_drug_code")).alias("drug_code"),
-            F.when(~F.col("has_generic"), "no_generic")
-            .when(F.col("n_cand").isNull(), "generic_not_in_annex")
-            .when(F.col("has_valid") == 1, "matched")
-            .when(F.col("esoa_dose.kind") == "none", "no_dose_in_esoa")
-            .when((F.col("has_form_ok") == 1) & (F.col("has_dose_ok") == 0), "dose_mismatch")
-            .when(F.col("has_dose_ok") == 1, "form_mismatch")
-            .otherwise("combined_mismatch")
-            .alias("match_reason"),
-        )
+    # Reason ladder with the reference's label strings and priority:
+    # dose ⊳ form ⊳ route ⊳ combined (runners.py:1337-1383).
+    out = esoa.join(summary, "raw_text", "left").select(
+        "raw_text",
+        "generic_name",
+        F.when(F.col("has_valid") == 1, F.col("best_drug_code")).alias("drug_code"),
+        F.when(~F.col("has_generic"), "no_generic")
+        .when(F.col("n_cand").isNull(), "generic_not_in_annex")
+        .when(F.col("esoa_dose.kind") == "none", "no_perfect_match:no_dose_in_esoa")
+        .when(F.col("has_valid") == 1, "matched_perfect")
+        .when(F.col("has_dose_ok") == 0, "no_perfect_match:dose_mismatch")
+        .when(F.col("has_form_ok") == 0, "no_perfect_match:form_mismatch")
+        .when(F.col("has_route_ok") == 0, "no_perfect_match:route_mismatch")
+        .otherwise("no_perfect_match:combined_mismatch")
+        .alias("match_reason"),
     )
     return out
 

@@ -1,0 +1,268 @@
+"""Round-2 domain surface under the oracle: planted round-trips for
+the F15 details extractor, the F34 dose-key cascade, F20 token
+categorization, F23 combo-dose alignment, F29 singularization, and the
+strict Part-4 bridge (dose∧form∧route gate + reason ladder).
+
+Same self-checking-oracle pattern as plans/domain.py: synthesize
+domain-shaped inputs from synthetic columns, run the REAL operators in
+Spark, and have DuckDB compute the expected values straight from the
+planted structure — the operator must recover exactly what was
+planted, and the oracle never re-implements the parser."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.details import extract_drug_details
+from ..functions.dosekey import format_combo_doses_py, parse_combo_doses_py
+from ..functions.tokens import categorize_tokens_py
+from ..sources.tables import table
+from .bridge import bridge_to_drug_codes, parse_side
+from .catalog import register
+from .tagger import _singular_key
+
+
+@register(
+    "dom_details_extract_planted",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS generic_name,
+           CASE WHEN p_partkey % 2 = 0 THEN 'MR' END       AS release_details,
+           CASE WHEN p_partkey % 3 = 0 THEN 'SODIUM SALT' END AS salt_details,
+           CAST(p_size AS DOUBLE)                          AS dose_value,
+           'MG'                                            AS dose_unit
+    FROM part
+    """,
+)
+def dom_details_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant '<name> <size> MG [MR] TABLET [( as SODIUM SALT)]'; the
+    F15 extractor must recover the generic (dose/form tail stripped),
+    the release modifier, the salt parenthetical, and the dose."""
+    p = table(spark, sf_dir, "part")
+    text = F.concat(
+        F.col("p_name"),
+        F.lit(" "),
+        F.col("p_size").cast("string"),
+        F.lit(" MG"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit(" MR")).otherwise(F.lit("")),
+        F.lit(" TABLET"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(" ( as SODIUM SALT)")).otherwise(F.lit("")),
+    )
+    d = extract_drug_details(text)
+    return p.select(
+        "p_partkey",
+        d["generic_name"].alias("generic_name"),
+        d["release_details"].alias("release_details"),
+        d["salt_details"].alias("salt_details"),
+        F.element_at(d["dose_values"], 1).alias("dose_value"),
+        F.element_at(d["dose_units"], 1).alias("dose_unit"),
+    )
+
+
+@register(
+    "dom_dosekey_planted",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 4 = 3 THEN 'conc' ELSE 'mg' END AS kind,
+           CASE WHEN p_partkey % 4 = 3 THEN NULL
+                ELSE CAST(p_size AS DOUBLE) *
+                     CASE WHEN p_partkey % 4 = 1 THEN 1000.0 ELSE 1.0 END
+           END                                                   AS amount,
+           CASE WHEN p_partkey % 4 = 3
+                THEN CAST(p_size AS DOUBLE) / 5.0 END             AS conc,
+           'TABLET'                                              AS form,
+           'ORAL'                                                AS route
+    FROM part
+    """,
+)
+def dom_dosekey_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant '<size> MG|G TABLET' / '<size> MG/5 ML TABLET'; the F34
+    key cascade must produce mg totals (unit-converted) or per-mL
+    concentrations, and the form/route parse must canonicalize."""
+    p = table(spark, sf_dir, "part")
+    mod = F.col("p_partkey") % 4
+    text = F.concat(
+        F.col("p_size").cast("string"),
+        F.when(mod == 1, F.lit(" G"))
+        .when(mod == 3, F.lit(" MG/5 ML"))
+        .otherwise(F.lit(" MG")),
+        F.lit(" TABLET"),
+    )
+    parsed = parse_side(text, F.lit(None).cast("string"))
+    return p.select(
+        "p_partkey",
+        parsed["dose"]["kind"].alias("kind"),
+        parsed["dose"]["amount"].alias("amount"),
+        parsed["dose"]["conc"].alias("conc"),
+        parsed["form"].alias("form"),
+        parsed["route"].alias("route"),
+    )
+
+
+_CAT_WORDS = ("zinc", "sulfate", "tablet", "oral", "mg", "10", "of", "**")
+_CAT_EXPECTED = ("generic", "salt", "form", "route", "dose", "dose", "other", "other")
+
+
+@F.pandas_udf(T.StringType())
+def _category_of_single(word: pd.Series) -> pd.Series:
+    def cat(w: str) -> str:
+        cats = categorize_tokens_py([w])
+        return next(k for k, v in cats.items() if v)
+
+    return word.map(cat)
+
+
+@register(
+    "dom_categorize_planted",
+    oracle=f"""
+    SELECT p_partkey,
+           CASE p_partkey % 8
+                {' '.join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(_CAT_WORDS))}
+           END AS token,
+           CASE p_partkey % 8
+                {' '.join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CAT_EXPECTED))}
+           END AS category
+    FROM part
+    """,
+)
+def dom_categorize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: each planted token must land in its category (element-drug
+    first-token rule puts 'zinc' under generic, not salt)."""
+    p = table(spark, sf_dir, "part")
+    mod = F.col("p_partkey") % 8
+    token = F.lit(None).cast("string")
+    for i, w in enumerate(_CAT_WORDS):
+        token = F.when(mod == i, F.lit(w)).otherwise(token)
+    return p.select(
+        "p_partkey",
+        token.alias("token"),
+        _category_of_single(token).alias("category"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _combo_align(text: pd.Series) -> pd.Series:
+    return text.map(
+        lambda t: format_combo_doses_py(
+            ["ALPHA", "BETA"], parse_combo_doses_py(t, ["ALPHA", "BETA"])
+        )
+    )
+
+
+@register(
+    "dom_combo_align_planted",
+    oracle="""
+    SELECT p_partkey,
+           'ALPHA ' || CAST(p_size AS VARCHAR) || 'MG|BETA '
+                    || CAST(p_size + 5 AS VARCHAR) || 'MG' AS aligned
+    FROM part
+    """,
+)
+def dom_combo_align_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23: 'ALPHA + BETA aMG/bMG' aligns dose i with generic i."""
+    p = table(spark, sf_dir, "part")
+    text = F.concat(
+        F.lit("ALPHA + BETA "),
+        F.col("p_size").cast("string"),
+        F.lit("MG/"),
+        (F.col("p_size") + 5).cast("string"),
+        F.lit("MG"),
+    )
+    return p.select("p_partkey", _combo_align(text).alias("aligned"))
+
+
+@register(
+    "dom_singularize_planted",
+    oracle="""
+    SELECT p_partkey, word,
+           CASE
+             WHEN word LIKE '%ies'
+               THEN substr(word, 1, length(word) - 3) || 'y'
+             WHEN word LIKE '%es' AND length(word) > 3
+                  AND substr(word, length(word) - 2, 1) IN ('s','x','z','h')
+               THEN substr(word, 1, length(word) - 2)
+             WHEN word LIKE '%es' AND length(word) > 3
+               THEN substr(word, 1, length(word) - 1)
+             WHEN word LIKE '%s' AND word NOT LIKE '%ss'
+               THEN substr(word, 1, length(word) - 1)
+             ELSE word
+           END AS singular
+    FROM (SELECT p_partkey, split_part(p_name, ' ', 1) AS word FROM part)
+    """,
+)
+def dom_singularize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29 native singularizer vs the rule spelled out in SQL."""
+    p = table(spark, sf_dir, "part")
+    word = F.element_at(F.split("p_name", " "), 1)
+    return p.select(
+        "p_partkey", word.alias("word"), _singular_key(word).alias("singular")
+    )
+
+
+_P4_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 55 AS k FROM part)
+SELECT
+  CASE
+    WHEN k < 30 THEN 'GEN' || k || ' ' || (100 + 10*k) || ' MG TABLET'
+    WHEN k < 35 THEN 'GEN' || k || ' 500 MG IV'
+    WHEN k < 40 THEN 'GEN' || k || ' 500 MG CREAM'
+    WHEN k < 45 THEN 'GEN' || k || ' 500 MG TABLET'
+    WHEN k < 50 THEN 'GEN' || k || ' TABLET'
+    ELSE 'UNTAGGED ' || k
+  END AS raw_text,
+  CASE WHEN k < 50 THEN 'GEN' || k END AS generic_name,
+  CASE WHEN k < 30 AND k % 3 = 0 THEN 'D' || k END AS drug_code,
+  CASE
+    WHEN k >= 50 THEN 'no_generic'
+    WHEN k >= 45 THEN 'no_perfect_match:no_dose_in_esoa'
+    WHEN k >= 40 THEN 'generic_not_in_annex'
+    WHEN k >= 35 THEN 'no_perfect_match:form_mismatch'
+    WHEN k >= 30 THEN 'no_perfect_match:route_mismatch'
+    WHEN k % 3 = 0 THEN 'matched_perfect'
+    ELSE 'no_perfect_match:dose_mismatch'
+  END AS match_reason
+FROM ks
+"""
+
+
+@register("p4_bridge_strict_planted", oracle=_P4_ORACLE)
+def p4_bridge_strict_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end strict Part-4 bridge on planted relations: every
+    reason in the ladder (dose ⊳ form ⊳ route ⊳ no-dose ⊳ not-in-annex
+    ⊳ no-generic) is exercised and the oracle derives the expected
+    label from the construction."""
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 55).alias("k")).distinct()
+    k = F.col("k")
+    gen = F.concat(F.lit("GEN"), k.cast("string"))
+    esoa_dose = (100 + 10 * k).cast("string")
+    tagged = ks.select(
+        F.when(k < 30, F.concat(gen, F.lit(" "), esoa_dose, F.lit(" MG TABLET")))
+        .when(k < 35, F.concat(gen, F.lit(" 500 MG IV")))
+        .when(k < 40, F.concat(gen, F.lit(" 500 MG CREAM")))
+        .when(k < 45, F.concat(gen, F.lit(" 500 MG TABLET")))
+        .when(k < 50, F.concat(gen, F.lit(" TABLET")))
+        .otherwise(F.concat(F.lit("UNTAGGED "), k.cast("string")))
+        .alias("raw_text"),
+        F.when(k < 50, gen).alias("generic_name"),
+        (k < 50).alias("matched"),
+    )
+    annex_dose = F.when((k % 3 == 0) | (k >= 30), 100 + 10 * k).otherwise(200 + 10 * k)
+    annex = (
+        ks.filter((k < 40) | ((k >= 45) & (k < 50)))
+        .select(
+            F.concat(F.lit("D"), k.cast("string")).alias("drug_code"),
+            F.concat(
+                gen,
+                F.lit(" "),
+                F.when(k < 30, annex_dose.cast("string")).otherwise(F.lit("500")),
+                F.when(k.between(30, 34), F.lit(" MG ORAL")).otherwise(F.lit(" MG TABLET")),
+            ).alias("drug_description"),
+        )
+    )
+    return bridge_to_drug_codes(tagged, annex).select(
+        "raw_text", "generic_name", "drug_code", "match_reason"
+    )

@@ -32,9 +32,16 @@ from pyspark.sql import functions as F
 import pandas as pd
 from pyspark.sql import types as T
 
+from ..functions.details import extract_drug_details
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
+from ..functions.routes_forms import form_equivalent_col, parse_form_col
 from ..functions.text import normalize_text
-from ..functions.tokens import normalize_generic_combination_native, strip_salt_suffix
+from ..functions.tokens import (
+    normalize_generic_combination_native,
+    singularize_py,
+    strip_salt_suffix,
+)
+from ..functions.constants import REGIONAL_CANONICAL
 from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
 
 
@@ -50,6 +57,33 @@ def _classify_input(text: pd.Series, n_comp: pd.Series) -> pd.Series:
     )
 
 FUZZY_MIN_RATIO = 85.0
+
+
+def _singular_key(key) -> "F.Column":
+    """Native twin of singularize_py applied to the FIRST word of a
+    lowercase key (F29, lookup.py:52-94): IES→Y, [sxzh]ES→drop ES,
+    other ES/S→drop one S; SS never strips. Parity pinned by
+    tests/test_tagger.py::test_native_singularize_parity."""
+    words = F.split(key, " ")
+    first = F.element_at(words, 1)
+
+    def chop(n: int):
+        return F.substring(first, F.lit(1), F.length(first) - n)
+
+    sing_first = (
+        F.when(first.endswith("ies"), F.concat(chop(3), F.lit("y")))
+        .when(
+            first.endswith("es")
+            & (F.length(first) > 3)
+            & F.substring(first, -3, 1).isin("s", "x", "z", "h"),
+            chop(2),
+        )
+        .when(first.endswith("es") & (F.length(first) > 3), chop(1))
+        .when(first.endswith("s") & ~first.endswith("ss"), chop(1))
+        .otherwise(first)
+    )
+    tail = F.array_join(F.slice(words, 2, 100000), " ")
+    return F.when(tail == "", sing_first).otherwise(F.concat_ws(" ", sing_first, tail))
 
 PRIORITY_MIXTURE = 0
 PRIORITY_TOKEN = 1
@@ -75,6 +109,10 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
         .withColumn("n_comp", F.size("components"))
         .withColumn("vaccine_canon", _vaccine_canon(F.col("raw_text")))
         .withColumn("input_class", _classify_input(F.col("raw_text"), F.col("n_comp")))
+        # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
+        # and the parsed input form (native twin — stays in codegen)
+        .withColumn("details", extract_drug_details(F.col("raw_text")))
+        .withColumn("input_form", parse_form_col(F.col("raw_text")))
     )
     # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
     # combos, final join): without persist the pandas_udf extraction
@@ -117,6 +155,21 @@ def _token_matches(
         )
         tiers.append(syn_hit)
         unmatched = unmatched.join(syn, unmatched.key == F.col("skey"), "left_anti")
+
+    # Singular retry tier (F29, lookup.py:52-94): plural first word →
+    # singular, re-probe the generics dim.
+    sing = unmatched.withColumn("skey", _singular_key(F.col("key"))).filter(
+        F.col("skey") != F.col("key")
+    )
+    sing_hit = sing.join(g, sing.skey == F.col("gkey")).select(
+        "raw_text", "key", "generic_name", "drugbank_id",
+        F.lit(PRIORITY_TOKEN).alias("match_priority"),
+        F.lit("singular").alias("match_reason"),
+    )
+    tiers.append(sing_hit)
+    unmatched = unmatched.join(
+        g, _singular_key(unmatched.key) == F.col("gkey"), "left_anti"
+    )
 
     if brands_dim is not None:
         br = F.broadcast(
@@ -197,6 +250,7 @@ def tag_descriptions(
     synonyms_dim: DataFrame | None = None,
     brands_dim: DataFrame | None = None,
     mixtures_dim: DataFrame | None = None,
+    fda_food_dim: DataFrame | None = None,
     text_col: str = "raw_text",
 ) -> DataFrame:
     """Tag each distinct description with (generic_name, drugbank_id,
@@ -289,50 +343,113 @@ def tag_descriptions(
     atc = F.broadcast(
         atc_dim.select(F.col("generic_name").alias("atc_generic"), "atc_code", "is_combination_atc")
     )
+    atc_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("is_combination_atc").cast("int").alias("combo"),
+                F.length("atc_code").alias("len"),
+                F.col("atc_code").alias("code"),
+            )
+        )
+    )
     with_atc = (
         all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
         .groupBy("raw_text", "generic_name", "drugbank_id", "match_priority", "match_reason")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("is_combination_atc").cast("int").alias("combo"),
-                                F.length("atc_code").alias("len"),
-                                F.col("atc_code").alias("code"),
-                            )
-                        )
-                    ),
-                    lambda s: s["code"],
-                ),
-                "|",
-            ).alias("atc_codes")
+            F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|").alias("atc_codes"),
+            # the W2-preferred (first) ATC's combination flag drives
+            # the W1 atc_priority key
+            (F.element_at(atc_structs, 1)["combo"] == 1).alias("primary_is_combo"),
         )
     )
 
-    # --- stage 5: best candidate per doc (W1 tuple, fully explicit) ---
+    # --- stage 5: best candidate per doc (full W1 tuple, scoring.py:294-383:
+    # match_priority ⊳ atc_priority ⊳ form_priority ⊳ details_score ⊳
+    # −len(generic) ⊳ atc — every key explicit) ---
+    ranked_input = with_atc.join(
+        docs.select("raw_text", "n_comp", "details", "input_form"), "raw_text"
+    )
+    # single inputs prefer single-drug ATCs, combination inputs prefer
+    # combination ATCs (scoring.py:312-319); no-ATC candidates count as
+    # non-combination
+    primary_combo = F.coalesce(F.col("primary_is_combo"), F.lit(False))
+    atc_priority = F.when(
+        F.col("n_comp") >= 2, F.when(primary_combo, 0).otherwise(1)
+    ).otherwise(F.when(primary_combo, 1).otherwise(0))
+    # form_priority (scoring.py:321-329): exact 0, equivalent 1, else 2;
+    # no input form → 0. Dims without a form column yield null cand_form
+    # → constant 2 under an input form, exactly the reference's ''-form
+    # candidates.
+    cand_form = (
+        F.col("cand_form") if "cand_form" in with_atc.columns else F.lit(None).cast("string")
+    )
+    form_priority = F.when(F.col("input_form").isNull(), F.lit(0)).otherwise(
+        F.when(cand_form == F.col("input_form"), 0)
+        .when(form_equivalent_col(cand_form, F.col("input_form")), 1)
+        .otherwise(2)
+    )
+    # details_score (scoring.py:331-376): negative weight per input
+    # detail found in the candidate text; lower = better
+    cand_text = F.upper("generic_name")
+
+    def _hit(field: str, weight: int):
+        v = F.upper(F.col("details")[field])
+        return F.when(v.isNotNull() & (v != "") & cand_text.contains(v), weight).otherwise(0)
+
+    details_score = (
+        _hit("release_details", -10)
+        + _hit("type_details", -5)
+        + _hit("form_details", -5)
+        + _hit("indication_details", -5)
+        + _hit("salt_details", -3)
+        + _hit("brand_details", -1)
+        + _hit("alias_details", -2)
+        + _hit("iv_diluent_type", -5)
+    )
     w = W.partitionBy("raw_text").orderBy(
         F.asc("match_priority"),
+        F.asc("atc_priority"),
+        F.asc("form_priority"),
+        F.asc("details_score"),
         F.desc(F.length("generic_name")),
-        F.asc("generic_name"),
         F.asc("atc_codes"),
+        F.asc("generic_name"),
     )
     best = (
-        with_atc.withColumn("rn", F.row_number().over(w))
+        ranked_input.withColumn("atc_priority", atc_priority)
+        .withColumn("form_priority", form_priority)
+        .withColumn("details_score", details_score)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("atc_primary", F.split("atc_codes", "\\|").getItem(0))
+        .select(
+            "raw_text", "generic_name", "drugbank_id", "match_priority",
+            "match_reason", "atc_codes",
+            F.split("atc_codes", "\\|").getItem(0).alias("atc_primary"),
+        )
     )
     # Vaccine override at result assembly (tagger.py:953-1028): the
     # canonical vaccine name supersedes whatever the token tiers found.
-    return (
+    # Regional canonical names (unified_constants.py:1716-1734) map US
+    # spellings to the PH/WHO output names; components inside
+    # combinations map too.
+    regional = F.create_map(*[F.lit(x) for kv in REGIONAL_CANONICAL.items() for x in kv])
+    regionalized = F.when(
+        F.col("generic_name").isNotNull(),
+        F.array_join(
+            F.transform(
+                F.split(F.col("generic_name"), " \\+ "),
+                lambda c: F.coalesce(regional[c], c),
+            ),
+            " + ",
+        ),
+    )
+    tagged = (
         docs.select(
             "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon"
         )
         .join(best, "raw_text", "left")
         .withColumn(
-            "generic_name", F.coalesce("vaccine_canon", "generic_name")
+            "generic_name", F.coalesce("vaccine_canon", regionalized)
         )
         .withColumn(
             "match_reason",
@@ -342,4 +459,53 @@ def tag_descriptions(
         )
         .withColumn("matched", F.col("generic_name").isNotNull())
         .drop("vaccine_canon")
+    )
+    if fda_food_dim is not None:
+        tagged = _apply_fda_food(tagged, fda_food_dim)
+    return tagged
+
+
+def _apply_fda_food(tagged: DataFrame, fda_food_dim: DataFrame) -> DataFrame:
+    """FDA food disambiguation (runners.py:1428-1496): an UNMATCHED
+    text that hits the food registry (whole text, else any token ≥ 4
+    chars) is food, not an unrecognized drug — label it so instead of
+    'unmatched'. Broadcast lookups; token probe only on the unmatched
+    slice."""
+    food = F.broadcast(
+        fda_food_dim.select(
+            F.upper(F.trim("food_name")).alias("food_key"),
+            F.col("food_type"),
+        ).filter((F.col("food_key") != "") & (F.col("food_key") != "-"))
+    )
+    direct = food.select("food_key", F.col("food_type").alias("direct_type")).dropDuplicates(
+        ["food_key"]
+    )
+    with_direct = tagged.join(
+        direct, F.upper(F.trim(tagged.raw_text)) == direct.food_key, "left"
+    ).drop("food_key")
+
+    unmatched = with_direct.filter(~F.col("matched") & F.col("direct_type").isNull())
+    tok = unmatched.select(
+        "raw_text",
+        F.posexplode(F.split(F.upper(F.trim("raw_text")), r"\s+")).alias("pos", "tok"),
+    ).filter(F.length("tok") >= 4)
+    tok_hit = (
+        tok.join(food, tok.tok == food.food_key)
+        .groupBy("raw_text")
+        .agg(F.min_by("food_type", F.struct("pos", "food_type")).alias("token_type"))
+    )
+    return (
+        with_direct.join(tok_hit, "raw_text", "left")
+        .withColumn(
+            "food_match",
+            F.when(~F.col("matched"), F.coalesce(
+                F.col("direct_type"),
+                F.concat(F.col("token_type"), F.lit("_partial")),
+            )),
+        )
+        .withColumn(
+            "match_reason",
+            F.coalesce(F.col("food_match"), F.col("match_reason")),
+        )
+        .drop("direct_type", "token_type")
     )

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions (test suites, notebooks, services) leak
+        # broadcast vars and shuffle state until a full GC lets the
+        # ContextCleaner reap them; with a large heap that GC comes too
+        # late and the JVM storms instead. Force a periodic GC so
+        # cleanup is continuous — same knob you'd set on a shared
+        # cluster driver.
+        .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.ui.enabled", "true" if ui else "false")
     )
     for k, v in (extra_conf or {}).items():

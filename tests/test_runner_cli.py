@@ -74,7 +74,7 @@ def test_run_drugs_all_flow(spark, flow_inputs, tmp_path):
     bridged = {r.raw_text: r for r in res.esoa_with_drug_code.collect()}
     assert bridged["PARACETAMOL 500MG TAB"].drug_code == "D001"
     assert bridged["BIOGESIC 500 MG TABLET"].drug_code == "D001"
-    assert bridged["AMOXICILLIN 500MG CAP"].match_reason == "dose_mismatch"
+    assert bridged["AMOXICILLIN 500MG CAP"].match_reason == "no_perfect_match:dose_mismatch"
     assert bridged["MYSTERY TONIC"].match_reason == "no_generic"
     assert res.coverage["esoa_drug_code"] == 3
 

@@ -189,3 +189,131 @@ def test_vaccine_override_and_input_class(spark, dims):
     single = out["PARACETAMOL 500MG TAB"]
     assert single.input_class == "single"
     assert single.match_reason == "exact"
+
+
+def test_native_form_parse_parity(spark):
+    """parse_form_col must agree with parse_form_py."""
+    from pyspark.sql import functions as F
+
+    from pids_drg_esoa_spark.functions.routes_forms import parse_form_col, parse_form_py
+
+    texts = [
+        "PARACETAMOL 500MG TABLET", "AMOXICILLIN SUSP 250MG/5ML",
+        "SALBUTAMOL NEBULE", "NO FORM HERE", "HYDROCORTISONE CREAM 1%",
+        "CEFTRIAXONE VIAL", "IBUPROFEN CAPLET", "X SYRUP 60ML", "",
+        "MULTICAP TABLETS",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string").withColumn(
+        "native", parse_form_col(F.col("t"))
+    )
+    for row in df.collect():
+        assert row.native == parse_form_py(row.t), row.t
+
+
+def test_w1_atc_priority_combo_input(spark, dims):
+    """scoring.py:312-319 — a combination input prefers the candidate
+    whose preferred ATC is a combination ATC, even when the
+    alternative sorts earlier lexically / equal length."""
+    mixtures = spark.createDataFrame(
+        [
+            ("aaa|bbb", "MIXAC + MIXBA", "DBM1"),  # non-combo ATC
+            ("aaa|bbb", "MIXAA + MIXBB", "DBM2"),  # combo ATC, later name
+        ],
+        "component_key string, mixture_name string, drugbank_id string",
+    )
+    atc = spark.createDataFrame(
+        [
+            ("MIXAC + MIXBA", "C09AA01", False),
+            ("MIXAA + MIXBB", "C09DA01", True),
+        ],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    d = dict(dims)
+    d["mixtures_dim"] = mixtures
+    d["atc_dim"] = atc
+    out = _tag(spark, d, ["AAA + BBB 10MG"])
+    row = out["AAA + BBB 10MG"]
+    # without atc_priority the lexically-earlier MIXAC + MIXBA would win
+    assert row.generic_name == "MIXAA + MIXBB"
+
+
+def test_w1_details_score_release_preference(spark, dims):
+    """scoring.py:331-376 — the candidate whose name carries the
+    input's release modifier wins the tie."""
+    generics = spark.createDataFrame(
+        [("NIFEDIPINE GITS A", "DB1"), ("NIFEDIPINE MR AA", "DB2")],
+        "generic_name string, drugbank_id string",
+    )
+    d = dict(dims)
+    d["generics_dim"] = generics
+    d["synonyms_dim"] = None
+    d["brands_dim"] = None
+    d["mixtures_dim"] = None
+    # prefix tier matches both 16-char candidates; input release 'MR'
+    # appears only in the second → details_score −10 beats name order
+    out = _tag(spark, d, ["NIFEDIPINE 30 MG MR TABLET"])
+    assert out["NIFEDIPINE 30 MG MR TABLET"].generic_name == "NIFEDIPINE MR AA"
+
+
+def test_native_singularize_parity(spark):
+    from pyspark.sql import functions as F
+
+    from pids_drg_esoa_spark.functions.tokens import singularize_py
+    from pids_drg_esoa_spark.plans.tagger import _singular_key
+
+    words = ["tablets", "berries", "boxes", "doses", "glass", "vitamins b",
+             "amoxicillins", "s", "es", "ies", "classes", "gas", "x y z"]
+    df = spark.createDataFrame([(w,) for w in words], "key string").withColumn(
+        "native", _singular_key(F.col("key"))
+    )
+    for row in df.collect():
+        parts = row.key.split(" ")
+        expected = " ".join([singularize_py(parts[0]).lower()] + parts[1:])
+        assert row.native == expected, (row.key, row.native, expected)
+
+
+def test_singular_retry_tier(spark, dims):
+    # 'PARACETAMOLS 500MG TAB' — plural token misses exact, retries
+    # singular (F29) and lands on PARACETAMOL
+    out = _tag(spark, dims, ["PARACETAMOLS 500MG TAB"])
+    row = out["PARACETAMOLS 500MG TAB"]
+    assert (row.generic_name, row.match_reason) == ("PARACETAMOL", "singular")
+
+
+def test_regional_canonical_names(spark, dims):
+    """US names map to PH/WHO canonical in outputs (F29-adjacent,
+    unified_constants.py:1716-1734)."""
+    generics = spark.createDataFrame(
+        [("ACETAMINOPHEN", "DB00316"), ("ALBUTEROL", "DB01001")],
+        "generic_name string, drugbank_id string",
+    )
+    d = dict(dims)
+    d["generics_dim"] = generics
+    d["synonyms_dim"] = None
+    d["brands_dim"] = None
+    d["mixtures_dim"] = None
+    out = _tag(spark, d, ["ACETAMINOPHEN 500MG TAB", "ALBUTEROL NEBULE"])
+    assert out["ACETAMINOPHEN 500MG TAB"].generic_name == "PARACETAMOL"
+    assert out["ALBUTEROL NEBULE"].generic_name == "SALBUTAMOL"
+
+
+def test_fda_food_disambiguation(spark, dims):
+    """Unmatched texts that hit the FDA food registry are labeled food
+    (runners.py:1428-1496), not 'unmatched'; matched drugs unaffected."""
+    food = spark.createDataFrame(
+        [
+            ("ENERGY BISCUIT", "fda_food_product", "R-001"),
+            ("KOOLAID", "fda_food_brand", "R-002"),
+        ],
+        "food_name string, food_type string, registration string",
+    )
+    d = dict(dims)
+    d["fda_food_dim"] = food
+    out = _tag(
+        spark, d,
+        ["ENERGY BISCUIT", "CHOCO KOOLAID DRINK", "PARACETAMOL 500MG TAB", "TRULY UNKNOWN"],
+    )
+    assert out["ENERGY BISCUIT"].match_reason == "fda_food_product"
+    assert out["CHOCO KOOLAID DRINK"].match_reason == "fda_food_brand_partial"
+    assert out["PARACETAMOL 500MG TAB"].match_reason == "exact"
+    assert out["TRULY UNKNOWN"].match_reason == "unmatched"
