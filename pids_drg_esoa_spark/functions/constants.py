@@ -5,10 +5,9 @@ unified_constants.py (stopwords :39-99, salt tokens :127-161,
 FORM_CANON :326-486, ROUTE_CANON :492-545, FORM_TO_ROUTES :551-793,
 form equivalence :799-820, unit factors :827-856, combination-ATC
 patterns :864-896, synonyms :1038-1237, garbage tokens :1016-1031).
-Here each becomes a small broadcastable mapping with the same
-structure; entries are representative (drawn from public
-pharmacology — WHO ATC conventions, USP dosage-form vocabulary) and
-grow by data edits, never code edits.
+The FULL tables are ported as data in vocab_full.py (lowercased to
+this repo's normalize-early convention) and re-exported here under
+the original names; repo-specific additions are listed explicitly.
 
 At scale these ship to executors once as broadcast variables /
 literal maps inside expressions — never a per-row Python closure.
@@ -16,95 +15,40 @@ literal maps inside expressions — never a per-row Python closure.
 
 from __future__ import annotations
 
+from .vocab_full import (
+    FORM_CANON_FULL,
+    MULTIWORD_GENERICS_FULL,
+    PURE_SALT_COMPOUNDS_FULL,
+    ROUTE_CANON_FULL,
+    SALT_TOKENS_FULL,
+    STOPWORDS_FULL,
+)
+
 # Tokens that never carry meaning for generic-name matching
 # (reference GARBAGE_TOKENS / packaging stopwords).
-STOPWORDS: frozenset[str] = frozenset(
-    """
-    a an and as by each for in of on or per the to with w/ w/o
-    bottle box vial amp ampule ampoule blister pack sachet tube
-    nebule drop drops free sugar
-    """.split()
-)
+STOPWORDS: frozenset[str] = frozenset(STOPWORDS_FULL)
 
 # Salt / ester descriptors that attach to a base molecule
 # (reference SALT_TOKENS text_utils.py context; used by
 # extract_base_and_salts F6 and strip_salt_suffix F22).
-SALT_TOKENS: frozenset[str] = frozenset(
-    """
-    hydrochloride hcl sodium potassium calcium magnesium sulfate
-    sulphate phosphate acetate citrate tartrate maleate mesylate
-    besilate besylate fumarate succinate stearate palmitate
-    decanoate valerate propionate dipropionate butyrate nitrate
-    bromide chloride iodide gluconate lactate carbonate bicarbonate
-    trometamol dihydrate monohydrate anhydrous base
-    """.split()
-)
+SALT_TOKENS: frozenset[str] = frozenset(SALT_TOKENS_FULL)
 
-# Dosage-form canonicalization (reference FORM_CANON).
-FORM_CANON: dict[str, str] = {
-    "tab": "tablet",
-    "tabs": "tablet",
-    "tablet": "tablet",
-    "tablets": "tablet",
-    "cap": "capsule",
-    "caps": "capsule",
-    "capsule": "capsule",
-    "capsules": "capsule",
-    "susp": "suspension",
-    "suspension": "suspension",
-    "syr": "syrup",
-    "syrup": "syrup",
-    "sol": "solution",
-    "soln": "solution",
-    "solution": "solution",
-    "inj": "injection",
-    "injection": "injection",
-    "amp": "injection",
-    "vial": "injection",
-    "cream": "cream",
+# Dosage-form canonicalization: the FULL reference FORM_CANON
+# (lowercased), plus repo aliases the reference resolves elsewhere.
+FORM_CANON: dict[str, str] = dict(FORM_CANON_FULL)
+FORM_CANON.update({
     "oint": "ointment",
-    "ointment": "ointment",
-    "gel": "gel",
-    "supp": "suppository",
-    "suppository": "suppository",
-    "neb": "nebule",
-    "nebule": "nebule",
-    "mdi": "inhaler",
-    "inhaler": "inhaler",
-    "patch": "patch",
-    "sachet": "sachet",
-    "powder": "powder",
-    "lotion": "lotion",
-    "spray": "spray",
-    "drops": "drops",
-}
+})
 
-# Route canonicalization (reference ROUTE_CANON + map_route_token
-# routes_forms.py:23-49 — 'Inj.:' expands to parenteral routes).
-ROUTE_CANON: dict[str, str] = {
-    "po": "oral",
-    "oral": "oral",
+# Route canonicalization: the FULL reference ROUTE_CANON (lowercased),
+# plus repo aliases ('Inj.:'-style labels expand via
+# ROUTE_LABEL_EXPANSION below).
+ROUTE_CANON: dict[str, str] = dict(ROUTE_CANON_FULL)
+ROUTE_CANON.update({
     "orally": "oral",
-    "iv": "intravenous",
-    "intravenous": "intravenous",
-    "im": "intramuscular",
-    "intramuscular": "intramuscular",
-    "sc": "subcutaneous",
-    "subcut": "subcutaneous",
-    "subcutaneous": "subcutaneous",
-    "sl": "sublingual",
-    "sublingual": "sublingual",
-    "top": "topical",
-    "topical": "topical",
-    "oph": "ophthalmic",
-    "ophthalmic": "ophthalmic",
-    "otic": "otic",
-    "nasal": "nasal",
-    "rectal": "rectal",
-    "vaginal": "vaginal",
-    "inhalation": "inhalation",
     "inhaled": "inhalation",
-}
+    "top": "topical",
+})
 
 # Multi-route label expansion ("Inj.:" → parenteral family).
 ROUTE_LABEL_EXPANSION: dict[str, tuple[str, ...]] = {
@@ -141,14 +85,30 @@ FORM_TO_ROUTES: dict[str, tuple[str, ...]] = {
     "spray": ("nasal", "topical"),
 }
 
-# Interchangeable-form equivalence groups (reference FORM_EQUIVALENTS
-# scoring.py:73-86: tablet↔capsule, syrup↔suspension↔solution…).
+# Interchangeable-form equivalence groups (reference
+# FORM_EQUIVALENCE_GROUPS, unified_constants.py:799-817, lowercased;
+# note suspension and drops are their OWN groups — different
+# preparation).
 FORM_EQUIVALENCE_GROUPS: tuple[frozenset[str], ...] = (
-    frozenset({"tablet", "capsule"}),
-    frozenset({"syrup", "suspension", "solution", "drops"}),
-    frozenset({"cream", "ointment", "gel", "lotion"}),
-    frozenset({"nebule", "inhaler"}),
+    frozenset({"tablet", "capsule", "caplet"}),
+    frozenset({"solution", "syrup", "elixir"}),
+    frozenset({"suspension"}),
+    frozenset({"cream", "ointment", "gel"}),
+    frozenset({"injection", "ampule", "vial"}),
+    frozenset({"inhaler", "aerosol", "mdi", "nebule", "dpi"}),
+    frozenset({"drops"}),
 )
+
+# Multiword generic names (reference MULTIWORD_GENERICS): protected as
+# single tokens during combination extraction so stopword filtering
+# ('acid', 'and', …) can't split them.
+MULTIWORD_GENERICS: tuple[str, ...] = tuple(
+    sorted(MULTIWORD_GENERICS_FULL, key=len, reverse=True)
+)
+
+# Pure salt compounds (reference PURE_SALT_COMPOUNDS): never
+# salt-stripped — the compound IS the drug.
+PURE_SALT_COMPOUNDS: frozenset[str] = frozenset(PURE_SALT_COMPOUNDS_FULL)
 
 # Mass-unit → mg factors (reference UNIT_TO_MG).
 UNIT_TO_MG: dict[str, float] = {

@@ -27,7 +27,14 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .constants import FORM_CANON, ROUTE_CANON, SALT_TOKENS, STOPWORDS
+from .constants import (
+    FORM_CANON,
+    MULTIWORD_GENERICS,
+    PURE_SALT_COMPOUNDS,
+    ROUTE_CANON,
+    SALT_TOKENS,
+    STOPWORDS,
+)
 from .dose import _AMOUNT_RE, _PACK_RE, _PCT_RE, _RATIO_RE
 from .text import normalize_text_py
 
@@ -47,9 +54,15 @@ _AS_SALT_TAIL = re.compile(r"\s+as\s+(.+)$", re.IGNORECASE)
 
 
 def _is_pure_salt_compound(tokens: list[str]) -> bool:
-    """Pure-salt protection (F22): every token is a salt descriptor ⇒
-    the whole thing IS the drug (SODIUM CHLORIDE), don't strip."""
-    return len(tokens) > 0 and all(t.lower() in SALT_TOKENS for t in tokens)
+    """Pure-salt protection (F22): the phrase is a known pure salt
+    compound (reference PURE_SALT_COMPOUNDS, lookup strip guard) or
+    every token is a salt descriptor ⇒ the whole thing IS the drug
+    (SODIUM CHLORIDE), don't strip."""
+    if not tokens:
+        return False
+    if " ".join(t.lower() for t in tokens) in PURE_SALT_COMPOUNDS:
+        return True
+    return all(t.lower() in SALT_TOKENS for t in tokens)
 
 
 def extract_base_and_salts_py(name: str | None) -> tuple[str, list[str]]:
@@ -107,6 +120,37 @@ def detect_compound_salts_py(parts: list[str]) -> list[str]:
     return out
 
 
+# Multiword-generic protection: 'clavulanic acid', 'amino acids' etc.
+# must survive stopword filtering ('acid'/'and' are stopwords in the
+# full vocabulary) — the reference extracts multiword generics FIRST
+# (normalize_tokens, tokenizer.py:1004-1014). Longest-first; the
+# underscore sentinel can't occur post-normalize_text (stripped there).
+def _multiword_variants() -> list[str]:
+    # protection happens AFTER normalize_text, so each entry must be
+    # matchable in normalized space: add the normalized spelling and
+    # the apostrophe-less one ("lactated ringer's" → "lactated
+    # ringer s" / "lactated ringers")
+    out: set[str] = set()
+    for m in MULTIWORD_GENERICS:
+        out.add(m)
+        out.add(normalize_text_py(m))
+        out.add(m.replace("'", ""))
+    return sorted((v for v in out if " " in v), key=len, reverse=True)
+
+
+_MULTIWORD_PROTECT = tuple(
+    (re.compile(r"\b" + re.escape(m) + r"\b"), m.replace(" ", "_"))
+    for m in _multiword_variants()
+)
+
+
+def _protect_multiwords(s: str) -> str:
+    for rx, repl in _MULTIWORD_PROTECT:
+        if rx.search(s):
+            s = rx.sub(repl, s)
+    return s
+
+
 def _clean_component(part: str) -> str:
     """Drop dose expressions, form/route/packaging tokens from one
     combination component."""
@@ -134,7 +178,7 @@ def normalize_generic_combination_py(text: str | None) -> str:
     # Parenthetical spans (brands, salt markers, packaging codes like
     # "(OP)") are extracted separately (F8) and excluded from generic
     # extraction (reference tokenizer.py:1113-1392 exclusion contexts).
-    s = normalize_text_py(re.sub(r"\([^)]*\)", " ", text))
+    s = _protect_multiwords(normalize_text_py(re.sub(r"\([^)]*\)", " ", text)))
     raw_parts = re.split(r"\bin\b|\bwith\b|\band\b|\+", s)
     parts = [p for p in (_clean_component(p) for p in raw_parts) if p]
     parts = detect_compound_salts_py(parts)
@@ -144,7 +188,7 @@ def normalize_generic_combination_py(text: str | None) -> str:
         if p not in seen:
             seen.add(p)
             uniq.append(p)
-    return " + ".join(p.upper() for p in uniq)
+    return " + ".join(p.replace("_", " ").upper() for p in uniq)
 
 
 def build_combination_keys_py(components: list[str]) -> list[str]:
@@ -224,20 +268,26 @@ def normalize_generic_combination_native(col):
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(c, r"\([^)]*\)", " ")
     s = normalize_text(s)
+    # multiword-generic protection — same patterns as the Python twin
+    for rx, repl in _MULTIWORD_PROTECT:
+        s = F.regexp_replace(s, rx.pattern, repl)
     for pat in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE):
         s = F.regexp_replace(s, pat, " ")
 
+    # isin over a big literal list compiles to a hashed InSet —
+    # O(1) per token, vs O(|vocab|) for array_contains (the full
+    # vocabulary is ~450 drop tokens)
     drop_tokens = sorted(
         {t for t in STOPWORDS} | {t for t in _FORM_ROUTE_TOKENS}
     )
-    drop_arr = F.array(*[F.lit(t) for t in drop_tokens])
-    ions_arr = F.array(*[F.lit(t) for t in sorted(PURE_IONS)])
+    ions = sorted(PURE_IONS)
+    ions_arr = F.array(*[F.lit(t) for t in ions])
 
     def clean_part(p: Column) -> Column:
         toks = F.filter(
             F.split(F.trim(p), " +"),
             lambda t: (t != "")
-            & ~F.array_contains(drop_arr, t)
+            & ~t.isin(drop_tokens)
             & ~t.rlike("^[0-9.]+$"),
         )
         return F.array_join(toks, " ")
@@ -294,7 +344,7 @@ def normalize_generic_combination_native(col):
             F.concat(acc, F.array(x))
         ),
     )
-    return F.upper(F.array_join(deduped, " + "))
+    return F.upper(F.regexp_replace(F.array_join(deduped, " + "), "_", " "))
 
 
 # ---------------------------------------------------------------------------
