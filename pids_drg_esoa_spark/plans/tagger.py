@@ -42,6 +42,7 @@ from ..functions.tokens import (
     strip_salt_suffix,
 )
 from ..functions.constants import REGIONAL_CANONICAL
+from ..functions.vocab_full import SPELLING_SYNONYMS_FULL
 from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
 
 
@@ -257,6 +258,21 @@ def tag_descriptions(
     atc_codes, match_reason). Returns one row per input text; callers
     join back on text (A6)."""
     docs = _components(esoa, text_col)
+
+    # The reference seeds its synonym dict with the SPELLING_SYNONYMS
+    # canonical rewrites and the regional→US reverse map BEFORE the
+    # table-derived entries (tagger.py:207-230); same seeding here —
+    # a constant broadcast dim unioned with whatever the caller gives.
+    seed_rows = [(k.upper(), v.upper()) for k, v in SPELLING_SYNONYMS_FULL.items()] + [
+        (v.upper(), k.upper()) for k, v in REGIONAL_CANONICAL.items()
+    ]
+    seed = esoa.sparkSession.createDataFrame(
+        seed_rows, "synonym string, generic_name string"
+    )
+    synonyms_dim = (
+        seed if synonyms_dim is None
+        else seed.unionByName(synonyms_dim.select("synonym", "generic_name"))
+    )
 
     # --- mixture tier: sorted component_key → unified_mixtures (J8) ---
     candidates = []
