@@ -203,11 +203,30 @@ def _extract_keyword_detail(
     return form_text, None
 
 
+# One-pass presence scans — a match is necessary for the keyword
+# extractors to return a detail, so a miss skips the 30-odd substring
+# probes on the (overwhelmingly common) plain texts.
+_RELEASE_SCAN_RE = re.compile(
+    "|".join(re.escape(k) for k in sorted(RELEASE_KEYWORDS, key=len, reverse=True))
+    + r"|\b(?:" + "|".join(sorted(RELEASE_ABBREVS)) + r")\b",
+    re.IGNORECASE,
+)
+_FORM_DETAIL_SCAN_RE = re.compile(
+    "|".join(re.escape(k) for k in sorted(FORM_DETAIL_KEYWORDS, key=len, reverse=True))
+    + r"|\b(?:" + "|".join(sorted(FORM_DETAIL_ABBREVS)) + r")\b",
+    re.IGNORECASE,
+)
+
+
 def extract_release_detail_py(form_text: str) -> tuple[str, str | None]:
+    if not _RELEASE_SCAN_RE.search(form_text):
+        return form_text, None
     return _extract_keyword_detail(form_text, RELEASE_KEYWORDS, RELEASE_ABBREVS)
 
 
 def extract_form_detail_py(form_text: str) -> tuple[str, str | None]:
+    if not _FORM_DETAIL_SCAN_RE.search(form_text):
+        return form_text, None
     return _extract_keyword_detail(form_text, FORM_DETAIL_KEYWORDS, FORM_DETAIL_ABBREVS)
 
 
@@ -373,6 +392,25 @@ _DETAIL_KEYS = (
     "diluent_details", "iv_diluent_type", "iv_diluent_amount",
 )
 
+# Fast-path gate: one scan whose match is a NECESSARY condition for any
+# of the expensive blocks (IV diluent, parens, diluent volumes, the
+# strip cascade, indication, comma aliases) to change anything. A text
+# like 'AMOXICILLIN 500 MG TABLET' — the overwhelmingly common shape —
+# skips ~30 regex passes. False positives only cost the slow path;
+# tests/fuzz pin that both paths agree with the reference.
+# NB: the strip patterns inherit the reference's unwrapped-alternation
+# precedence, so several keywords match as bare SUBSTRINGS — the
+# trigger must be at least as permissive (substring alternation; word
+# boundaries only where every consuming pattern has them).
+_HOT_TRIGGER_RE = re.compile(
+    r"[()+,%]"
+    r"|diluent|solvent|reconstitution|sterile|wfi|w\.?f\.?i"
+    r"|dose|vial|solution|suspension|powder|freeze|lyophil|ampoule|ampule"
+    r"|dl|ld|not\s+less"
+    r"|\b(?:in|for)\b",
+    re.IGNORECASE,
+)
+
 
 def extract_drug_details_py(drug_name: str | None) -> dict:
     """F15: the full reference extraction (tokenizer.py:330-744)."""
@@ -387,64 +425,70 @@ def extract_drug_details_py(drug_name: str | None) -> dict:
     working = drug_name.strip()
     result["generic_name"] = working.upper()
 
-    result["iv_diluent_type"], result["iv_diluent_amount"] = _extract_iv_diluent(working)
+    hot = bool(_HOT_TRIGGER_RE.search(working)) or working[:1].isdigit()
+    if hot:
+        result["iv_diluent_type"], result["iv_diluent_amount"] = _extract_iv_diluent(working)
 
-    # leading percentage moves to dose position: '0.9% NaCl' → 'NaCl 0.9%'
-    m = _PCT_START_RE.match(working)
-    if m:
-        working = f"{m.group(2)} {m.group(1)}%"
+        # leading percentage moves to dose position: '0.9% NaCl' → 'NaCl 0.9%'
+        m = _PCT_START_RE.match(working)
+        if m:
+            working = f"{m.group(2)} {m.group(1)}%"
 
-    working = re.sub(r"\(\s+", "(", working)
-    working = re.sub(r"\s+\)", ")", working)
+        working = re.sub(r"\(\s+", "(", working)
+        working = re.sub(r"\s+\)", ")", working)
 
-    result["diluent_details"] = _extract_diluent_volumes(working)
-    working = _strip_noise(working)
+        result["diluent_details"] = _extract_diluent_volumes(working)
+        working = _strip_noise(working)
 
-    salt_hits = _SALT_PAREN_RE.findall(working)
-    if salt_hits:
-        result["salt_details"] = "|".join(s.strip().upper() for s in salt_hits)
-        working = _SALT_PAREN_RE.sub("", working)
+        salt_hits = _SALT_PAREN_RE.findall(working)
+        if salt_hits:
+            result["salt_details"] = "|".join(s.strip().upper() for s in salt_hits)
+            working = _SALT_PAREN_RE.sub("", working)
 
-    ind = _INDICATION_RE.search(working)
-    if ind:
-        indication = ind.group(0).strip().upper()
-        if any(mk in indication for mk in _INDICATION_MARKERS):
-            result["indication_details"] = indication
-            working = working[: ind.start()] + working[ind.end():]
-    sol = _SOLUTIONS_FOR_RE.search(working)
-    if sol and not result["indication_details"]:
-        result["indication_details"] = sol.group(0).strip().upper()
-        working = working[: sol.start()] + "SOLUTIONS" + working[sol.end():]
+        ind = _INDICATION_RE.search(working)
+        if ind:
+            indication = ind.group(0).strip().upper()
+            if any(mk in indication for mk in _INDICATION_MARKERS):
+                result["indication_details"] = indication
+                working = working[: ind.start()] + working[ind.end():]
+        sol = _SOLUTIONS_FOR_RE.search(working)
+        if sol and not result["indication_details"]:
+            result["indication_details"] = sol.group(0).strip().upper()
+            working = working[: sol.start()] + "SOLUTIONS" + working[sol.end():]
 
-    aliases = []
-    for paren in _PAREN_RE.findall(working):
-        p = paren.strip().upper()
-        if re.match(r"^\d+", p) or any(u in p for u in ("MG", "ML", "MCG", "IU", "%")):
-            continue  # dose parenthetical
-        if p.startswith("AS "):
-            continue  # salt, already captured
-        aliases.append(p)
-    if aliases:
-        result["alias_details"] = "|".join(aliases)
-        for alias in aliases:
-            working = re.sub(r"\(\s*" + re.escape(alias) + r"\s*\)", "", working, flags=re.IGNORECASE)
-
-    # comma tail = alias, unless it's a multi-ingredient list
-    if "," in working and " + " not in working:
-        first, _, rest = working.partition(",")
-        is_multi = bool(re.search(r"\bAND\b", rest, re.IGNORECASE)) or "+" in rest
-        if not is_multi:
-            comma_details = [
-                p.strip().upper()
-                for p in rest.split(",")
-                if p.strip() and not re.match(r"^\d+", p.strip())
-            ]
-            if comma_details:
-                joined = "|".join(comma_details)
-                result["alias_details"] = (
-                    result["alias_details"] + "|" + joined if result["alias_details"] else joined
+        aliases = []
+        for paren in _PAREN_RE.findall(working):
+            p = paren.strip().upper()
+            if re.match(r"^\d+", p) or any(u in p for u in ("MG", "ML", "MCG", "IU", "%")):
+                continue  # dose parenthetical
+            if p.startswith("AS "):
+                continue  # salt, already captured
+            aliases.append(p)
+        if aliases:
+            result["alias_details"] = "|".join(aliases)
+            for alias in aliases:
+                working = re.sub(
+                    r"\(\s*" + re.escape(alias) + r"\s*\)", "", working, flags=re.IGNORECASE
                 )
-                working = first.strip()
+
+        # comma tail = alias, unless it's a multi-ingredient list
+        if "," in working and " + " not in working:
+            first, _, rest = working.partition(",")
+            is_multi = bool(re.search(r"\bAND\b", rest, re.IGNORECASE)) or "+" in rest
+            if not is_multi:
+                comma_details = [
+                    p.strip().upper()
+                    for p in rest.split(",")
+                    if p.strip() and not re.match(r"^\d+", p.strip())
+                ]
+                if comma_details:
+                    joined = "|".join(comma_details)
+                    result["alias_details"] = (
+                        result["alias_details"] + "|" + joined
+                        if result["alias_details"]
+                        else joined
+                    )
+                    working = first.strip()
 
     working = re.sub(r"\s+", " ", working).strip().upper()
 

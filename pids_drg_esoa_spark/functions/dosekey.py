@@ -342,13 +342,17 @@ def _segment_combo_total(text_upper: str) -> float | None:
     return None
 
 
-def dose_key_py(text: str | None, generic: str | None = None) -> DoseKey:
+def dose_key_py(
+    text: str | None, generic: str | None = None, details: dict | None = None
+) -> DoseKey:
     """``get_dose_key`` (runners.py:725-790): structured F15 columns
     first (IV w/v math), then the parse cascade, then NSS/D5/D10
-    inference from description+generic context."""
+    inference from description+generic context. Pass ``details`` when
+    the caller already ran the F15 extractor — it is the expensive
+    step and must not run twice per row."""
     if not text:
         return NONE_KEY
-    det = extract_drug_details_py(text)
+    det = details if details is not None else extract_drug_details_py(text)
 
     if det["iv_diluent_type"]:
         return DoseKey(

@@ -72,7 +72,8 @@ def parse_side(text: pd.Series, generic: pd.Series) -> pd.DataFrame:
     the generic for NSS/D5/D10 inference), form, route, F15 details."""
     doses, forms, routes, details = [], [], [], []
     for t, g in zip(text, generic):
-        k = dose_key_py(t, g)
+        det = extract_drug_details_py(t) if t else None
+        k = dose_key_py(t, g, details=det)
         doses.append(
             {
                 "kind": k.kind,
@@ -85,7 +86,7 @@ def parse_side(text: pd.Series, generic: pd.Series) -> pd.DataFrame:
         )
         forms.append((parse_form_py(t) or "").upper() or None)
         routes.append((parse_route_py(t)[0] or "").upper() or None)
-        details.append(extract_drug_details_py(t))
+        details.append(det if det is not None else extract_drug_details_py(t))
     return pd.DataFrame({"dose": doses, "form": forms, "route": routes, "details": details})
 
 

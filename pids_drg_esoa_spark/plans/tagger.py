@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..functions.details import extract_drug_details
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
 from ..functions.routes_forms import form_equivalent_col, parse_form_col
 from ..functions.text import normalize_text
@@ -46,15 +45,31 @@ from ..functions.vocab_full import SPELLING_SYNONYMS_FULL
 from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
 
 
-@F.pandas_udf(T.StringType())
-def _vaccine_canon(s: pd.Series) -> pd.Series:
-    return s.map(normalize_vaccine_name_py)
+from ..functions.details import DETAILS_SCHEMA, extract_drug_details_py  # noqa: E402
+
+_DOC_ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("vaccine_canon", T.StringType()),
+        T.StructField("input_class", T.StringType()),
+        T.StructField("details", DETAILS_SCHEMA),
+    ]
+)
 
 
-@F.pandas_udf(T.StringType())
-def _classify_input(text: pd.Series, n_comp: pd.Series) -> pd.Series:
-    return pd.Series(
-        [classify_input_py(t, int(n) if n is not None else 0) for t, n in zip(text, n_comp)]
+@F.pandas_udf(_DOC_ENRICH_SCHEMA)
+def _doc_enrich(text: pd.Series, n_comp: pd.Series) -> pd.DataFrame:
+    """ONE Arrow crossing for all per-doc Python: vaccine canon, input
+    classification, and the F15 details struct (three separate UDFs
+    measured ~3× the batch-transfer cost)."""
+    return pd.DataFrame(
+        {
+            "vaccine_canon": [normalize_vaccine_name_py(t) for t in text],
+            "input_class": [
+                classify_input_py(t, int(n) if n is not None else 0)
+                for t, n in zip(text, n_comp)
+            ],
+            "details": [extract_drug_details_py(t) for t in text],
+        }
     )
 
 FUZZY_MIN_RATIO = 85.0
@@ -108,12 +123,14 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
             F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
         )
         .withColumn("n_comp", F.size("components"))
-        .withColumn("vaccine_canon", _vaccine_canon(F.col("raw_text")))
-        .withColumn("input_class", _classify_input(F.col("raw_text"), F.col("n_comp")))
+        .withColumn("enrich", _doc_enrich(F.col("raw_text"), F.col("n_comp")))
+        .withColumn("vaccine_canon", F.col("enrich.vaccine_canon"))
+        .withColumn("input_class", F.col("enrich.input_class"))
         # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
         # and the parsed input form (native twin — stays in codegen)
-        .withColumn("details", extract_drug_details(F.col("raw_text")))
+        .withColumn("details", F.col("enrich.details"))
         .withColumn("input_form", parse_form_col(F.col("raw_text")))
+        .drop("enrich")
     )
     # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
     # combos, final join): without persist the pandas_udf extraction
@@ -127,89 +144,74 @@ def _token_matches(
     keys: DataFrame, generics_dim: DataFrame, synonyms_dim: DataFrame | None,
     brands_dim: DataFrame | None,
 ) -> DataFrame:
-    """Stage 3 for single tokens: exact ⊳ synonym ⊳ brand ⊳ fuzzy,
-    each tier consuming only the previous tier's misses (the
-    reference's cascade, lookup.py:223-306)."""
+    """Stage 3 for single tokens: exact ⊳ synonym ⊳ singular ⊳ brand ⊳
+    prefix ⊳ fuzzy (the reference's cascade, lookup.py:223-306).
+
+    Spark-first shape: the literal cascade (each tier consuming the
+    previous tier's misses via anti-joins) builds a lineage where the
+    keys subtree re-executes once per tier branch — measured ~5× the
+    whole-tagger cost at 146K rows. Instead every tier probes ``keys``
+    INDEPENDENTLY (all broadcast joins, one pass over the fact side)
+    and a final per-(raw_text, key) argmin over the tier order keeps
+    exactly the rows the sequential cascade would have kept."""
+    keys = keys.persist()  # probed by every tier
     g = F.broadcast(generics_dim.select(F.lower("generic_name").alias("gkey"),
                                         "generic_name", "drugbank_id"))
 
-    exact = keys.join(g, keys.key == F.col("gkey")).select(
-        "raw_text", "key", "generic_name", "drugbank_id",
-        F.lit(PRIORITY_TOKEN).alias("match_priority"), F.lit("exact").alias("match_reason"),
-    )
-    unmatched = keys.join(g, keys.key == F.col("gkey"), "left_anti")
+    def tier(df: DataFrame, order: int, priority: int, reason: str) -> DataFrame:
+        return df.select(
+            "raw_text", "key", "generic_name", "drugbank_id",
+            F.lit(order).alias("tier_order"),
+            F.lit(priority).alias("match_priority"),
+            F.lit(reason).alias("match_reason"),
+        )
 
-    tiers = [exact]
+    tiers = [tier(keys.join(g, keys.key == F.col("gkey")), 0, PRIORITY_TOKEN, "exact")]
+
     if synonyms_dim is not None:
         syn = F.broadcast(
             synonyms_dim.select(F.lower("synonym").alias("skey"),
                                 F.lower("generic_name").alias("target_key"))
         )
-        syn_hit = (
-            unmatched.join(syn, unmatched.key == F.col("skey"))
-            .join(g, F.col("target_key") == F.col("gkey"))
-            .select(
-                "raw_text", "key", "generic_name", "drugbank_id",
-                F.lit(PRIORITY_TOKEN).alias("match_priority"),
-                F.lit("synonym").alias("match_reason"),
+        tiers.append(
+            tier(
+                keys.join(syn, keys.key == F.col("skey"))
+                .join(g, F.col("target_key") == F.col("gkey")),
+                1, PRIORITY_TOKEN, "synonym",
             )
         )
-        tiers.append(syn_hit)
-        unmatched = unmatched.join(syn, unmatched.key == F.col("skey"), "left_anti")
 
-    # Singular retry tier (F29, lookup.py:52-94): plural first word →
+    # Singular retry (F29, lookup.py:52-94): plural first word →
     # singular, re-probe the generics dim.
-    sing = unmatched.withColumn("skey", _singular_key(F.col("key"))).filter(
-        F.col("skey") != F.col("key")
+    sing = keys.withColumn("skey2", _singular_key(F.col("key"))).filter(
+        F.col("skey2") != F.col("key")
     )
-    sing_hit = sing.join(g, sing.skey == F.col("gkey")).select(
-        "raw_text", "key", "generic_name", "drugbank_id",
-        F.lit(PRIORITY_TOKEN).alias("match_priority"),
-        F.lit("singular").alias("match_reason"),
-    )
-    tiers.append(sing_hit)
-    unmatched = unmatched.join(
-        g, _singular_key(unmatched.key) == F.col("gkey"), "left_anti"
-    )
+    tiers.append(tier(sing.join(g, sing.skey2 == F.col("gkey")), 2, PRIORITY_TOKEN, "singular"))
 
     if brands_dim is not None:
         br = F.broadcast(
             brands_dim.select(F.lower("brand_name").alias("bkey"),
                               F.lower("generic_name").alias("target_key"))
         )
-        brand_hit = (
-            unmatched.join(br, unmatched.key == F.col("bkey"))
-            .join(g, F.col("target_key") == F.col("gkey"))
-            .select(
-                "raw_text", "key", "generic_name", "drugbank_id",
-                F.lit(PRIORITY_BRAND).alias("match_priority"),
-                F.lit("brand").alias("match_reason"),
+        tiers.append(
+            tier(
+                keys.join(br, keys.key == F.col("bkey"))
+                .join(g, F.col("target_key") == F.col("gkey")),
+                3, PRIORITY_BRAND, "brand",
             )
         )
-        tiers.append(brand_hit)
-        unmatched = unmatched.join(br, unmatched.key == F.col("bkey"), "left_anti")
 
-    # Prefix tier (lookup.py:287-295 via lookup_generic_prefix):
-    # dim name starts with "<token> " — catches salt-suffixed dims
-    # ('amoxicillin' → 'AMOXICILLIN TRIHYDRATE', fuzzy ratio ~67
-    # would miss it). Reference keeps LIMIT 3 ordered by length;
-    # same top-3 here so downstream selection sees the same pool.
-    pref = unmatched.join(
-        g, F.col("gkey").startswith(F.concat(unmatched.key, F.lit(" ")))
-    )
+    # Prefix tier (lookup.py:287-295): dim name starts with "<token> "
+    # — catches salt-suffixed dims ('amoxicillin' → 'AMOXICILLIN
+    # TRIHYDRATE', fuzzy ratio ~67 would miss it). Reference keeps
+    # LIMIT 3 ordered by length; same top-3 here.
+    pref = keys.join(g, F.col("gkey").startswith(F.concat(keys.key, F.lit(" "))))
     wp = W.partitionBy("raw_text", "key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
-    prefix_hit = (
-        pref.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "raw_text", "key", "generic_name", "drugbank_id",
-            F.lit(PRIORITY_PREFIX).alias("match_priority"),
-            F.lit("prefix").alias("match_reason"),
+    tiers.append(
+        tier(
+            pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3),
+            4, PRIORITY_PREFIX, "prefix",
         )
-    )
-    tiers.append(prefix_hit)
-    unmatched = unmatched.join(
-        g, F.col("gkey").startswith(F.concat(unmatched.key, F.lit(" "))), "left_anti"
     )
 
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
@@ -217,9 +219,9 @@ def _token_matches(
     # threshold; a first-letter block would drop leading-char typos
     # like 'setirizine'→'cetirizine' @ ratio 90, which the reference's
     # unblocked rapidfuzz scan keeps). Python scorer only on survivors.
-    blocked = unmatched.filter(F.length("key") >= 4).join(
+    blocked = keys.filter(F.length("key") >= 4).join(
         g,
-        length_band_filter(F.length(unmatched.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+        length_band_filter(F.length(keys.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
     )
     scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
         F.col("ratio") >= FUZZY_MIN_RATIO
@@ -227,21 +229,23 @@ def _token_matches(
     w = W.partitionBy("raw_text", "key").orderBy(
         F.desc("ratio"), F.asc(F.length("gkey")), F.asc("gkey")
     )
-    fuzzy_hit = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "raw_text", "key", "generic_name", "drugbank_id",
-            F.lit(PRIORITY_FUZZY).alias("match_priority"),
-            F.lit("fuzzy").alias("match_reason"),
+    tiers.append(
+        tier(
+            scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1),
+            5, PRIORITY_FUZZY, "fuzzy",
         )
     )
-    tiers.append(fuzzy_hit)
 
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)
-    return out
+    # cascade semantics: keep only the best tier that hit each key
+    wk = W.partitionBy("raw_text", "key")
+    return (
+        out.withColumn("best_tier", F.min("tier_order").over(wk))
+        .filter(F.col("tier_order") == F.col("best_tier"))
+        .drop("tier_order", "best_tier")
+    )
 
 
 def tag_descriptions(
