@@ -56,8 +56,8 @@ _MODULES = (
     "pids_drg_esoa_spark.operators.similarity",
     "pids_drg_esoa_spark.operators.textstats",
     "pids_drg_esoa_spark.streaming.windowed",
-    "pids_drg_esoa_spark.plans.bridge_demo",
     "pids_drg_esoa_spark.operators.multimodal",
+    "pids_drg_esoa_spark.plans.bridge_demo",
     "pids_drg_esoa_spark.plans.scalars",
     "pids_drg_esoa_spark.plans.temporal",
     "pids_drg_esoa_spark.plans.advanced",

@@ -266,3 +266,46 @@ def p4_bridge_strict_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridge_to_drug_codes(tagged, annex).select(
         "raw_text", "generic_name", "drug_code", "match_reason"
     )
+
+
+_W3_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 40 AS k FROM part)
+SELECT
+  'GEN' || k || ' 500 MG MR TABLET' AS raw_text,
+  CASE WHEN k % 2 = 0 THEN 'B' || k ELSE 'A' || k END AS drug_code,
+  'matched_perfect' AS match_reason
+FROM ks
+"""
+
+
+@register("w3_details_tiebreak_planted", oracle=_W3_ORACLE)
+def w3_details_tiebreak_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 tie-break under the oracle: every row has TWO valid
+    candidates; for even k the 'B' candidate's description carries the
+    eSOA's release modifier (details_score −10) and must win despite
+    sorting after 'A'; for odd k neither does and the drug_code
+    tie-break picks 'A'."""
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 40).alias("k")).distinct()
+    k = F.col("k")
+    gen = F.concat(F.lit("GEN"), k.cast("string"))
+    tagged = ks.select(
+        F.concat(gen, F.lit(" 500 MG MR TABLET")).alias("raw_text"),
+        gen.alias("generic_name"),
+        F.lit(True).alias("matched"),
+    )
+    a = ks.select(
+        F.concat(F.lit("A"), k.cast("string")).alias("drug_code"),
+        F.concat(gen, F.lit(" 500|MG|TABLET")).alias("drug_description"),
+    )
+    b = ks.select(
+        F.concat(F.lit("B"), k.cast("string")).alias("drug_code"),
+        F.concat(
+            gen,
+            F.when(k % 2 == 0, F.lit(" MR")).otherwise(F.lit("")),
+            F.lit(" 500|MG|TABLET"),
+        ).alias("drug_description"),
+    )
+    return bridge_to_drug_codes(tagged, a.unionByName(b)).select(
+        "raw_text", "drug_code", "match_reason"
+    )
