@@ -12,6 +12,33 @@
 
 Differential-tested against the reference implementation in
 tests/test_matching.py (same inputs, same (matches, reason) tuples).
+
+Round 3 adds the selection-side helpers that wire F33 into the
+tagger plan (the round-2 gap):
+
+- ``stripped_generics_py`` (tagger.py:624-630, 705-722): brand-swap →
+  pure-salt guard → salt-strip → defensive junk filter, per component.
+- ``input_generics_normalized_py`` (tagger.py:884-913): the per-doc
+  input set generics_match validates against — fuzzy corrections win
+  over synonym application, combo-key synonyms join the set (the
+  reference adds every ``apply_synonyms(ck) != ck`` combo-key variant,
+  which for multi-component inputs admits the uppercased key strings
+  themselves — replicated).
+- ``mixture_component_key_py`` (tagger.py:309-340 _lookup_mixture):
+  synonym-normalized, substring-deduped (longest first), sorted
+  '|'-join — the fallback mixture lookup key.
+- ``iv_vehicle_skip_py`` (scoring.py:249-266): for IV solutions, a
+  candidate matching the vehicle but not the active ingredient is
+  inadmissible.
+
+Known deterministic divergences from the reference (documented, not
+bugs): (a) ``generics_match`` iterates a Python ``set`` whose order
+is hash-randomized per process — the repo passes a SORTED list so the
+returned reason is stable; (b) fuzzy corrections map per-key (the
+token that actually fuzzy-matched) where the reference assigns each
+fuzzy match to the first not-yet-corrected token in input order
+(tagger.py:888-896) — identical except on multi-component inputs with
+multiple fuzzy hits.
 """
 
 from __future__ import annotations
@@ -94,3 +121,145 @@ def generics_match_py(
         return True, "substring"
 
     return False, "no_match"
+
+
+# ---------------------------------------------------------------------------
+# Selection-side helpers: build the per-doc input set the reference
+# validates candidates against, and the admission gates around it.
+# ---------------------------------------------------------------------------
+
+# Reference tagger.py:712-719 defensive filter on stripped generics.
+_SG_JUNK = frozenset(
+    {"FC", "EC", "SR", "XR", "ER", "DR", "NON-PNF", "NONPNF", "MG", "ML",
+     "TABLET", "CAPSULE", "SOLUTION"}
+)
+# Reference tagger.py:906,912 normalization junk.
+_NORM_JUNK = frozenset({"+", "MG/5"})
+# Reference tagger.py:314-316 _lookup_mixture junk.
+_MIX_JUNK = frozenset({"+", "MG", "ML", "MCG", "G", "L", ""})
+
+
+def stripped_generics_py(
+    components: list[str],
+    brand_map: dict[str, str],
+) -> list[str]:
+    """Per-component: brand→generic swap (tagger.py:624-630), pure-salt
+    guard + salt strip (tagger.py:303-307), defensive junk filter
+    (tagger.py:712-719). Returns UPPERCASE stripped generics in input
+    order (order matters: [0]=active, [1]=vehicle for IV solutions)."""
+    from .constants import PURE_SALT_COMPOUNDS
+    from .tokens import strip_salt_suffix_py
+
+    out: list[str] = []
+    for comp in components or []:
+        if not comp:
+            continue
+        up = comp.upper()
+        sw = brand_map.get(up, up)
+        if sw.lower() in PURE_SALT_COMPOUNDS:
+            base = sw
+        else:
+            base = strip_salt_suffix_py(sw)
+        base = base.strip()
+        if base and len(base) > 1 and base.upper() not in _SG_JUNK:
+            out.append(base.upper())
+    return out
+
+
+def input_generics_normalized_py(
+    components: list[str],
+    fuzzy_map: dict[str, str] | None,
+    syn_map: dict[str, str],
+    brand_map: dict[str, str],
+) -> tuple[list[str], int, str | None, str | None, str | None]:
+    """The per-doc inputs to candidate selection (tagger.py:884-920):
+
+    returns (sorted normalized input set, num_input, active, vehicle,
+    mixture_component_key). ``fuzzy_map`` maps the repo's lookup key
+    (salt-stripped lowercase component) to the fuzzy-matched dim name;
+    a corrected component enters the set as the matched name verbatim
+    (NOT synonym-normalized — reference tagger.py:900-905)."""
+    from .tokens import apply_synonym_py, build_combination_keys_py, strip_salt_suffix_py
+
+    sgs = stripped_generics_py(components, brand_map)
+    norm: set[str] = set()
+    for comp in components or []:
+        # recompute the repo tier key for the fuzzy-correction lookup
+        rkey = strip_salt_suffix_py(comp).lower()
+        corrected = (fuzzy_map or {}).get(rkey)
+        if corrected:
+            n = corrected.upper()
+        else:
+            up = comp.upper()
+            sw = brand_map.get(up, up)
+            base = sw if sw.lower() in _pure_salts() else strip_salt_suffix_py(sw)
+            base = base.strip().upper()
+            if not base or len(base) <= 1 or base in _SG_JUNK:
+                continue
+            n = apply_synonym_py(base, syn_map)
+        if n and n not in _NORM_JUNK:
+            norm.add(n)
+    # combo-key synonyms (tagger.py:909-913): every variant whose
+    # synonym application changes it joins the set — because the keys
+    # are lowercase and apply_synonym uppercases, multi-component
+    # inputs admit the uppercased key strings themselves.
+    for ck in build_combination_keys_py(sgs):
+        s = apply_synonym_py(ck, syn_map)
+        if s != ck and s not in _NORM_JUNK:
+            norm.add(s)
+    active = sgs[0] if len(sgs) > 1 else None
+    vehicle = sgs[1] if len(sgs) > 1 else None
+    return sorted(norm), len(norm), active, vehicle, mixture_component_key_py(sgs, syn_map)
+
+
+def _pure_salts():
+    from .constants import PURE_SALT_COMPOUNDS
+
+    return PURE_SALT_COMPOUNDS
+
+
+def mixture_component_key_py(
+    stripped_generics: list[str],
+    syn_map: dict[str, str],
+) -> str | None:
+    """_lookup_mixture's component key (tagger.py:309-340): junk-filter,
+    synonym-normalize to lowercase, drop substrings (longest first),
+    sorted '|'-join; None unless ≥2 survivors."""
+    from .tokens import apply_synonym_py
+
+    gens = [
+        g for g in stripped_generics
+        if g.upper() not in _MIX_JUNK and not g.startswith("+")
+    ]
+    if len(gens) < 2:
+        return None
+    normalized = [apply_synonym_py(g.upper(), syn_map).lower() for g in gens]
+    unique: list[str] = []
+    for n in sorted(normalized, key=len, reverse=True):
+        if not any(n in existing for existing in unique):
+            unique.append(n)
+    if len(unique) < 2:
+        return None
+    return "|".join(sorted(unique))
+
+
+def iv_vehicle_skip_py(
+    candidate_generic: str,
+    active: str | None,
+    vehicle: str | None,
+    syn_map: dict[str, str],
+) -> bool:
+    """IV-solution vehicle skip (scoring.py:249-266): drop a candidate
+    that matches the vehicle (second component) but not the active
+    ingredient (first component)."""
+    from .tokens import apply_synonym_py
+
+    if not active or not vehicle:
+        return False
+    cand = candidate_generic.upper()
+    active_n = apply_synonym_py(active.upper(), syn_map)
+    vehicle_n = apply_synonym_py(vehicle.upper(), syn_map)
+    cand_n = apply_synonym_py(cand, syn_map)
+    is_vehicle = vehicle_n in cand or cand in vehicle_n or vehicle_n == cand_n
+    is_active = active_n in cand or cand in active_n or active_n == cand_n
+    return is_vehicle and not is_active
