@@ -17,13 +17,19 @@ Round 3 adds the selection-side helpers that wire F33 into the
 tagger plan (the round-2 gap):
 
 - ``stripped_generics_py`` (tagger.py:624-630, 705-722): brand-swap →
-  pure-salt guard → salt-strip → defensive junk filter, per component.
+  pure-salt/multiword-generic guard → salt-strip → defensive junk
+  filter, per component (multiword generics such as ISOSORBIDE
+  DINITRATE pass through unstripped, mirroring _strip_salt
+  tagger.py:303-307).
+- ``build_multiword_generics_py`` (tagger.py:273-290): the protection
+  set — dim names with spaces + MULTIWORD_GENERICS + plural variants.
+- ``build_combination_keys_ref_py`` (lookup.py:309-405): the
+  reference-shaped UPPERCASE combo-key builder the selection path
+  uses (distinct from the repo's lowercase unified-join F30 builder).
 - ``input_generics_normalized_py`` (tagger.py:884-913): the per-doc
   input set generics_match validates against — fuzzy corrections win
-  over synonym application, combo-key synonyms join the set (the
-  reference adds every ``apply_synonyms(ck) != ck`` combo-key variant,
-  which for multi-component inputs admits the uppercased key strings
-  themselves — replicated).
+  over synonym application; combo-key variants join the set only when
+  synonym application actually rewrites them (ETHYL ALCOHOL→ETHANOL).
 - ``mixture_component_key_py`` (tagger.py:309-340 _lookup_mixture):
   synonym-normalized, substring-deduped (longest first), sorted
   '|'-join — the fallback mixture lookup key.
@@ -34,11 +40,13 @@ tagger plan (the round-2 gap):
 Known deterministic divergences from the reference (documented, not
 bugs): (a) ``generics_match`` iterates a Python ``set`` whose order
 is hash-randomized per process — the repo passes a SORTED list so the
-returned reason is stable; (b) fuzzy corrections map per-key (the
-token that actually fuzzy-matched) where the reference assigns each
-fuzzy match to the first not-yet-corrected token in input order
-(tagger.py:888-896) — identical except on multi-component inputs with
-multiple fuzzy hits.
+returned reason is stable; (b) fuzzy corrections map per stripped
+generic (the component whose lookup actually fuzzy-matched) where the
+reference assigns each fuzzy match to the first not-yet-corrected
+stripped generic in input order (tagger.py:888-896) — identical
+except on multi-component inputs with multiple fuzzy hits;
+(c) ``build_combination_keys_ref_py`` returns sorted keys where the
+reference returns hash-ordered ``list(set)`` — membership-equivalent.
 """
 
 from __future__ import annotations
@@ -137,33 +145,148 @@ _SG_JUNK = frozenset(
 _NORM_JUNK = frozenset({"+", "MG/5"})
 # Reference tagger.py:314-316 _lookup_mixture junk.
 _MIX_JUNK = frozenset({"+", "MG", "ML", "MCG", "G", "L", ""})
+# Reference lookup.py:317 build_combination_keys junk.
+_CK_JUNK = frozenset({"+", "MG/5", "MG", "G", "MCG", "ML", "L", "PCT"})
+# Reference lookup.py:353 extra compound-suffix strip inside the
+# combo-key builder (beyond the standard salt run).
+_CK_COMPOUND_SUFFIXES = (
+    "HYDROXIDE", "CHLORIDE", "SULFATE", "SULPHATE",
+    "CARBONATE", "PHOSPHATE", "ACETATE", "CITRATE",
+)
+_CK_EMBEDDED_PLUS_RE = re.compile(r"\s*\+\s*")
+
+
+def build_multiword_generics_py(dim_generic_names=()) -> frozenset[str]:
+    """The tagger's multiword-generics protection set (reference
+    tagger.py:273-290): every dim generic name containing a space,
+    plus the MULTIWORD_GENERICS constants, plus a plural-first-word
+    variant of each ('AMINO ACIDS CRYSTALLINE' style). Members pass
+    through salt-stripping unchanged (_strip_salt, tagger.py:303-307)."""
+    from .constants import MULTIWORD_GENERICS
+
+    mw: set[str] = {str(n).upper() for n in dim_generic_names if " " in str(n)}
+    mw.update(m.upper() for m in MULTIWORD_GENERICS)
+    plurals: set[str] = set()
+    for m in mw:
+        words = m.split()
+        if words and not words[0].endswith("S"):
+            plurals.add(" ".join([words[0] + "S"] + words[1:]))
+    return frozenset(mw | plurals)
+
+
+def build_combination_keys_ref_py(generic_tokens: list[str]) -> list[str]:
+    """Reference-shaped combo-key builder (lookup.py:309-405), distinct
+    from the repo's lowercase unified-join variant (F30,
+    tokens.build_combination_keys_py): UPPERCASE keys; digit- and
+    paren-bearing tokens dropped; embedded '+' split; standard salt
+    strip plus an extra HYDROXIDE/CHLORIDE/… suffix class; [] unless
+    ≥2 clean parts survive. 'ALUMINUM HYDROXIDE','MAGNESIUM HYDROXIDE'
+    → keys containing 'ALUMINUM + MAGNESIUM'. Returned sorted (the
+    reference returns ``list(set)`` — hash order; callers use the keys
+    for set-membership only, so order never matters)."""
+    from .tokens import strip_salt_suffix_py
+
+    clean: list[str] = []
+    for g in generic_tokens or []:
+        if not g:
+            continue
+        g_upper = g.upper()
+        if g_upper in _CK_JUNK:
+            continue
+        if any(c.isdigit() for c in g):
+            continue
+        if "(" in g or ")" in g:
+            continue
+        g_clean = g_upper.rstrip("+").strip()
+        if not g_clean:
+            continue
+        if "+" in g_clean:
+            for part in _CK_EMBEDDED_PLUS_RE.split(g_clean):
+                part = part.strip()
+                if part and part not in _CK_JUNK:
+                    clean.append(part)
+        else:
+            clean.append(g_clean)
+    if len(clean) < 2:
+        return []
+
+    base_parts: list[str] = []
+    for part in clean:
+        stripped = strip_salt_suffix_py(part.upper()).upper()
+        for suffix in _CK_COMPOUND_SUFFIXES:
+            if stripped.endswith(" " + suffix):
+                stripped = stripped[: -len(suffix) - 1].strip()
+                break
+        if stripped:
+            base_parts.append(stripped)
+    unique_parts = list(dict.fromkeys(base_parts))
+    if len(unique_parts) < 2:
+        return []
+
+    keys: set[str] = set()
+    sorted_parts = sorted(unique_parts)
+    keys.add(" + ".join(sorted_parts))
+    keys.add(" + ".join(unique_parts))
+    keys.add(" + ".join(unique_parts[::-1]))
+    keys.add(" AND ".join(sorted_parts))
+    keys.add(" AND ".join(sorted_parts[::-1]))
+    if len(sorted_parts) > 2:
+        keys.add(", ".join(sorted_parts[:-1]) + " AND " + sorted_parts[-1])
+    keys.add(" ".join(unique_parts))
+    keys.add(" ".join(unique_parts[::-1]))
+    return sorted(keys)
+
+
+def _strip_component(
+    comp: str,
+    brand_map: dict[str, str],
+    multiword_generics: frozenset[str],
+) -> str:
+    """One component through the reference's swap→guard→strip chain:
+    brand→generic swap (tagger.py:624-630), then pure-salt and
+    multiword-generic protection, then salt strip (_strip_salt,
+    tagger.py:303-307). Returns the UPPERCASE base ('' if empty)."""
+    from .constants import PURE_SALT_COMPOUNDS
+    from .tokens import strip_salt_suffix_py
+
+    up = comp.upper().strip()
+    sw = brand_map.get(up, up)
+    if sw.lower() in PURE_SALT_COMPOUNDS or sw.upper() in multiword_generics:
+        return sw.upper().strip()
+    return strip_salt_suffix_py(sw).strip().upper()
 
 
 def stripped_generics_py(
     components: list[str],
     brand_map: dict[str, str],
+    multiword_generics: frozenset[str] | None = None,
 ) -> list[str]:
     """Per-component: brand→generic swap (tagger.py:624-630), pure-salt
-    guard + salt strip (tagger.py:303-307), defensive junk filter
-    (tagger.py:712-719). Returns UPPERCASE stripped generics in input
-    order (order matters: [0]=active, [1]=vehicle for IV solutions)."""
-    from .constants import PURE_SALT_COMPOUNDS
-    from .tokens import strip_salt_suffix_py
-
+    + multiword-generic guard + salt strip (tagger.py:303-307 — known
+    multiword generics like ISOSORBIDE DINITRATE pass through
+    unstripped), defensive junk filter (tagger.py:712-719). Returns
+    UPPERCASE stripped generics in input order (order matters:
+    [0]=active, [1]=vehicle for IV solutions)."""
+    if multiword_generics is None:
+        multiword_generics = _default_multiword()
     out: list[str] = []
     for comp in components or []:
         if not comp:
             continue
-        up = comp.upper()
-        sw = brand_map.get(up, up)
-        if sw.lower() in PURE_SALT_COMPOUNDS:
-            base = sw
-        else:
-            base = strip_salt_suffix_py(sw)
-        base = base.strip()
-        if base and len(base) > 1 and base.upper() not in _SG_JUNK:
-            out.append(base.upper())
+        base = _strip_component(comp, brand_map, multiword_generics)
+        if base and len(base) > 1 and base not in _SG_JUNK:
+            out.append(base)
     return out
+
+
+_DEFAULT_MULTIWORD: frozenset[str] | None = None
+
+
+def _default_multiword() -> frozenset[str]:
+    global _DEFAULT_MULTIWORD
+    if _DEFAULT_MULTIWORD is None:
+        _DEFAULT_MULTIWORD = build_multiword_generics_py()
+    return _DEFAULT_MULTIWORD
 
 
 def input_generics_normalized_py(
@@ -171,51 +294,37 @@ def input_generics_normalized_py(
     fuzzy_map: dict[str, str] | None,
     syn_map: dict[str, str],
     brand_map: dict[str, str],
+    multiword_generics: frozenset[str] | None = None,
 ) -> tuple[list[str], int, str | None, str | None, str | None]:
     """The per-doc inputs to candidate selection (tagger.py:884-920):
 
     returns (sorted normalized input set, num_input, active, vehicle,
-    mixture_component_key). ``fuzzy_map`` maps the repo's lookup key
-    (salt-stripped lowercase component) to the fuzzy-matched dim name;
-    a corrected component enters the set as the matched name verbatim
-    (NOT synonym-normalized — reference tagger.py:900-905)."""
-    from .tokens import apply_synonym_py, build_combination_keys_py, strip_salt_suffix_py
+    mixture_component_key). ``fuzzy_map`` maps the POST-brand-swap
+    salt-stripped lowercase component (i.e. the stripped generic,
+    lowered — matching the reference, which keys fuzzy corrections by
+    stripped generic, tagger.py:888-896) to the fuzzy-matched dim
+    name; a corrected component enters the set as the matched name
+    verbatim (NOT synonym-normalized — reference tagger.py:900-905)."""
+    from .tokens import apply_synonym_py
 
-    sgs = stripped_generics_py(components, brand_map)
+    sgs = stripped_generics_py(components, brand_map, multiword_generics)
     norm: set[str] = set()
-    for comp in components or []:
-        # recompute the repo tier key for the fuzzy-correction lookup
-        rkey = strip_salt_suffix_py(comp).lower()
-        corrected = (fuzzy_map or {}).get(rkey)
-        if corrected:
-            n = corrected.upper()
-        else:
-            up = comp.upper()
-            sw = brand_map.get(up, up)
-            base = sw if sw.lower() in _pure_salts() else strip_salt_suffix_py(sw)
-            base = base.strip().upper()
-            if not base or len(base) <= 1 or base in _SG_JUNK:
-                continue
-            n = apply_synonym_py(base, syn_map)
+    for sg in sgs:
+        corrected = (fuzzy_map or {}).get(sg.lower())
+        n = corrected.upper() if corrected else apply_synonym_py(sg, syn_map)
         if n and n not in _NORM_JUNK:
             norm.add(n)
-    # combo-key synonyms (tagger.py:909-913): every variant whose
-    # synonym application changes it joins the set — because the keys
-    # are lowercase and apply_synonym uppercases, multi-component
-    # inputs admit the uppercased key strings themselves.
-    for ck in build_combination_keys_py(sgs):
+    # combo-key synonyms (tagger.py:909-913): reference-shaped
+    # UPPERCASE keys, so only genuine synonym rewrites (e.g. ETHYL
+    # ALCOHOL → ETHANOL) join the set — a key whose synonym
+    # application is the identity stays out.
+    for ck in build_combination_keys_ref_py(sgs):
         s = apply_synonym_py(ck, syn_map)
         if s != ck and s not in _NORM_JUNK:
             norm.add(s)
     active = sgs[0] if len(sgs) > 1 else None
     vehicle = sgs[1] if len(sgs) > 1 else None
     return sorted(norm), len(norm), active, vehicle, mixture_component_key_py(sgs, syn_map)
-
-
-def _pure_salts():
-    from .constants import PURE_SALT_COMPOUNDS
-
-    return PURE_SALT_COMPOUNDS
 
 
 def mixture_component_key_py(
