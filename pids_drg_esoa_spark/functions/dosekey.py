@@ -193,6 +193,19 @@ _DOSE_VOL_RE = re.compile(rf"({_NUM})\s*(MG|G|MCG|UG)\s*/\s*({_NUM})\s*(ML|L)")
 _SIMPLE_RE = re.compile(rf"({_NUM})\s*(MG|G|GM|GRAM|MCG|UG|MICROGRAM)\b")
 _ANNEX_SIMPLE_RE = re.compile(rf"^({_NUM})\s+(MG|G|MCG|UG)\s*$")
 _BARE_NUM_RE = re.compile(rf"^({_NUM})\s*(?:$|[^A-Z0-9]|TAB|CAP|TABLET|CAPSULE)")
+# Free-text Pattern 3c (runners.py:684-694): the reference receives an
+# ISOLATED dose column ('FLANAX 275' arrives as '275'), so its
+# start-anchored bare-number match fires; from full text the anchor
+# never does. Lift the first standalone numeric token instead — not
+# welded into a word ('GEN10' stays out via the lookbehind), not the
+# numerator of a unit/ratio expression (those belong to the earlier
+# cascade stages; the unit alternatives carry a word boundary so '275
+# GENERIC' is not vetoed by the G-for-grams branch).
+_BARE_TOKEN_RE = re.compile(
+    rf"(?<![A-Z0-9.])({_NUM})"
+    rf"(?!\s*(?:(?:MG|GM|GRAM|MCG|UG|MICROGRAM|ML|CC|G|L)\b|I\.?U|%|/|\d))"
+    rf"\s*(?:$|TAB|CAP|[^A-Z0-9.])"
+)
 _VOL_RE = re.compile(rf"({_NUM})\s*(ML|L|CC)\b")
 _PCT_RE = re.compile(r"(\d*\.?\d+)\s*%")
 
@@ -284,7 +297,9 @@ def parse_dose_to_mg_py(
             unit_type = "mg"
 
     if total_dose is None and concentration is None and unit_type is None:
-        m = _BARE_NUM_RE.match(s)
+        # exact reference shape on isolated dose strings, lifted-token
+        # fallback on free text ('FLANAX 275'-style rows, Pattern 3c)
+        m = _BARE_NUM_RE.match(s) or _BARE_TOKEN_RE.search(s)
         if m:
             val = float(m.group(1))
             if 0.1 <= val <= 10000:  # plausible tablet range ⇒ assume mg

@@ -13,8 +13,13 @@
 Differential-tested against the reference implementation in
 tests/test_matching.py (same inputs, same (matches, reason) tuples).
 
-Round 3 adds the selection-side helpers that wire F33 into the
-tagger plan (the round-2 gap):
+WIRED into plans/tagger.py (round 4): the doc-enrich crossing computes
+``stripped_generics_py`` per distinct text, the post-fuzzy input set
+comes from ``normalized_input_set_py``, and every non-mixture
+candidate passes the ``generics_match_py`` admission gate with
+match_priority derived from the reason map; gate behavior is pinned by
+tests/test_tagger.py::test_f33_* and the ``tagger_f33_gate_planted``
+catalog oracle. Selection-side helpers:
 
 - ``stripped_generics_py`` (tagger.py:624-630, 705-722): brand-swap →
   pure-salt/multiword-generic guard → salt-strip → defensive junk
@@ -289,6 +294,38 @@ def _default_multiword() -> frozenset[str]:
     return _DEFAULT_MULTIWORD
 
 
+def normalized_input_set_py(
+    stripped: list[str],
+    fuzzy_map: dict[str, str] | None,
+    syn_map: dict[str, str],
+) -> tuple[list[str], int, str | None, str | None]:
+    """The second half of the per-doc input construction
+    (tagger.py:884-913), taking ALREADY-stripped generics — the Spark
+    plan computes ``stripped_generics_py`` once per distinct text in
+    the doc-enrich Arrow crossing and feeds this after the fuzzy tier
+    resolves. Returns (sorted normalized set, num_input, active,
+    vehicle)."""
+    from .tokens import apply_synonym_py
+
+    norm: set[str] = set()
+    for sg in stripped:
+        corrected = (fuzzy_map or {}).get(sg.lower())
+        n = corrected.upper() if corrected else apply_synonym_py(sg, syn_map)
+        if n and n not in _NORM_JUNK:
+            norm.add(n)
+    # combo-key synonyms (tagger.py:909-913): reference-shaped
+    # UPPERCASE keys, so only genuine synonym rewrites (e.g. ETHYL
+    # ALCOHOL → ETHANOL) join the set — a key whose synonym
+    # application is the identity stays out.
+    for ck in build_combination_keys_ref_py(stripped):
+        s = apply_synonym_py(ck, syn_map)
+        if s != ck and s not in _NORM_JUNK:
+            norm.add(s)
+    active = stripped[0] if len(stripped) > 1 else None
+    vehicle = stripped[1] if len(stripped) > 1 else None
+    return sorted(norm), len(norm), active, vehicle
+
+
 def input_generics_normalized_py(
     components: list[str],
     fuzzy_map: dict[str, str] | None,
@@ -305,26 +342,9 @@ def input_generics_normalized_py(
     stripped generic, tagger.py:888-896) to the fuzzy-matched dim
     name; a corrected component enters the set as the matched name
     verbatim (NOT synonym-normalized — reference tagger.py:900-905)."""
-    from .tokens import apply_synonym_py
-
     sgs = stripped_generics_py(components, brand_map, multiword_generics)
-    norm: set[str] = set()
-    for sg in sgs:
-        corrected = (fuzzy_map or {}).get(sg.lower())
-        n = corrected.upper() if corrected else apply_synonym_py(sg, syn_map)
-        if n and n not in _NORM_JUNK:
-            norm.add(n)
-    # combo-key synonyms (tagger.py:909-913): reference-shaped
-    # UPPERCASE keys, so only genuine synonym rewrites (e.g. ETHYL
-    # ALCOHOL → ETHANOL) join the set — a key whose synonym
-    # application is the identity stays out.
-    for ck in build_combination_keys_ref_py(sgs):
-        s = apply_synonym_py(ck, syn_map)
-        if s != ck and s not in _NORM_JUNK:
-            norm.add(s)
-    active = sgs[0] if len(sgs) > 1 else None
-    vehicle = sgs[1] if len(sgs) > 1 else None
-    return sorted(norm), len(norm), active, vehicle, mixture_component_key_py(sgs, syn_map)
+    norm, n, active, vehicle = normalized_input_set_py(sgs, fuzzy_map, syn_map)
+    return norm, n, active, vehicle, mixture_component_key_py(sgs, syn_map)
 
 
 def mixture_component_key_py(

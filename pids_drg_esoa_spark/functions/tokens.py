@@ -151,14 +151,40 @@ def _protect_multiwords(s: str) -> str:
     return s
 
 
+# Residual quantity tokens the dose regexes leave behind when glued
+# into ONE token ('2meq/ml', '20ml/vial', '0.5ml') plus standalone
+# unit words with no number ('... 5 G, GRAM'). Digit-LEADING with a
+# unit-shaped tail only — digit-leading drug names ('5-fluorouracil')
+# keep their non-unit tail and stay. Reference behavior: its token
+# categorizer sends all of these to the DOSE bucket
+# (tokenizer.py:1037-1110), so they never reach generic extraction.
+_UNIT_WORD = r"(?:mcg|ug|mg|gm?|grams?|kg|iu|units?|meq|mmol|ml|l|cc)"
+_PACK_WORD = (
+    r"(?:vial|amp(?:ule)?|bottle|bot|tab(?:let)?|cap(?:sule)?|dose|"
+    r"actuation|spray|puff|sachet|drop|nebule)"
+)
+_QTY_TOKEN_PATTERN = (
+    rf"^[0-9][0-9.]*{_UNIT_WORD}?(?:/(?:{_UNIT_WORD}|{_PACK_WORD}))?$"
+)
+_QTY_TOKEN_RE = re.compile(_QTY_TOKEN_PATTERN)
+_UNIT_TOKENS = frozenset(
+    {"gram", "grams", "meq", "mmol", "cc", "iu", "unit", "units"}
+)
+
+
 def _clean_component(part: str) -> str:
-    """Drop dose expressions, form/route/packaging tokens from one
-    combination component."""
+    """Drop dose expressions, form/route/packaging tokens, residual
+    quantity tokens, and standalone unit words from one combination
+    component."""
     s = _DOSE_ALL_RE.sub(" ", part)
     kept = [
         t
         for t in s.split()
-        if t not in STOPWORDS and t not in _FORM_ROUTE_TOKENS and not re.fullmatch(r"[0-9.]+", t)
+        if t not in STOPWORDS
+        and t not in _FORM_ROUTE_TOKENS
+        and t not in _UNIT_TOKENS
+        and not re.fullmatch(r"[0-9.]+", t)
+        and not _QTY_TOKEN_RE.match(t)
     ]
     return " ".join(kept).strip()
 
@@ -278,7 +304,7 @@ def normalize_generic_combination_native(col):
     # O(1) per token, vs O(|vocab|) for array_contains (the full
     # vocabulary is ~450 drop tokens)
     drop_tokens = sorted(
-        {t for t in STOPWORDS} | {t for t in _FORM_ROUTE_TOKENS}
+        {t for t in STOPWORDS} | {t for t in _FORM_ROUTE_TOKENS} | set(_UNIT_TOKENS)
     )
     ions = sorted(PURE_IONS)
     ions_arr = F.array(*[F.lit(t) for t in ions])
@@ -288,7 +314,10 @@ def normalize_generic_combination_native(col):
             F.split(F.trim(p), " +"),
             lambda t: (t != "")
             & ~t.isin(drop_tokens)
-            & ~t.rlike("^[0-9.]+$"),
+            & ~t.rlike("^[0-9.]+$")
+            # residual glued quantity tokens — same pattern as the
+            # Python twin (_QTY_TOKEN_RE); Java regex syntax-compatible
+            & ~t.rlike(_QTY_TOKEN_PATTERN),
         )
         return F.array_join(toks, " ")
 
@@ -400,6 +429,27 @@ def categorize_tokens_py(tokens: list[str]) -> dict[str, dict[str, int]]:
         else:
             bump("generic", up)
     return cats
+
+
+# ---------------------------------------------------------------------------
+# F17: tokenize preserving parenthesized spans (reference
+# tokenizer.py:897-926). Standalone twin — the combination extractors
+# above strip parentheticals instead; this is the general tokenizer
+# the reference exposes.
+# ---------------------------------------------------------------------------
+_PAREN_SPAN_RE = re.compile(r"\([^)]*\)")
+
+
+def split_with_parentheses_py(text: str | None) -> list[str]:
+    """F17: split on whitespace/comma/semicolon, but keep each balanced
+    '(...)' span (commas and spaces inside included) as ONE token;
+    unbalanced parens stay glued to their neighboring characters."""
+    if not text:
+        return []
+    collapsed = " ".join(text.split())
+    spans = iter(_PAREN_SPAN_RE.findall(collapsed))
+    toks = re.split(r"[\s,;]+", _PAREN_SPAN_RE.sub(" \x00 ", collapsed))
+    return [next(spans) if t == "\x00" else t for t in toks if t]
 
 
 # ---------------------------------------------------------------------------

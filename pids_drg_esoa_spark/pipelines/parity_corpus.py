@@ -1,0 +1,183 @@
+"""Reference-shaped coverage-parity corpus (VERDICT r3 #3).
+
+Every eSOA text here is taken from the reference's own committed test
+cases and docs (FIXTURES.md §2/§12 — scripts/test_generic_filtering.py:21-29,
+tests/test_generic_normalization.py:16-50,
+tests/test_annex_f_normalization_stigmine.py,
+tests/test_annex_generic_name_cleaning.py:13-66, run_summary examples),
+with the dims sized to cover them the way the production unified
+reference would. Running `pipelines.runner.run_drugs_all` over this
+corpus yields coverage percentages that are TRACKED per round next to
+BASELINE.md's production numbers (95.5 / 71.4 / 34.9) — the corpus is
+fixture-scale, so the tracked quantity is the corpus hit-rate and its
+round-over-round drift, not equality with the production run.
+
+`expected_atc_match` marks texts the reference pipeline tags with an
+ATC (per its own tests/docs); the parity gate in
+tests/test_coverage_parity.py asserts every one of them matches and
+that the never-match rows (unknown compound, food) stay unmatched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (raw_text, expectation) — expectation per the reference's own test
+# suite / docs: 'atc' = tags a generic WITH an ATC code; 'generic' =
+# tags a generic (ATC absent because the corpus dims carry none for
+# it, mirroring reference candidates without ATC rows); 'none' =
+# stays unmatched.
+ESOA_CASES: list[tuple[str, str]] = [
+    ("CELECOXIB 200MG TAB (OP)", "atc"),
+    ("BUTAMIRATE CITRATE (SINECOD FORTE) 50MG TABLET", "atc"),
+    ("MUPIROCIN OINTMENT 2%, 52%, 5 G, GRAM", "atc"),
+    ("EUROMED (POTASSIUM CHLORIDE) 2MEQ/ML 20ML/VIAL", "atc"),
+    ("PARACETAMOL 500MG TAB", "atc"),
+    ("BIOGESIC 500 MG TABLET", "atc"),         # brand → generic
+    ("PARACETMOL 500MG TAB", "atc"),           # typo → fuzzy ≥ 85
+    ("ACETAMINOPHEN 500MG TABLET", "atc"),     # US name → synonym
+    ("NEOSTIGMINE 1 gm AMPULE", "atc"),        # gm→g unit canon regression
+    ("AMOXICILLIN + CLAVULANIC ACID 625MG TAB", "atc"),
+    ("CO-AMOXICLAV 625 MG TAB", "atc"),        # synonym → mixture name
+    ("SALBUTAMOL NEBULE 2.5MG/2.5ML", "atc"),
+    ("CEFUROXIME 500MG TAB", "atc"),           # prefix tier (axetil dim)
+    ("MMR VACCINE 0.5ML", "generic"),          # vaccine canon; no vaccine ATC dim here
+    ("5% DEXTROSE IN 0.9% SODIUM CHLORIDE 1 L BOTTLE", "atc"),  # IV active
+    # mixture without an ATC row — reference candidates keep drugbank only
+    ("ALENDRONATE + CHOLECALCIFEROL (VIT. D3) ( as SODIUM SALT) 70 mg + 2800 IU TABLET", "generic"),
+    ("FLANAX 275 TABLET", "atc"),              # brand swap + salt strip + bare-number dose
+    ("COMPLETELY UNKNOWN COMPOUND 10MG", "none"),
+    ("ENERGY BISCUIT", "none"),                # FDA food, not a drug
+    ("KETOANALOGUE+AMINO ACIDS 600MG TAB (GENERIC)", "none"),  # not in dims
+]
+
+# Annex F rows (pipe dose format, runners.py:479-483) covering a
+# subset of the generics so Part 4 exercises match + each mismatch.
+ANNEX_ROWS: list[tuple[str, str]] = [
+    ("D00001", "PARACETAMOL 500|MG|TABLET"),
+    ("D00002", "CELECOXIB 200|MG|CAPSULE"),
+    ("D00003", "NAPROXEN 275|MG|TABLET"),
+    ("D00004", "AMOXICILLIN + CLAVULANIC ACID 625|MG|TABLET"),
+    ("D00005", "SALBUTAMOL 2.5|MG|RESPULE"),
+    ("D00006", "NEOSTIGMINE 500|MG|AMPULE"),   # dose mismatch vs 1 g
+    ("D00007", "MUPIROCIN 2% OINTMENT"),
+]
+
+
+def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
+    """The reference-shaped input tables (FIXTURES.md §1, §3-§10)."""
+    pnf = spark.createDataFrame(
+        [
+            ("AMLODIPINE ( as BESILATE)", "Oral:", "C08CA01", "5 mg tablet"),
+            ("CELECOXIB", "Oral:", "M01AH01", "200 mg capsule"),
+            ("MUPIROCIN", "Topical:", "D06AX09", "2% ointment"),
+            ("NEOSTIGMINE", "Inj.:", "N07AA01", "500 mcg/mL ampule"),
+            ("SODIUM CHLORIDE", "IV:", "B05XA03", "0.9% solution"),
+        ],
+        "`Molecule` string, `Route` string, `ATC Code` string, `Technical Specifications` string",
+    )
+    drugbank_generics = spark.createDataFrame(
+        [
+            ("DB00316", "Paracetamol"),
+            ("DB00482", "Celecoxib"),
+            ("DB01060", "Amoxicillin"),
+            ("DB00766", "Clavulanic acid"),
+            ("DB01001", "Salbutamol"),
+            ("DB09341", "Dextrose"),
+            ("DB09153", "Sodium chloride"),
+            ("DB01112", "Cefuroxime axetil"),
+            ("DB00630", "Alendronate"),
+            ("DB00169", "Cholecalciferol"),
+            ("DB06771", "Butamirate"),
+            ("DB00410", "Mupirocin"),
+            ("DB01400", "Potassium chloride"),
+            ("DB00788", "Naproxen"),
+        ],
+        "drugbank_id string, generic_name string",
+    )
+    drugbank_atc = spark.createDataFrame(
+        [
+            ("DB00316", "PARACETAMOL", "N02BE01"),
+            ("DB00482", "CELECOXIB", "M01AH01"),
+            ("DB01060", "AMOXICILLIN", "J01CA04"),
+            ("DB01001", "SALBUTAMOL", "R03AC02"),
+            ("DB09341", "DEXTROSE", "B05CX01"),
+            ("DB09153", "SODIUM CHLORIDE", "B05XA03"),
+            ("DB01112", "CEFUROXIME AXETIL", "J01DC02"),
+            ("DB00630", "ALENDRONATE", "M05BA04"),
+            ("DB00169", "CHOLECALCIFEROL", "A11CC05"),
+            ("DB06771", "BUTAMIRATE", "R05DB13"),
+            ("DB00410", "MUPIROCIN", "D06AX09"),
+            ("DB01400", "POTASSIUM CHLORIDE", "A12BA01"),
+            ("DB00788", "NAPROXEN", "M01AE02"),
+            # DrugBank carries mixture-product ATCs under the combo name
+            ("DBMIX01", "AMOXICILLIN + CLAVULANIC ACID", "J01CR02"),
+        ],
+        "drugbank_id string, generic_name string, atc_code string",
+    )
+    who_atc = spark.createDataFrame(
+        [
+            ("N02BE01", "PARACETAMOL"),
+            ("J01CR02", "AMOXICILLIN AND BETA-LACTAMASE INHIBITOR"),
+            ("N07AA01", "NEOSTIGMINE"),
+            ("M05BB03", "ALENDRONIC ACID AND COLECALCIFEROL"),
+        ],
+        "atc_code string, atc_name string",
+    )
+    fda_brands = spark.createDataFrame(
+        [
+            ("BIOGESIC", "PARACETAMOL"),
+            ("SINECOD FORTE", "BUTAMIRATE CITRATE"),
+            ("EUROMED", "POTASSIUM CHLORIDE"),
+            ("FLANAX", "NAPROXEN SODIUM"),
+            ("TERGECEF", "CEFIXIME"),
+        ],
+        "brand_name string, generic_name string",
+    )
+    drugbank_brands = spark.createDataFrame(
+        [("TYLENOL", "PARACETAMOL", "DB00316")],
+        "brand_name string, generic_name string, drugbank_id string",
+    )
+    mixtures = spark.createDataFrame(
+        [
+            (
+                "DBMIX01",
+                "Amoxicillin + Clavulanic acid",
+                "clavulanic acid + amoxicillin",
+            ),
+            (
+                "DBMIX02",
+                "Alendronate + Cholecalciferol",
+                "alendronate + cholecalciferol",
+            ),
+        ],
+        "drugbank_id string, mixture_name string, component_generics string",
+    )
+    synonyms = spark.createDataFrame(
+        [
+            ("CO-AMOXICLAV", "AMOXICILLIN + CLAVULANIC ACID"),
+            # production unified_synonyms carries the US name via the
+            # DrugBank synonym list (FIXTURES.md §6)
+            ("ACETAMINOPHEN", "PARACETAMOL"),
+        ],
+        "synonym string, generic_name string",
+    )
+    fda_food = spark.createDataFrame(
+        [("ENERGY BISCUIT", "fda_food_product", "R-001")],
+        "food_name string, food_type string, registration string",
+    )
+    annex_f = spark.createDataFrame(ANNEX_ROWS, "drug_code string, drug_description string")
+    esoa = spark.createDataFrame([(t,) for t, _ in ESOA_CASES], "raw_text string")
+    return {
+        "pnf": pnf,
+        "drugbank_generics": drugbank_generics,
+        "drugbank_atc": drugbank_atc,
+        "who_atc": who_atc,
+        "fda_brands": fda_brands,
+        "drugbank_brands": drugbank_brands,
+        "mixtures": mixtures,
+        "synonyms": synonyms,
+        "fda_food": fda_food,
+        "annex_f": annex_f,
+        "esoa": esoa,
+    }

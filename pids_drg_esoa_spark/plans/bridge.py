@@ -224,15 +224,26 @@ def build_annex_index(annex_f: DataFrame) -> DataFrame:
     """J9 index: one row per (component generic → drug code), with the
     parsed dose key / form / route / description of the Annex entry.
     Small dim — broadcast at the join site (replaces the reference's
-    driver dicts, runners.py:1012-1094)."""
+    driver dicts, runners.py:1012-1094).
+
+    ``annex_order`` is the W3 tie-break secondary key: the reference's
+    stable sort keeps Annex INSERTION order on details-score ties
+    (runners.py:959-1010,1367-1371). Callers may provide an explicit
+    ``annex_order`` column; otherwise it derives from the read order
+    (monotonically_increasing_id — file order for the single-file dim
+    the Annex is; a multi-file Annex should carry its own order col)."""
+    if "annex_order" not in annex_f.columns:
+        annex_f = annex_f.withColumn("annex_order", F.monotonically_increasing_id())
     parsed = annex_f.select(
         F.col("drug_code"),
         F.col("drug_description"),
+        F.col("annex_order"),
         annex_generic(F.col("drug_description")).alias("annex_combo"),
     ).withColumn("annex_parsed", parse_side(F.col("drug_description"), F.col("annex_combo")))
     return parsed.select(
         "drug_code",
         "drug_description",
+        "annex_order",
         F.col("annex_parsed.dose").alias("annex_dose"),
         F.col("annex_parsed.form").alias("annex_form"),
         F.col("annex_parsed.route").alias("annex_route"),
@@ -303,6 +314,7 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     flagged = cand.select(
         "raw_text",
         "drug_code",
+        "annex_order",
         dose_keys_match_col(F.col("esoa_dose"), F.col("annex_dose")).alias("dose_ok"),
         "form_ok",
         "route_ok",
@@ -313,9 +325,14 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
 
     # W3 + flags in ONE grouped pass (map-side combinable; no window
     # sort over the fanout). Valid = dose ∧ form ∧ route
-    # (runners.py:1357-1365); best valid by (details_score, drug_code).
+    # (runners.py:1357-1365); best valid by (details_score,
+    # annex_order, drug_code) — annex_order reproduces the reference's
+    # stable-sort insertion-order tie-break (runners.py:1367-1371),
+    # drug_code is a final determinism backstop.
     valid = F.col("dose_ok") & F.col("form_ok") & F.col("route_ok")
-    rank_key = F.when(valid, F.struct(F.col("details_score"), F.col("drug_code")))
+    rank_key = F.when(
+        valid, F.struct(F.col("details_score"), F.col("annex_order"), F.col("drug_code"))
+    )
     summary = flagged.groupBy("raw_text").agg(
         F.min_by("drug_code", rank_key).alias("best_drug_code"),
         F.max(valid.cast("int")).alias("has_valid"),

@@ -268,6 +268,102 @@ def p4_bridge_strict_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F33_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 40 AS k FROM part)
+SELECT
+  CASE k % 4
+    WHEN 0 THEN 'GEN' || k || ' 500 MG TABLET'
+    WHEN 1 THEN 'GEN' || k || ' + NOSUCHGEN' || k || ' 10 MG'
+    WHEN 2 THEN 'GEN' || k || ' IN SODIUM CHLORIDE SOLUTION'
+    ELSE 'NOSUCHACT' || k || ' IN SODIUM CHLORIDE SOLUTION'
+  END AS raw_text,
+  CASE WHEN k % 4 IN (0, 2) THEN 'GEN' || k END AS generic_name,
+  CASE WHEN k % 4 IN (0, 2) THEN 'exact' END AS gm_reason,
+  k % 4 IN (0, 2) AS matched
+FROM ks
+"""
+
+
+@register("tagger_f33_gate_planted", oracle=_F33_ORACLE)
+def tagger_f33_gate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F33 admission gate (scoring.py:234-310) under the oracle,
+    four planted shapes per key: (0) plain single → exact; (1)
+    combination with an unknown second component → the matched single
+    is inadmissible (non-combo candidate under is_combination,
+    scoring.py:268-271) → unmatched; (2) IV solution with known active
+    → active wins over the vehicle and the synthesized combination
+    (match_priority exact=0 < combo_match=1); (3) IV solution with
+    unknown active → the vehicle-only candidate is skipped
+    (scoring.py:249-266) → unmatched."""
+    from .tagger import tag_descriptions
+
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 40).alias("k")).distinct()
+    k = F.col("k")
+    gen = F.concat(F.lit("GEN"), k.cast("string"))
+    m = k % 4
+    esoa = ks.select(
+        F.when(m == 0, F.concat(gen, F.lit(" 500 MG TABLET")))
+        .when(m == 1, F.concat(gen, F.lit(" + NOSUCHGEN"), k.cast("string"), F.lit(" 10 MG")))
+        .when(m == 2, F.concat(gen, F.lit(" IN SODIUM CHLORIDE SOLUTION")))
+        .otherwise(
+            F.concat(F.lit("NOSUCHACT"), k.cast("string"), F.lit(" IN SODIUM CHLORIDE SOLUTION"))
+        )
+        .alias("raw_text")
+    )
+    generics = ks.filter(m != 3).select(gen.alias("generic_name")).union(
+        spark.createDataFrame([("SODIUM CHLORIDE",)], "generic_name string")
+    ).withColumn("drugbank_id", F.concat(F.lit("DB"), F.col("generic_name")))
+    atc = spark.createDataFrame(
+        [("ZZZNONE", "Z99ZZ99", False)],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    return tag_descriptions(esoa, generics, atc).select(
+        "raw_text", "generic_name", "gm_reason", "matched"
+    )
+
+
+_P4_BARE_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 30 AS k FROM part)
+SELECT
+  'GEN' || k || ' ' || (100 + 10*k) || ' TABLET' AS raw_text,
+  CASE WHEN k % 2 = 0 THEN 'D' || k END AS drug_code,
+  CASE WHEN k % 2 = 0 THEN 'matched_perfect'
+       ELSE 'no_perfect_match:dose_mismatch' END AS match_reason
+FROM ks
+"""
+
+
+@register("p4_bare_number_dose_planted", oracle=_P4_BARE_ORACLE)
+def p4_bare_number_dose_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-3c bridge parity (runners.py:628-650, ADVICE r3 medium):
+    eSOA rows carrying a BARE numeric dose ('GEN3 130 TABLET' — no
+    unit, the 'FLANAX 275' shape) must key as mg and bridge on dose:
+    even keys match the Annex dose exactly (matched_perfect), odd keys
+    meet a different Annex dose (dose_mismatch). Before the fix every
+    one of these rows mislabeled as no_perfect_match:no_dose_in_esoa."""
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 30).alias("k")).distinct()
+    k = F.col("k")
+    gen = F.concat(F.lit("GEN"), k.cast("string"))
+    esoa_dose = (100 + 10 * k).cast("string")
+    tagged = ks.select(
+        F.concat(gen, F.lit(" "), esoa_dose, F.lit(" TABLET")).alias("raw_text"),
+        gen.alias("generic_name"),
+        F.lit(True).alias("matched"),
+    )
+    annex_dose = F.when(k % 2 == 0, 100 + 10 * k).otherwise(300 + 10 * k)
+    annex = ks.select(
+        F.concat(F.lit("D"), k.cast("string")).alias("drug_code"),
+        F.concat(gen, F.lit(" "), annex_dose.cast("string"), F.lit("|MG|TABLET")).alias(
+            "drug_description"
+        ),
+    )
+    return bridge_to_drug_codes(tagged, annex).select(
+        "raw_text", "drug_code", "match_reason"
+    )
+
+
 _W3_ORACLE = """
 WITH ks AS (SELECT DISTINCT p_partkey % 40 AS k FROM part)
 SELECT

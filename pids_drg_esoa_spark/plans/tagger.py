@@ -9,10 +9,19 @@ selection. Spark-first restructuring:
   stage 3   (lookups)       → broadcast hash joins against the
                               unified dims (replaces DuckDB + indexes,
                               tagger.py:161-205)
-  stage 4   (candidates)    → union of match tiers with explicit
-                              match_priority (mixture 0, token 1,
-                              brand 2, prefix 3, fuzzy 4 —
-                              tagger.py:707-834, lookup.py:287-300)
+  stage 4   (candidates)    → union of match tiers (tagger.py:707-834,
+                              lookup.py:287-300), then the F33
+                              admission gate: every non-mixture
+                              candidate is validated with
+                              generics_match against the per-doc
+                              normalized input set (scoring.py:234-273
+                              — combination inputs drop non-combo
+                              candidates, IV solutions drop
+                              vehicle-only candidates) and
+                              match_priority is DERIVED from the
+                              generics_match reason (scoring.py:303-310
+                              — exact 0, combo_match 1, substring 2,
+                              combo_partial 3, else 4)
   stage 5   (selection)     → window rank-1 over an explicit tuple
                               (scoring.py:203-387 W1; every tie-break
                               key explicit per SURVEY §7)
@@ -33,7 +42,7 @@ import pandas as pd
 from pyspark.sql import types as T
 
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
-from ..functions.routes_forms import form_equivalent_col, parse_form_col
+from ..functions.routes_forms import parse_form_col
 from ..functions.text import normalize_text
 from ..functions.tokens import (
     normalize_generic_combination_native,
@@ -43,6 +52,15 @@ from ..functions.tokens import (
 from ..functions.constants import REGIONAL_CANONICAL
 from ..functions.vocab_full import SPELLING_SYNONYMS_FULL
 from ..functions.vaccines import classify_input_py, normalize_vaccine_name_py
+from ..functions.matching import (
+    MATCH_PRIORITY,
+    build_multiword_generics_py,
+    generics_match_py,
+    iv_vehicle_skip_py,
+    normalized_input_set_py,
+    stripped_generics_py,
+)
+from ..functions.tokens import apply_synonym_py
 
 
 from ..functions.details import DETAILS_SCHEMA, extract_drug_details_py  # noqa: E402
@@ -52,25 +70,115 @@ _DOC_ENRICH_SCHEMA = T.StructType(
         T.StructField("vaccine_canon", T.StringType()),
         T.StructField("input_class", T.StringType()),
         T.StructField("details", DETAILS_SCHEMA),
+        T.StructField("stripped", T.ArrayType(T.StringType())),
     ]
 )
 
 
-@F.pandas_udf(_DOC_ENRICH_SCHEMA)
-def _doc_enrich(text: pd.Series, n_comp: pd.Series) -> pd.DataFrame:
+def _make_doc_enrich(brand_b, mw_b):
     """ONE Arrow crossing for all per-doc Python: vaccine canon, input
-    classification, and the F15 details struct (three separate UDFs
-    measured ~3× the batch-transfer cost)."""
-    return pd.DataFrame(
-        {
-            "vaccine_canon": [normalize_vaccine_name_py(t) for t in text],
-            "input_class": [
-                classify_input_py(t, int(n) if n is not None else 0)
-                for t, n in zip(text, n_comp)
-            ],
-            "details": [extract_drug_details_py(t) for t in text],
-        }
-    )
+    classification, the F15 details struct, and the stripped-generics
+    list (brand swap → multiword/pure-salt guard → salt strip → junk
+    filter, tagger.py:624-630,303-307,712-719). Three separate UDFs
+    measured ~3× the batch-transfer cost, hence the single struct.
+    ``brand_b``/``mw_b`` are broadcast dict/frozenset built from the
+    dims on the driver (dims are broadcast-sized by design)."""
+
+    @F.pandas_udf(_DOC_ENRICH_SCHEMA)
+    def _doc_enrich(
+        text: pd.Series, n_comp: pd.Series, components: pd.Series
+    ) -> pd.DataFrame:
+        brand_map, multiword = brand_b.value, mw_b.value
+        return pd.DataFrame(
+            {
+                "vaccine_canon": [normalize_vaccine_name_py(t) for t in text],
+                "input_class": [
+                    classify_input_py(t, int(n) if n is not None else 0)
+                    for t, n in zip(text, n_comp)
+                ],
+                "details": [extract_drug_details_py(t) for t in text],
+                "stripped": [
+                    stripped_generics_py(
+                        list(c) if c is not None else [], brand_map, multiword
+                    )
+                    for c in components
+                ],
+            }
+        )
+
+    return _doc_enrich
+
+
+_INPUT_SET_SCHEMA = T.StructType(
+    [
+        T.StructField("input_set", T.ArrayType(T.StringType())),
+        T.StructField("num_input", T.IntegerType()),
+        T.StructField("active", T.StringType()),
+        T.StructField("vehicle", T.StringType()),
+    ]
+)
+
+
+def _make_input_set(syn_b):
+    """Per-doc normalized input set (tagger.py:884-913): fuzzy
+    corrections (from the fuzzy tier's resolved hits) win over synonym
+    application; reference-shaped combo-key synonym rewrites join the
+    set. Runs once per DISTINCT text — the same dedupe-by-text contract
+    as the enrich crossing."""
+
+    @F.pandas_udf(_INPUT_SET_SCHEMA)
+    def _input_set(
+        stripped: pd.Series, fz_keys: pd.Series, fz_names: pd.Series
+    ) -> pd.DataFrame:
+        syn = syn_b.value
+        rows = []
+        for sg, fk, fv in zip(stripped, fz_keys, fz_names):
+            sgs = list(sg) if sg is not None else []
+            fuzzy = (
+                dict(zip(list(fk), list(fv))) if fk is not None and len(fk) else None
+            )
+            rows.append(normalized_input_set_py(sgs, fuzzy, syn))
+        return pd.DataFrame(
+            rows, columns=["input_set", "num_input", "active", "vehicle"]
+        )
+
+    return _input_set
+
+
+_VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("matches", T.BooleanType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("iv_skip", T.BooleanType()),
+    ]
+)
+
+
+def _make_validate(syn_b):
+    """F33 candidate admission (scoring.py:234-273): generics_match
+    against the normalized input set (reason drives W1 match_priority,
+    scoring.py:303-310) plus the IV vehicle-skip predicate
+    (scoring.py:249-266). Candidate multiplicity per doc is small
+    (bounded by dim hits per token), so the Arrow batch is cheap."""
+
+    @F.pandas_udf(_VALIDATE_SCHEMA)
+    def _validate(
+        input_set: pd.Series, cand: pd.Series, active: pd.Series, vehicle: pd.Series
+    ) -> pd.DataFrame:
+        syn = syn_b.value
+
+        def ap(g: str) -> str:
+            return apply_synonym_py(g, syn)
+
+        out = []
+        for s, c, a, v in zip(input_set, cand, active, vehicle):
+            gens = list(s) if s is not None else []
+            m, r = generics_match_py(gens, c or "", ap)
+            skip = iv_vehicle_skip_py(c or "", a or None, v or None, syn)
+            out.append((bool(m), r, bool(skip)))
+        return pd.DataFrame(out, columns=["matches", "reason", "iv_skip"])
+
+    return _validate
 
 FUZZY_MIN_RATIO = 85.0
 
@@ -108,8 +216,9 @@ PRIORITY_PREFIX = 3
 PRIORITY_FUZZY = 4
 
 
-def _components(esoa: DataFrame, text_col: str) -> DataFrame:
+def _components(esoa: DataFrame, text_col: str, brand_b, mw_b) -> DataFrame:
     """Stages 1-2: dedupe texts, extract combination components."""
+    doc_enrich = _make_doc_enrich(brand_b, mw_b)
     docs = (
         esoa.select(F.col(text_col).alias("raw_text"))
         .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
@@ -123,12 +232,16 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
             F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
         )
         .withColumn("n_comp", F.size("components"))
-        .withColumn("enrich", _doc_enrich(F.col("raw_text"), F.col("n_comp")))
+        .withColumn(
+            "enrich", doc_enrich(F.col("raw_text"), F.col("n_comp"), F.col("components"))
+        )
         .withColumn("vaccine_canon", F.col("enrich.vaccine_canon"))
         .withColumn("input_class", F.col("enrich.input_class"))
         # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
         # and the parsed input form (native twin — stays in codegen)
         .withColumn("details", F.col("enrich.details"))
+        # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
+        .withColumn("stripped", F.col("enrich.stripped"))
         .withColumn("input_form", parse_form_col(F.col("raw_text")))
         .drop("enrich")
     )
@@ -142,7 +255,7 @@ def _components(esoa: DataFrame, text_col: str) -> DataFrame:
 
 def _token_matches(
     keys: DataFrame, generics_dim: DataFrame, synonyms_dim: DataFrame | None,
-    brands_dim: DataFrame | None,
+    brands_dim: DataFrame | None, mixtures_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 3 for single tokens: exact ⊳ synonym ⊳ singular ⊳ brand ⊳
     prefix ⊳ fuzzy (the reference's cascade, lookup.py:223-306).
@@ -155,12 +268,25 @@ def _token_matches(
     and a final per-(raw_text, key) argmin over the tier order keeps
     exactly the rows the sequential cascade would have kept."""
     keys = keys.persist()  # probed by every tier
-    g = F.broadcast(generics_dim.select(F.lower("generic_name").alias("gkey"),
-                                        "generic_name", "drugbank_id"))
+    # reference_text = the dim row's raw text (unified.reference_text)
+    # — the W1 details probe targets it alongside the generic name
+    # (scoring.py:331-376); dims without the column yield null = the
+    # reference's ''-ref candidates.
+    ref_col = (
+        F.col("reference_text")
+        if "reference_text" in generics_dim.columns
+        else F.lit(None).cast("string")
+    )
+    g = F.broadcast(
+        generics_dim.select(
+            F.lower("generic_name").alias("gkey"),
+            "generic_name", "drugbank_id", ref_col.alias("reference_text"),
+        )
+    )
 
     def tier(df: DataFrame, order: int, priority: int, reason: str) -> DataFrame:
         return df.select(
-            "raw_text", "key", "generic_name", "drugbank_id",
+            "raw_text", "key", "generic_name", "drugbank_id", "reference_text",
             F.lit(order).alias("tier_order"),
             F.lit(priority).alias("match_priority"),
             F.lit(reason).alias("match_reason"),
@@ -189,9 +315,15 @@ def _token_matches(
     tiers.append(tier(sing.join(g, sing.skey2 == F.col("gkey")), 2, PRIORITY_TOKEN, "singular"))
 
     if brands_dim is not None:
+        # The reference swaps brand→generic FIRST and salt-strips the
+        # swap target before probing (tagger.py:624-647): FLANAX →
+        # NAPROXEN SODIUM → NAPROXEN → exact dim hit. Probing the
+        # unstripped target would miss every salt-suffixed brand map.
         br = F.broadcast(
-            brands_dim.select(F.lower("brand_name").alias("bkey"),
-                              F.lower("generic_name").alias("target_key"))
+            brands_dim.select(
+                F.lower("brand_name").alias("bkey"),
+                F.lower(strip_salt_suffix(F.col("generic_name"))).alias("target_key"),
+            )
         )
         tiers.append(
             tier(
@@ -236,6 +368,35 @@ def _token_matches(
         )
     )
 
+    if synonyms_dim is not None and mixtures_dim is not None:
+        # Mixture-name synonym fallback (reference tagger.py:783-804):
+        # when every dim tier misses, a synonym that rewrites the token
+        # to a MIXTURE name admits that mixture ('CO-AMOXICLAV' →
+        # 'AMOXICILLIN + CLAVULANIC ACID', reference_text = the mixture
+        # name). Highest tier_order ⇒ the cascade argmin keeps it only
+        # when everything else missed — the reference's fallback gating.
+        mxn = F.broadcast(
+            mixtures_dim.select(
+                F.lower("mixture_name").alias("mkey"),
+                F.col("mixture_name").alias("generic_name"),
+                F.col("mixture_name").alias("reference_text"),
+                "drugbank_id",
+            )
+        )
+        syn2 = F.broadcast(
+            synonyms_dim.select(
+                F.lower("synonym").alias("skey3"),
+                F.lower("generic_name").alias("starget"),
+            )
+        )
+        tiers.append(
+            tier(
+                keys.join(syn2, keys.key == F.col("skey3"))
+                .join(mxn, F.col("starget") == F.col("mkey")),
+                6, PRIORITY_TOKEN, "synonym_mixture",
+            )
+        )
+
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)
@@ -261,7 +422,8 @@ def tag_descriptions(
     """Tag each distinct description with (generic_name, drugbank_id,
     atc_codes, match_reason). Returns one row per input text; callers
     join back on text (A6)."""
-    docs = _components(esoa, text_col)
+    spark = esoa.sparkSession
+    sc = spark.sparkContext
 
     # The reference seeds its synonym dict with the SPELLING_SYNONYMS
     # canonical rewrites and the regional→US reverse map BEFORE the
@@ -270,22 +432,64 @@ def tag_descriptions(
     seed_rows = [(k.upper(), v.upper()) for k, v in SPELLING_SYNONYMS_FULL.items()] + [
         (v.upper(), k.upper()) for k, v in REGIONAL_CANONICAL.items()
     ]
-    seed = esoa.sparkSession.createDataFrame(
-        seed_rows, "synonym string, generic_name string"
+    seed = spark.createDataFrame(seed_rows, "synonym string, generic_name string")
+
+    # Driver-side dict twins of the dims for the per-doc Python stages
+    # (input-set construction + candidate validation). The dims are
+    # broadcast-sized BY DESIGN (SCALE.md — they broadcast into every
+    # hash join already); collecting them here is the same data volume
+    # as the broadcasts Catalyst builds, not a fact-table collect.
+    syn_map: dict[str, str] = dict(seed_rows)
+    if synonyms_dim is not None:
+        # later entries override, mirroring the reference's dict build
+        for r in synonyms_dim.select("synonym", "generic_name").collect():
+            if r[0] and r[1]:
+                syn_map[str(r[0]).upper()] = str(r[1]).upper()
+        synonyms_dim = seed.unionByName(synonyms_dim.select("synonym", "generic_name"))
+    else:
+        synonyms_dim = seed
+    brand_map: dict[str, str] = {}
+    if brands_dim is not None:
+        # deterministic first-wins per brand (the dims are pre-deduped
+        # by build_unified_brands; the sort pins ties regardless)
+        for r in sorted(
+            brands_dim.select("brand_name", "generic_name").collect(),
+            key=lambda r: (str(r[0]), str(r[1])),
+        ):
+            if r[0] and r[1]:
+                brand_map.setdefault(str(r[0]).upper(), str(r[1]).upper())
+    multiword = build_multiword_generics_py(
+        [
+            r[0]
+            for r in generics_dim.select("generic_name")
+            .filter(F.col("generic_name").contains(" "))
+            .distinct()
+            .collect()
+            if r[0]
+        ]
     )
-    synonyms_dim = (
-        seed if synonyms_dim is None
-        else seed.unionByName(synonyms_dim.select("synonym", "generic_name"))
-    )
+    syn_b = sc.broadcast(syn_map)
+    brand_b = sc.broadcast(brand_map)
+    mw_b = sc.broadcast(multiword)
+
+    docs = _components(esoa, text_col, brand_b, mw_b)
 
     # --- mixture tier: sorted component_key → unified_mixtures (J8) ---
     candidates = []
     if mixtures_dim is not None:
+        # _lookup_mixture sets reference_text = component_generics
+        # (tagger.py:349-356); carry it when the dim has the column
+        mx_ref = (
+            F.col("component_generics")
+            if "component_generics" in mixtures_dim.columns
+            else F.lit(None).cast("string")
+        )
         mx = F.broadcast(
             mixtures_dim.select(
                 "component_key",
                 F.col("mixture_name").alias("generic_name"),
                 "drugbank_id",
+                mx_ref.alias("reference_text"),
             )
         )
         combo_key = F.array_join(F.array_sort("components"), "|")
@@ -294,9 +498,10 @@ def tag_descriptions(
             .withColumn("component_key", combo_key)
             .join(mx, "component_key")
             .select(
-                "raw_text", "generic_name", "drugbank_id",
+                "raw_text", "generic_name", "drugbank_id", "reference_text",
                 F.lit(PRIORITY_MIXTURE).alias("match_priority"),
                 F.lit("combination_key").alias("match_reason"),
+                F.lit("mixture").alias("gm_reason"),
             )
         )
         candidates.append(mixture_hits)
@@ -309,7 +514,9 @@ def tag_descriptions(
         .select("raw_text", "key")
         .distinct()
     )
-    token_hits = _token_matches(keys, generics_dim, synonyms_dim, brands_dim).persist()
+    token_hits = _token_matches(
+        keys, generics_dim, synonyms_dim, brands_dim, mixtures_dim
+    ).persist()
 
     # synthesized combination: EVERY component of a multi-part input
     # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly).
@@ -329,7 +536,6 @@ def tag_descriptions(
     per_doc = best_per_key.groupBy("raw_text").agg(
         F.countDistinct("key").alias("n_matched"),
         F.array_join(F.array_sort(F.collect_set("generic_name")), " + ").alias("joined_name"),
-        F.max("match_priority").alias("worst_priority"),
         F.array_join(F.array_sort(F.collect_set("match_reason")), "+").alias("joined_reason"),
     )
     combo_docs = docs.select("raw_text", "n_comp").filter(F.col("n_comp") >= 2)
@@ -340,19 +546,83 @@ def tag_descriptions(
             "raw_text",
             F.col("joined_name").alias("generic_name"),
             F.lit(None).cast("string").alias("drugbank_id"),
-            F.col("worst_priority").alias("match_priority"),
+            F.lit(None).cast("string").alias("reference_text"),
             F.concat(F.lit("combination_tokens:"), "joined_reason").alias("match_reason"),
         )
     )
-    single_hits = (
-        docs.filter(F.col("n_comp") <= 1)
-        .select("raw_text")
-        .join(token_hits, "raw_text")
-        .select(
-            "raw_text", "generic_name", "drugbank_id", "match_priority", "match_reason"
+    # Token-tier candidates now exist for EVERY doc (the reference
+    # admits all dim hits into scoring and lets the gates decide,
+    # scoring.py:234-273): combination inputs drop non-combo names, IV
+    # solutions drop vehicle-only names, single inputs keep matches.
+    token_cand = token_hits.select(
+        "raw_text", "generic_name", "drugbank_id", "reference_text", "match_reason"
+    )
+
+    # --- F33 admission gate -------------------------------------------
+    # Per-doc selection inputs (scoring.py:203-310): normalized input
+    # set with fuzzy corrections folded in, active/vehicle components,
+    # and the reference's input-shape flags (tagger.py:915-920).
+    fuzzy_pairs = (
+        token_hits.filter(F.col("match_reason") == "fuzzy")
+        .groupBy("raw_text")
+        .agg(
+            F.collect_list("key").alias("fz_keys"),
+            F.collect_list("generic_name").alias("fz_names"),
         )
     )
-    candidates.extend([synthesized, single_hits])
+    input_set_udf = _make_input_set(syn_b)
+    doc_inputs = (
+        docs.select("raw_text", "stripped")
+        .join(fuzzy_pairs, "raw_text", "left")
+        .withColumn("gm", input_set_udf("stripped", "fz_keys", "fz_names"))
+        .select(
+            "raw_text",
+            F.col("gm.input_set").alias("input_set"),
+            F.col("gm.num_input").alias("num_input"),
+            F.col("gm.active").alias("active"),
+            F.col("gm.vehicle").alias("vehicle"),
+        )
+        .withColumn("has_plus", F.col("raw_text").contains("+"))
+        .withColumn(
+            "has_in", F.upper("raw_text").contains(" IN ") & (F.col("num_input") > 1)
+        )
+        .withColumn("is_iv", F.col("has_in") & ~F.col("has_plus"))
+        .withColumn("is_combination", (F.col("num_input") > 1) & F.col("has_plus"))
+        .withColumn("is_single", F.col("num_input") == 1)
+        .persist()  # probed by the gate join and the W1 ranking join
+    )
+    validate_udf = _make_validate(syn_b)
+    priority_expr = F.lit(4)
+    for reason, prio in sorted(MATCH_PRIORITY.items()):
+        priority_expr = F.when(F.col("v.reason") == reason, prio).otherwise(priority_expr)
+    gated = (
+        synthesized.unionByName(token_cand)
+        .join(
+            doc_inputs.select(
+                "raw_text", "input_set", "active", "vehicle", "is_iv", "is_combination"
+            ),
+            "raw_text",
+        )
+        .withColumn("v", validate_udf("input_set", "generic_name", "active", "vehicle"))
+        .filter(F.col("v.matches"))
+        # IV vehicle skip (scoring.py:249-266)
+        .filter(~(F.col("is_iv") & F.col("v.iv_skip")))
+        # combination inputs keep only combination-named candidates
+        # (scoring.py:268-271)
+        .withColumn(
+            "cand_is_combo",
+            F.col("generic_name").contains(" + ") | F.col("generic_name").contains(" AND "),
+        )
+        .filter(~(F.col("is_combination") & ~F.col("cand_is_combo")))
+        # W1 match_priority DERIVED from the generics_match reason
+        # (scoring.py:303-310), replacing the former tier constants
+        .withColumn("match_priority", priority_expr)
+        .select(
+            "raw_text", "generic_name", "drugbank_id", "reference_text",
+            "match_priority", "match_reason", F.col("v.reason").alias("gm_reason"),
+        )
+    )
+    candidates.append(gated)
 
     all_cand = candidates[0]
     for c in candidates[1:]:
@@ -374,7 +644,10 @@ def tag_descriptions(
     )
     with_atc = (
         all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
-        .groupBy("raw_text", "generic_name", "drugbank_id", "match_priority", "match_reason")
+        .groupBy(
+            "raw_text", "generic_name", "drugbank_id", "reference_text",
+            "match_priority", "match_reason", "gm_reason",
+        )
         .agg(
             F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|").alias("atc_codes"),
             # the W2-preferred (first) ATC's combination flag drives
@@ -387,34 +660,44 @@ def tag_descriptions(
     # match_priority ⊳ atc_priority ⊳ form_priority ⊳ details_score ⊳
     # −len(generic) ⊳ atc — every key explicit) ---
     ranked_input = with_atc.join(
-        docs.select("raw_text", "n_comp", "details", "input_form"), "raw_text"
-    )
+        docs.select("raw_text", "details", "input_form"), "raw_text"
+    ).join(doc_inputs.select("raw_text", "is_single", "is_combination"), "raw_text")
     # single inputs prefer single-drug ATCs, combination inputs prefer
-    # combination ATCs (scoring.py:312-319); no-ATC candidates count as
-    # non-combination
+    # combination ATCs, anything else is indifferent (scoring.py:312-319
+    # — is_single/is_combination come from the NORMALIZED input set
+    # size + the '+' marker, not the raw component count); no-ATC
+    # candidates count as non-combination
     primary_combo = F.coalesce(F.col("primary_is_combo"), F.lit(False))
-    atc_priority = F.when(
-        F.col("n_comp") >= 2, F.when(primary_combo, 0).otherwise(1)
-    ).otherwise(F.when(primary_combo, 1).otherwise(0))
-    # form_priority (scoring.py:321-329): exact 0, equivalent 1, else 2;
-    # no input form → 0. Dims without a form column yield null cand_form
-    # → constant 2 under an input form, exactly the reference's ''-form
-    # candidates.
-    cand_form = (
-        F.col("cand_form") if "cand_form" in with_atc.columns else F.lit(None).cast("string")
+    atc_priority = (
+        F.when(F.col("is_single"), F.when(primary_combo, 1).otherwise(0))
+        .when(F.col("is_combination"), F.when(primary_combo, 0).otherwise(1))
+        .otherwise(F.lit(0))
     )
-    form_priority = F.when(F.col("input_form").isNull(), F.lit(0)).otherwise(
-        F.when(cand_form == F.col("input_form"), 0)
-        .when(form_equivalent_col(cand_form, F.col("input_form")), 1)
-        .otherwise(2)
-    )
+    # form_priority (scoring.py:321-329): in the reference the tagger
+    # builds EVERY candidate with form=None (tagger.py:847-856), so
+    # cand_form is always '' and forms_are_equivalent('', f) is True
+    # (missing → flexible, scoring.py:73-77) — the key is the CONSTANT
+    # 1 whenever the input has a form, 0 otherwise. State that reality
+    # instead of probing a column no dim carries (the former pseudo-
+    # check read null cand_form → constant 2; either constant never
+    # reorders a doc's candidates, but 1 is the reference's value).
+    # Pinned by tests/test_tagger.py::test_form_priority_reference_constant.
+    form_priority = F.when(F.col("input_form").isNull(), F.lit(0)).otherwise(F.lit(1))
     # details_score (scoring.py:331-376): negative weight per input
-    # detail found in the candidate text; lower = better
+    # detail found in the candidate's generic name OR its reference
+    # text (the dim row's raw text); brand_details probes the
+    # reference text ONLY — two brands of one generic are equivalent,
+    # the brand hit exists purely for brand→generic resolution
+    # (scoring.py:360-366). Lower = better.
     cand_text = F.upper("generic_name")
+    cand_ref = F.upper(F.coalesce(F.col("reference_text"), F.lit("")))
 
-    def _hit(field: str, weight: int):
+    def _hit(field: str, weight: int, ref_only: bool = False):
         v = F.upper(F.col("details")[field])
-        return F.when(v.isNotNull() & (v != "") & cand_text.contains(v), weight).otherwise(0)
+        in_cand = cand_ref.contains(v) if ref_only else (
+            cand_text.contains(v) | cand_ref.contains(v)
+        )
+        return F.when(v.isNotNull() & (v != "") & in_cand, weight).otherwise(0)
 
     details_score = (
         _hit("release_details", -10)
@@ -422,7 +705,7 @@ def tag_descriptions(
         + _hit("form_details", -5)
         + _hit("indication_details", -5)
         + _hit("salt_details", -3)
-        + _hit("brand_details", -1)
+        + _hit("brand_details", -1, ref_only=True)
         + _hit("alias_details", -2)
         + _hit("iv_diluent_type", -5)
     )
@@ -443,8 +726,11 @@ def tag_descriptions(
         .filter(F.col("rn") == 1)
         .select(
             "raw_text", "generic_name", "drugbank_id", "match_priority",
-            "match_reason", "atc_codes",
+            "match_reason", "gm_reason", "atc_codes",
             F.split("atc_codes", "\\|").getItem(0).alias("atc_primary"),
+            # reference output: reference_text falls back to the
+            # generic name, uppercased (tagger.py:953-957)
+            F.upper(F.coalesce("reference_text", "generic_name")).alias("reference_text"),
         )
     )
     # Vaccine override at result assembly (tagger.py:953-1028): the

@@ -11,6 +11,7 @@ oracle and are cluster-stable.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # saveAsTable target for bucketed dim tables (S5-at-scale);
+        # tmp by default so the repo tree never collects a warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-graft-warehouse"),
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Long-lived sessions (test suites, notebooks, services) leak
         # broadcast vars and shuffle state until a full GC lets the

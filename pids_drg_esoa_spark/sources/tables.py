@@ -124,15 +124,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Parquet scan → Catalyst gets pushdown
     and column pruning for free on every downstream plan.
 
-    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; we read it as raw int64 nanoseconds (nanosAsLong) and keep
-    it integral. Every temporal plan does exact ns arithmetic against
-    the oracle's ``epoch_ns(ts)`` — truncating to micros would silently
-    diverge (all rows carry sub-microsecond residue). ``ts_micros()``
+    ``events.ts`` is normalized to **int64 nanoseconds** whatever the
+    writer emitted: the round-1..3 driver wrote TIMESTAMP(NANOS) (read
+    via nanosAsLong — Spark's vectorized reader rejects nanos), the
+    round-4 driver writes timestamp[us] (read as TimestampType, then
+    ×1000). Every temporal plan does exact ns arithmetic against the
+    oracle's ``epoch_ns(ts)``; both storage types compare exactly
+    (micros data has zero sub-microsecond residue). ``ts_micros()``
     derives a real TimestampType column where one is needed
     (streaming)."""
     if name == "events":
+        from pyspark.sql import functions as F
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = next(f.dataType for f in df.schema.fields if f.name == "ts")
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # session tz is UTC (session.py), so the NTZ→LTZ cast is a
+            # no-op on the stored instant
+            df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

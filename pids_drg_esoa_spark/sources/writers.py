@@ -31,6 +31,29 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """S5-at-scale (SCALE.md gap #1): persist a dim bucketed+sorted on
+    its join key so every later join on that key reads co-located,
+    pre-sorted buckets — no probe-side Exchange, no per-run sort. The
+    reference rebuilds DuckDB indexes per run (tagger.py:169,202);
+    bucketing is the durable Spark equivalent. Requires saveAsTable
+    (bucket metadata lives in the catalog, not the parquet footer);
+    the session warehouse dir is tmp-scoped by default (session.py).
+    No-probe-exchange property pinned by
+    tests/test_sources_io.py::test_bucketed_join_skips_exchange."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.format("parquet").saveAsTable(table_name)
+    return table_name
+
+
 def append_metrics(spark: SparkSession, path: str, metrics: dict[str, float | int | str]) -> None:
     """S8: append one stamped metrics row. Append-mode Parquet — each
     run adds a file; readers see the union (the reference's

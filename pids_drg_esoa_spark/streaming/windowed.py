@@ -22,30 +22,42 @@ from ..plans.catalog import register
 
 NS_PER_S = 1_000_000_000
 
-# events schema as the streaming source sees it (ts = int64 ns;
-# see sources.tables on TIMESTAMP(NANOS)).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """events schema as the streaming source must declare it — the ts
+    physical type depends on the driver's writer (int64 NANOS rounds
+    1-3, timestamp[us] from round 4), so probe the batch footer once
+    (driver-side metadata read, no data scan) and declare what's
+    actually on disk. Downstream always sees int64 nanoseconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    ts_type = next(f.dataType for f in batch.schema.fields if f.name == "ts")
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source wants a directory; glob-filter to the events
     # table inside the shared sf dir.
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    schema = _events_stream_schema(spark, sf_dir)
+    src = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    ts_type = next(f.dataType for f in schema.fields if f.name == "ts")
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # session tz is UTC → the cast preserves the stored instant
+        src = src.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    return src
 
 
 @register(

@@ -263,3 +263,53 @@ def test_details_tiebreak(spark):
     row = bridge_to_drug_codes(tagged, annex).collect()[0]
     assert row.match_reason == "matched_perfect"
     assert row.drug_code == "D002"
+
+
+def test_bare_number_dose_free_text():
+    """Pattern 3c parity on FREE TEXT (runners.py:684-694; ADVICE r3
+    medium): the reference gets '275' as an isolated dose column from
+    'FLANAX 275'; our cascade works from the full text, so a standalone
+    numeric token (not welded into a word, not a unit/ratio numerator)
+    must key as mg instead of 'none' → the bridge stops mislabeling
+    these rows no_dose_in_esoa."""
+    from pids_drg_esoa_spark.functions.dosekey import dose_key_py
+
+    assert dose_key_py("FLANAX 275") == dose_key_py("NAPROXEN 275 MG")  # mg 275
+    assert dose_key_py("FLANAX 275").kind == "mg"
+    assert dose_key_py("BRANDX 275 TAB").amount == 275.0
+    # welded digits are NOT doses ('GEN10' is a name, not 10 mg)
+    assert dose_key_py("GEN10 TABLET").kind == "none"
+    # unit-bearing and ratio numbers still take their cascade branches
+    assert dose_key_py("X 250MG/5ML 60ML").kind == "conc"
+    assert dose_key_py("Y 500 MCG TAB").amount == 0.5
+    # outside the plausible tablet range → still no dose
+    assert dose_key_py("SOMETHING 20000").kind == "none"
+    # isolated dose-column shape keeps the reference's exact anchor
+    assert dose_key_py("275").amount == 275.0
+
+
+def test_w3_tie_break_annex_insertion_order(spark):
+    """W3 ties resolve by Annex INSERTION order, not drug_code — the
+    reference's stable sort keeps candidate-generation order on equal
+    details scores (runners.py:959-1010,1367-1371). 'Z9' precedes 'A1'
+    in the Annex, so it must win the tie even though 'A1' sorts first."""
+    from pids_drg_esoa_spark.plans.bridge import bridge_to_drug_codes
+
+    tagged = spark.createDataFrame(
+        [("GEN1 500 MG TABLET", "GEN1", True)],
+        "raw_text string, generic_name string, matched boolean",
+    )
+    annex = spark.createDataFrame(
+        [("Z9", "GEN1 500|MG|TABLET"), ("A1", "GEN1 500|MG|TABLET")],
+        "drug_code string, drug_description string",
+    )
+    row = bridge_to_drug_codes(tagged, annex).collect()[0]
+    assert (row.drug_code, row.match_reason) == ("Z9", "matched_perfect")
+
+    # an explicit annex_order column overrides read order
+    annex2 = spark.createDataFrame(
+        [("Z9", "GEN1 500|MG|TABLET", 5), ("A1", "GEN1 500|MG|TABLET", 2)],
+        "drug_code string, drug_description string, annex_order long",
+    )
+    row2 = bridge_to_drug_codes(tagged, annex2).collect()[0]
+    assert (row2.drug_code, row2.match_reason) == ("A1", "matched_perfect")

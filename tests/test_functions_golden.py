@@ -239,3 +239,21 @@ def test_fuzz_ratio_matches_rapidfuzz_if_available():
 def test_parentheticals():
     got = parenthetical_phrases_py("BUTAMIRATE CITRATE (SINECOD FORTE) 50MG (sinecod forte)")
     assert got == ["SINECOD FORTE"]
+
+
+def test_split_with_parentheses_f17():
+    """F17 standalone twin (tokenizer.py:897-926): parenthetical spans
+    survive tokenization as single tokens; commas/semicolons split
+    outside parens only; unbalanced parens stay glued."""
+    from pids_drg_esoa_spark.functions.tokens import split_with_parentheses_py as f
+
+    assert f("AMLODIPINE ( as BESILATE) 5MG TAB") == [
+        "AMLODIPINE", "( as BESILATE)", "5MG", "TAB",
+    ]
+    assert f("A,B;C") == ["A", "B", "C"]
+    assert f("X (Y, Z) W") == ["X", "(Y, Z)", "W"]
+    assert f("A (B C") == ["A", "(B", "C"]          # unbalanced: no span
+    assert f("((A) B)") == ["((A)", "B)"]           # non-greedy inner span
+    assert f("  spaced   out  ") == ["spaced", "out"]
+    assert f("") == []
+    assert f(None) == []

@@ -81,3 +81,27 @@ def test_write_parquet_partitioned(spark, tmp_path):
     write_parquet(df, out, partition_by=("k",))
     assert os.path.isdir(os.path.join(out, "k=a"))
     assert spark.read.parquet(out).count() == 2
+
+
+def test_bucketed_join_skips_exchange(spark):
+    """SCALE.md gap #1 closed: two tables bucketed+sorted on the join
+    key sort-merge-join with NO Exchange (shuffle) on either side —
+    the plan property that makes repeated tagger joins across runs
+    co-located. Broadcast disabled to force the merge-join path."""
+    from pids_drg_esoa_spark.sources.writers import write_bucketed_table
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed_table(a, "bkt_a", ("k",), n_buckets=8)
+    write_bucketed_table(b, "bkt_b", ("k",), n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

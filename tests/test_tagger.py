@@ -317,3 +317,137 @@ def test_fda_food_disambiguation(spark, dims):
     assert out["CHOCO KOOLAID DRINK"].match_reason == "fda_food_brand_partial"
     assert out["PARACETAMOL 500MG TAB"].match_reason == "exact"
     assert out["TRULY UNKNOWN"].match_reason == "unmatched"
+
+
+# ---------------------------------------------------------------------------
+# F33 admission gate (round 4 wiring): generics_match validates every
+# non-mixture candidate, match_priority derives from the reason map
+# (scoring.py:234-273,303-310), IV vehicle-only candidates are skipped
+# (scoring.py:249-266).
+# ---------------------------------------------------------------------------
+
+
+def test_f33_combination_gate_drops_single_candidates(spark, dims):
+    """A combination input ('+' and ≥2 normalized generics) admits only
+    combination-named candidates (scoring.py:268-271): the matched
+    single component must NOT leak through as the winner."""
+    out = _tag(spark, dims, ["PARACETAMOL + UNKNOWNCOMPOUNDXYZ 500MG"])
+    row = out["PARACETAMOL + UNKNOWNCOMPOUNDXYZ 500MG"]
+    assert not row.matched and row.generic_name is None
+
+
+def test_f33_iv_active_beats_vehicle_and_synthesized(spark, dims):
+    """IV solution 'ACTIVE IN VEHICLE': the active ingredient wins
+    (gm exact, priority 0) over the synthesized combination (combo_match,
+    priority 1); the vehicle-only candidate is skipped."""
+    generics = spark.createDataFrame(
+        [("DEXTROSE", "DB09341"), ("SODIUM CHLORIDE", "DB09153")],
+        "generic_name string, drugbank_id string",
+    )
+    d = dict(dims, generics_dim=generics, mixtures_dim=None)
+    out = _tag(spark, d, ["DEXTROSE IN SODIUM CHLORIDE SOLUTION 1 L"])
+    row = out["DEXTROSE IN SODIUM CHLORIDE SOLUTION 1 L"]
+    assert row.generic_name == "DEXTROSE"
+    assert row.gm_reason == "exact"
+
+
+def test_f33_iv_vehicle_only_unmatched(spark, dims):
+    """IV solution whose active is unknown: the vehicle match is
+    inadmissible (scoring.py:249-266) — no candidate survives."""
+    out = _tag(spark, dims, ["UNKNOWNACTIVEX IN SODIUM CHLORIDE SOLUTION"])
+    row = out["UNKNOWNACTIVEX IN SODIUM CHLORIDE SOLUTION"]
+    assert not row.matched and row.generic_name is None
+
+
+def test_f33_gate_rejects_wrong_prefix_sibling(spark, dims):
+    """The round-2/3 gap made concrete: 'ISOSORBIDE DINITRATE 10MG'
+    token-keys as 'isosorbide' (the native salt-strip has no multiword
+    guard), so the prefix tier surfaces BOTH dinitrate and mononitrate
+    dims. The guarded input set is {ISOSORBIDE DINITRATE}
+    (tagger.py:303-307), generics_match rejects the mononitrate sibling
+    (no_match), and the dinitrate candidate wins as 'exact' — under the
+    old tier constants both were priority 3 and the atc tie-break
+    picked MONONITRATE (A01 < C01)."""
+    generics = spark.createDataFrame(
+        [("ISOSORBIDE DINITRATE", "DB00883"), ("ISOSORBIDE MONONITRATE", "DB01020")],
+        "generic_name string, drugbank_id string",
+    )
+    atc = spark.createDataFrame(
+        [
+            ("ISOSORBIDE MONONITRATE", "A01AA01", False),
+            ("ISOSORBIDE DINITRATE", "C01DA08", False),
+        ],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    d = dict(dims, generics_dim=generics, atc_dim=atc, mixtures_dim=None, brands_dim=None)
+    out = _tag(spark, d, ["ISOSORBIDE DINITRATE 10MG"])
+    row = out["ISOSORBIDE DINITRATE 10MG"]
+    assert (row.generic_name, row.gm_reason) == ("ISOSORBIDE DINITRATE", "exact")
+    assert row.atc_primary == "C01DA08"
+
+
+def test_f33_priority_derived_not_tier(spark, dims):
+    """match_priority column now carries the generics_match-derived
+    value: a brand-tier hit whose post-swap input set equals the
+    candidate is priority 0 ('exact'), not the old tier constant 2."""
+    out = _tag(spark, dims, ["BIOGESIC 500 MG TABLET"])
+    row = out["BIOGESIC 500 MG TABLET"]
+    assert (row.match_priority, row.gm_reason) == (0, "exact")
+
+
+def test_form_priority_reference_constant(spark, dims):
+    """scoring.py:321-329 + tagger.py:847-856: the reference's tagger
+    candidates NEVER carry a form (form=None ⇒ '' ⇒ forms_are_
+    equivalent('', f) is True), so form_priority is a constant per doc
+    — it must not reorder candidates. Two same-length prefix siblings
+    with an input form present resolve purely on the later W1 keys
+    (details_score here), proving form never broke the tie."""
+    generics = spark.createDataFrame(
+        [("NIFEDIPINE GITS A", "DB1"), ("NIFEDIPINE MR AA", "DB2")],
+        "generic_name string, drugbank_id string",
+    )
+    d = dict(dims, generics_dim=generics, synonyms_dim=None, brands_dim=None,
+             mixtures_dim=None)
+    # 'TABLET' gives the doc an input form; the MR release detail is
+    # the deciding key exactly as in the reference
+    out = _tag(spark, d, ["NIFEDIPINE 30 MG MR TABLET"])
+    assert out["NIFEDIPINE 30 MG MR TABLET"].generic_name == "NIFEDIPINE MR AA"
+
+
+def test_details_score_probes_reference_text(spark, dims):
+    """scoring.py:331-376: the details probe targets the candidate's
+    reference_text alongside its generic name. The input's alias
+    parenthetical '(BIOGESIC)' appears only in BETA's dim reference
+    text (alias_details −2); BETA must win over the longer-named ALPHA
+    (which would take the length tie-break if reference text were
+    ignored)."""
+    generics = spark.createDataFrame(
+        [
+            ("CEFIXIME ALPHA", "DB1", None),
+            ("CEFIXIME BETA", "DB2", "CEFIXIME (TERGECEF) 200 MG"),
+        ],
+        "generic_name string, drugbank_id string, reference_text string",
+    )
+    d = dict(dims, generics_dim=generics, synonyms_dim=None, brands_dim=None,
+             mixtures_dim=None)
+    out = _tag(spark, d, ["CEFIXIME 200 MG TABLET (TERGECEF)"])
+    row = out["CEFIXIME 200 MG TABLET (TERGECEF)"]
+    assert row.generic_name == "CEFIXIME BETA"
+    assert row.reference_text == "CEFIXIME (TERGECEF) 200 MG"
+
+
+def test_f33_regional_reverse_gate_quirk(spark, dims):
+    """Faithfully reproduced reference quirk: the synonym dict seeds
+    the regional→US reverse map (PARACETAMOL→ACETAMINOPHEN,
+    tagger.py:211-213), so a PARACETAMOL input normalizes to
+    ACETAMINOPHEN and generics_match REJECTS a suffix-named dim like
+    'PARACETAMOL ALPHA' (no substring either way, scoring.py:171-180)
+    — while the exact-named dim still matches 'exact' because BOTH
+    sides normalize to ACETAMINOPHEN."""
+    generics = spark.createDataFrame(
+        [("PARACETAMOL ALPHA", "DB9")], "generic_name string, drugbank_id string"
+    )
+    d = dict(dims, generics_dim=generics, synonyms_dim=None, brands_dim=None,
+             mixtures_dim=None)
+    out = _tag(spark, d, ["PARACETAMOL 500 MG TAB"])
+    assert not out["PARACETAMOL 500 MG TAB"].matched  # prefix sibling rejected
