@@ -71,24 +71,42 @@ _DOC_ENRICH_SCHEMA = T.StructType(
         T.StructField("input_class", T.StringType()),
         T.StructField("details", DETAILS_SCHEMA),
         T.StructField("stripped", T.ArrayType(T.StringType())),
+        T.StructField("combo_keys", T.ArrayType(T.StringType())),
     ]
 )
 
 
-def _make_doc_enrich(brand_b, mw_b):
+def _make_doc_enrich(brand_b, mw_b, syn_b):
     """ONE Arrow crossing for all per-doc Python: vaccine canon, input
-    classification, the F15 details struct, and the stripped-generics
-    list (brand swap → multiword/pure-salt guard → salt strip → junk
-    filter, tagger.py:624-630,303-307,712-719). Three separate UDFs
-    measured ~3× the batch-transfer cost, hence the single struct.
-    ``brand_b``/``mw_b`` are broadcast dict/frozenset built from the
+    classification, the F15 details struct, the stripped-generics list
+    (brand swap → multiword/pure-salt guard → salt strip → junk
+    filter, tagger.py:624-630,303-307,712-719), and the reference-
+    shaped combination lookup keys (raw + synonym-normalized + key-
+    synonym variants, tagger.py:654-680). Separate UDFs measured ~3×
+    the batch-transfer cost, hence the single struct. ``brand_b`` /
+    ``mw_b`` / ``syn_b`` are broadcast dict/frozenset built from the
     dims on the driver (dims are broadcast-sized by design)."""
+    from ..functions.matching import build_combination_keys_ref_py
+
+    def combo_keys(sgs: list[str], syn: dict[str, str]) -> list[str]:
+        keys = list(build_combination_keys_ref_py(sgs))
+        normalized = [apply_synonym_py(s, syn) for s in sgs]
+        keys += [k for k in build_combination_keys_ref_py(normalized) if k not in keys]
+        for k in list(keys):
+            ks = apply_synonym_py(k, syn)
+            if ks != k and ks not in keys:
+                keys.append(ks)
+        return keys
 
     @F.pandas_udf(_DOC_ENRICH_SCHEMA)
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
-        brand_map, multiword = brand_b.value, mw_b.value
+        brand_map, multiword, syn = brand_b.value, mw_b.value, syn_b.value
+        stripped = [
+            stripped_generics_py(list(c) if c is not None else [], brand_map, multiword)
+            for c in components
+        ]
         return pd.DataFrame(
             {
                 "vaccine_canon": [normalize_vaccine_name_py(t) for t in text],
@@ -97,12 +115,8 @@ def _make_doc_enrich(brand_b, mw_b):
                     for t, n in zip(text, n_comp)
                 ],
                 "details": [extract_drug_details_py(t) for t in text],
-                "stripped": [
-                    stripped_generics_py(
-                        list(c) if c is not None else [], brand_map, multiword
-                    )
-                    for c in components
-                ],
+                "stripped": stripped,
+                "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
             }
         )
 
@@ -216,9 +230,9 @@ PRIORITY_PREFIX = 3
 PRIORITY_FUZZY = 4
 
 
-def _components(esoa: DataFrame, text_col: str, brand_b, mw_b) -> DataFrame:
+def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFrame:
     """Stages 1-2: dedupe texts, extract combination components."""
-    doc_enrich = _make_doc_enrich(brand_b, mw_b)
+    doc_enrich = _make_doc_enrich(brand_b, mw_b, syn_b)
     docs = (
         esoa.select(F.col(text_col).alias("raw_text"))
         .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
@@ -242,6 +256,7 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b) -> DataFrame:
         .withColumn("details", F.col("enrich.details"))
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
         .withColumn("stripped", F.col("enrich.stripped"))
+        .withColumn("combo_keys", F.col("enrich.combo_keys"))
         .withColumn("input_form", parse_form_col(F.col("raw_text")))
         .drop("enrich")
     )
@@ -472,7 +487,7 @@ def tag_descriptions(
     brand_b = sc.broadcast(brand_map)
     mw_b = sc.broadcast(multiword)
 
-    docs = _components(esoa, text_col, brand_b, mw_b)
+    docs = _components(esoa, text_col, brand_b, mw_b, syn_b)
 
     # --- mixture tier: sorted component_key → unified_mixtures (J8) ---
     candidates = []
@@ -557,6 +572,35 @@ def tag_descriptions(
     token_cand = token_hits.select(
         "raw_text", "generic_name", "drugbank_id", "reference_text", "match_reason"
     )
+
+    # Combination-key lookups against the GENERICS dim (reference
+    # tagger.py:654-680,728-763): 'A + B' / 'A AND B' / sorted /
+    # reversed / synonym-rewritten keys probe unified names directly.
+    # The per-token cascade can NEVER reach these rows when a component
+    # exact-hits its single-drug dim (the argmin drops the prefix-tier
+    # combo sibling), so combination-named dim entries — with their
+    # drugbank_id and ATC — need this per-DOC tier.
+    ref_col2 = (
+        F.col("reference_text")
+        if "reference_text" in generics_dim.columns
+        else F.lit(None).cast("string")
+    )
+    gu = F.broadcast(
+        generics_dim.select(
+            F.upper("generic_name").alias("ukey"),
+            "generic_name", "drugbank_id", ref_col2.alias("reference_text"),
+        )
+    )
+    combo_key_hits = (
+        docs.select("raw_text", F.explode("combo_keys").alias("ck"))
+        .join(gu, F.col("ck") == F.col("ukey"))
+        .select(
+            "raw_text", "generic_name", "drugbank_id", "reference_text",
+            F.lit("combo_key").alias("match_reason"),
+        )
+        .dropDuplicates(["raw_text", "generic_name", "drugbank_id"])
+    )
+    token_cand = token_cand.unionByName(combo_key_hits)
 
     # --- F33 admission gate -------------------------------------------
     # Per-doc selection inputs (scoring.py:203-310): normalized input

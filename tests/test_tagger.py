@@ -451,3 +451,32 @@ def test_f33_regional_reverse_gate_quirk(spark, dims):
              mixtures_dim=None)
     out = _tag(spark, d, ["PARACETAMOL 500 MG TAB"])
     assert not out["PARACETAMOL 500 MG TAB"].matched  # prefix sibling rejected
+
+
+def test_combo_key_tier_reaches_combination_dim(spark, dims):
+    """Reference tagger.py:654-680,728-763: combination keys ('A AND
+    B', sorted/reversed variants) probe the unified dim directly. With
+    both singles present, the per-token cascade exact-hits them and
+    never surfaces the combination-named dim row — the combo-key tier
+    must admit it, and its combination ATC beats the ATC-less
+    synthesized candidate under a combination input."""
+    generics = spark.createDataFrame(
+        [
+            ("AMOXICILLIN", "DB01060"),
+            ("CLAVULANIC ACID", "DB00766"),
+            ("AMOXICILLIN AND CLAVULANIC ACID", "DB99001"),  # WHO-style name
+        ],
+        "generic_name string, drugbank_id string",
+    )
+    atc = spark.createDataFrame(
+        [("AMOXICILLIN AND CLAVULANIC ACID", "J01CR02", True)],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    d = dict(dims, generics_dim=generics, atc_dim=atc, mixtures_dim=None,
+             brands_dim=None, synonyms_dim=None)
+    out = _tag(spark, d, ["AMOXICILLIN + CLAVULANIC ACID 625MG TAB"])
+    row = out["AMOXICILLIN + CLAVULANIC ACID 625MG TAB"]
+    assert row.generic_name == "AMOXICILLIN AND CLAVULANIC ACID"
+    assert row.drugbank_id == "DB99001"
+    assert row.atc_primary == "J01CR02"
+    assert row.match_reason == "combo_key"
