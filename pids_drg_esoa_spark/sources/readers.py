@@ -114,6 +114,19 @@ def latest_dated_file(directory: str, stem: str) -> str | None:
     return best[1] if best else None
 
 
+def read_excel_df(spark: SparkSession, path: str) -> DataFrame:
+    """S3: diagnostics-workbook scan (match_labs.py:55 —
+    ``pd.read_excel(dtype=str)``). Decoded driver-side with the
+    stdlib xlsx codec (sources/xlsx.py) then parallelized: the
+    reference's Excel inputs are small dims (diagnostics lookup),
+    never fact-scale — the 100 TB scan path is parquet/CSV."""
+    from .xlsx import read_xlsx
+
+    header, rows = read_xlsx(path)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
 TEXT_COLUMN_CANDIDATES = (
     "raw_text",
     "ITEM_DESCRIPTION",

@@ -71,18 +71,34 @@ def read_metrics(spark: SparkSession, path: str) -> DataFrame:
 
 def write_excel_report(df: DataFrame, path: str, sheet: str = "report", max_rows: int = 100_000) -> bool:
     """S7: driver-side Excel presentation sink (match_labs.py:116-123
-    — freeze panes + autofilter). Returns False when xlsxwriter is
-    unavailable (import-try gate per environment rules)."""
-    try:
-        import xlsxwriter  # noqa: F401
-    except ImportError:
-        return False
+    — one sheet, header row frozen, autofilter over the data range).
+    Uses xlsxwriter when present (byte-parity with the reference's
+    writer); otherwise the stdlib OOXML codec (sources/xlsx.py) —
+    same sheet shape, no dependency. Always a SMALL collected result:
+    presentation is driver work, parquet is the data-scale sink."""
     pdf = df.limit(max_rows).toPandas()
+    try:
+        import pandas as pd
+        import xlsxwriter  # noqa: F401
+
+        with pd.ExcelWriter(path, engine="xlsxwriter") as xw:
+            pdf.to_excel(xw, sheet_name=sheet, index=False)
+            ws = xw.sheets[sheet]
+            ws.freeze_panes(1, 0)
+            ws.autofilter(0, 0, len(pdf), max(len(pdf.columns) - 1, 0))
+        return True
+    except ImportError:
+        from .xlsx import write_xlsx
+
+        rows = [tuple(None if pd_isna(v) else v for v in rec) for rec in pdf.itertuples(index=False)]
+        write_xlsx(path, list(pdf.columns), rows, sheet=sheet)
+        return True
+
+
+def pd_isna(v: object) -> bool:
     import pandas as pd
 
-    with pd.ExcelWriter(path, engine="xlsxwriter") as xw:
-        pdf.to_excel(xw, sheet_name=sheet, index=False)
-        ws = xw.sheets[sheet]
-        ws.freeze_panes(1, 0)
-        ws.autofilter(0, 0, len(pdf), max(len(pdf.columns) - 1, 0))
-    return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
