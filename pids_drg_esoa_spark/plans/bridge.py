@@ -273,9 +273,19 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
             F.col("esoa_parsed.route").alias("esoa_route"),
             F.col("esoa_parsed.details").alias("esoa_details"),
         )
-        .persist()  # reused by candidate gen AND the final left join
+        # localCheckpoint, not persist: parse_side embeds the native
+        # dose/form/route expression trees; candidate gen and the
+        # final left join would each copy that subtree into the plan
+        # and Catalyst re-walks it per transformation (same pathology
+        # as the tagger docs relation — see plans/tagger.py).
+        .localCheckpoint(eager=True)
     )
-    index = F.broadcast(build_annex_index(annex_f))
+    # materialize: the index embeds parse_side's native dose/form
+    # expression trees; broadcasting a leaf keeps them out of the
+    # probe-side plan (see plans/tagger._materialize_dim)
+    from .tagger import _materialize_dim
+
+    index = F.broadcast(_materialize_dim(build_annex_index(annex_f)))
 
     cand = (
         esoa.filter(F.col("has_generic"))

@@ -261,11 +261,23 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         .drop("enrich")
     )
     # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
-    # combos, final join): without persist the pandas_udf extraction
-    # re-executes per branch — measured 5× end-to-end cost. Distinct
-    # texts are small relative to the fact table (the whole point of
-    # dedupe-by-text), so caching them is the production shape too.
-    return docs.persist()
+    # combos, final join): without materialization the pandas_udf
+    # extraction re-executes per branch — measured 5× end-to-end cost.
+    # localCheckpoint (not persist): the enrich columns embed the
+    # native vocab expression trees (normalize/combination/form
+    # twins — thousands of literals), and every consumer COPIES the
+    # logical subtree into its own plan. With persist the final tag
+    # plan analyzed to a 25 MB tree; Catalyst re-walks it on every
+    # downstream transformation (~0.5 s per withColumn/join, ~56 s of
+    # driver time per tag() call) and re-optimizes it per action.
+    # Truncating lineage here collapses each copy to a LogicalRDD
+    # leaf: measured 90 s → ~15 s for a 400-row tag plan. Distinct
+    # texts are bounded (dedupe-by-text), so materializing them is the
+    # production shape too; on a cluster an executor loss under
+    # localCheckpoint costs a job retry — acceptable for a bounded
+    # doc relation, and the runner's checkpoint_dir covers the
+    # reliable-checkpoint variant for the long-lineage dims.
+    return docs.localCheckpoint(eager=True)
 
 
 def _token_matches(
@@ -424,6 +436,22 @@ def _token_matches(
     )
 
 
+def _materialize_dim(dim: DataFrame | None) -> DataFrame | None:
+    """Collapse a dim's logical plan to a LogicalRDD leaf (eager
+    localCheckpoint) so broadcast-join consumers don't each copy its
+    derivation subtree into the probe plan. No-op for None and for
+    relations that are already leaves (LogicalRDD / scans)."""
+    if dim is None:
+        return None
+    try:
+        plan = dim._jdf.queryExecution().analyzed()
+        if plan.children().size() == 0:  # already a leaf relation
+            return dim
+    except Exception:
+        pass
+    return dim.localCheckpoint(eager=True)
+
+
 def tag_descriptions(
     esoa: DataFrame,
     generics_dim: DataFrame,
@@ -439,6 +467,24 @@ def tag_descriptions(
     join back on text (A6)."""
     spark = esoa.sparkSession
     sc = spark.sparkContext
+
+    # Materialize the dims ONCE before any tier references them. The
+    # unified builders (prepare_pnf's 25-col derivation especially)
+    # produce expression trees in the 100s-of-KB range; every tier
+    # broadcast-join would otherwise copy that subtree into the tag
+    # plan (~8 copies → a 24 MB analyzed tree that Catalyst re-walks
+    # on EVERY downstream transformation: measured ~0.5 s per
+    # withColumn/join, ~60 s of driver time per tag() call, all
+    # py4j-invisible). Dims are broadcast-sized by contract, so the
+    # eager materialization is milliseconds of executor work; the
+    # plan-side win is the whole point. Skip when the caller already
+    # passes a leaf (checkpointed/parquet-read) relation.
+    generics_dim = _materialize_dim(generics_dim)
+    atc_dim = _materialize_dim(atc_dim)
+    brands_dim = _materialize_dim(brands_dim)
+    mixtures_dim = _materialize_dim(mixtures_dim)
+    synonyms_dim = _materialize_dim(synonyms_dim)
+    fda_food_dim = _materialize_dim(fda_food_dim)
 
     # The reference seeds its synonym dict with the SPELLING_SYNONYMS
     # canonical rewrites and the regional→US reverse map BEFORE the
