@@ -39,6 +39,7 @@ def main() -> None:
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_fingerprints",
         "ann_cosine_topk",
+        "ann_ivf_kmeans_topk",
         "text_quality_scores",
         "mm_image_decode_stub",
     ) if n in specs]

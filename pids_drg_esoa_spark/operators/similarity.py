@@ -151,6 +151,186 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_MEANS_K = 8
+K_MEANS_SCALE = 16
+
+
+def _kmeans_cell_expr(cents: list[list[int]]) -> Column:
+    """Nearest-centroid id as a native expression from literal
+    centroids: 8 integer dots, argmax with min-id tie-break via
+    array_max over (dot, -cid) structs (lexicographic struct order)."""
+    structs = [
+        F.struct(
+            int_dot(F.col("qe"), F.array(*[F.lit(int(x)) for x in c])).alias("dot"),
+            F.lit(-j).alias("nj"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return (-F.array_max(F.array(*structs))["nj"]).alias("cell")
+
+
+def kmeans_assign(v: DataFrame, iters: int = 1) -> DataFrame:
+    """Deterministic integer k-means over (vec_id, qe): init = the
+    first K vectors' quantized embeddings ×SCALE, then ``iters``
+    Lloyd update+reassign rounds. All arithmetic is integer (sums,
+    counts, floor-division centroids), so assignments are bit-exact
+    across engines and partition orders — no float mean ever exists.
+
+    Scale shape: assignment is a narrow map (literal centroids inside
+    codegen — no join, no shuffle); the update aggregates k×d
+    sufficient statistics (posexplode → groupBy(cell, pos) sum), a
+    512-row result collected to the driver exactly like MLlib's
+    aggregate-then-update step. Rounds are O(scan) each."""
+    init_rows = (
+        v.filter(F.col("vec_id") < K_MEANS_K).select("vec_id", "qe").collect()
+    )
+    by_id = {int(r[0]): [int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows}
+    cents = [by_id[i] for i in range(K_MEANS_K)]
+    for _ in range(iters):
+        assigned = v.withColumn("cell", _kmeans_cell_expr(cents))
+        stats = (
+            assigned.select("cell", F.posexplode("qe"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["n"]))
+        new_cents = []
+        for j, old in enumerate(cents):
+            dims = sums.get(j)
+            if not dims:  # empty cell keeps its previous centroid
+                new_cents.append(old)
+                continue
+            # exact floor division — Python int // matches the
+            # oracle's (16s − mod)/n construction for either sign
+            new_cents.append(
+                [(K_MEANS_SCALE * dims[p][0]) // dims[p][1] for p in range(len(old))]
+            )
+        cents = new_cents
+    return v.withColumn("cell", _kmeans_cell_expr(cents))
+
+
+_SQL_KMEANS_CELLS = """
+    v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 10000) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, list_transform(qe, x -> x * 16) AS c
+        FROM v WHERE vec_id < 8
+    ),
+    d1 AS (
+        SELECT v.vec_id, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> v.qe[i] * c.c[i])) AS BIGINT) AS dot
+        FROM v, c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid ASC) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    e1 AS (
+        SELECT a1.cell, i.i AS pos, v.qe[i.i] AS x
+        FROM a1 JOIN v USING (vec_id),
+             (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    s1 AS (
+        SELECT cell, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+        FROM e1 GROUP BY cell, pos
+    ),
+    c1 AS (
+        SELECT cell AS cid,
+               list(CAST((16 * s - ((((16 * s) % n) + n) % n)) / n AS BIGINT)
+                    ORDER BY pos) AS c
+        FROM s1 GROUP BY cell
+    ),
+    cc AS (
+        SELECT c0.cid, COALESCE(c1.c, c0.c) AS c
+        FROM c0 LEFT JOIN c1 ON c1.cid = c0.cid
+    ),
+    d2 AS (
+        SELECT v.vec_id, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> v.qe[i] * c.c[i])) AS BIGINT) AS dot
+        FROM v, cc c
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid ASC) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CELLS},
+    q AS (
+        SELECT v.vec_id, v.qe, a2.cell
+        FROM v JOIN a2 USING (vec_id) WHERE v.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> q.qe[i] * bv.qe[i])) AS BIGINT) AS dot_q
+        FROM q
+        JOIN a2 b ON b.cell = q.cell AND b.vec_id <> q.vec_id
+        JOIN v bv ON bv.vec_id = b.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+    FROM (
+        SELECT query_id, neighbor_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED coarse centroids: deterministic integer
+    k-means (k=8, one Lloyd round — init from the first k vectors,
+    sum/count statistics, floor-division centroid update), then probe
+    only the query's cell, top-3 by quantized dot. Upgrades the
+    sign-bit cells of ``ann_ivf_bucketed_topk``: data-adaptive cells
+    give balanced partitions on clustered embeddings (sign-bit cells
+    collapse when mass concentrates in an orthant), while candidate
+    generation stays an equi-join on the cell id — the O(n)-shuffle
+    IVF shape used at 100 TB, with training cost O(iters · scan)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    cells = kmeans_assign(v, iters=1)
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot(F.col("q_emb"), F.col("qe")).alias("dot_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "dot_q")
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""

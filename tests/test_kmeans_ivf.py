@@ -1,0 +1,82 @@
+"""Deterministic integer k-means IVF (operators/similarity.py):
+assignment properties, the empty-cell fallback, and bit-exact
+reproducibility across runs (the property the integer arithmetic
+exists for — float-mean Lloyd steps are partition-order-dependent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pids_drg_esoa_spark.operators.similarity import (
+    K_MEANS_K,
+    K_MEANS_SCALE,
+    _kmeans_cell_expr,
+    kmeans_assign,
+    quantize,
+)
+
+
+def _vectors(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").select(
+        "vec_id", quantize(F.col("embedding")).alias("qe")
+    )
+
+
+def test_assignment_partitions_all_vectors(spark):
+    # two tight clusters around +x and -x axes, 64-dim
+    def vec(sign, jitter):
+        v = [0.0] * 64
+        v[0] = sign * 1.0
+        v[1] = jitter
+        return v
+
+    rows = [(i, vec(1, 0.01 * i)) for i in range(8)] + [
+        (i, vec(-1, 0.0)) for i in range(8, 16)
+    ]
+    out = kmeans_assign(_vectors(spark, rows), iters=1)
+    got = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert set(got) == set(range(16))
+    assert all(0 <= c < K_MEANS_K for c in got.values())
+    # identical inputs land identically: the 8 copies of the -x vector
+    # share one cell (assignment is a pure function of the vector)
+    neg_cells = {got[i] for i in range(8, 16)}
+    assert len(neg_cells) == 1
+
+
+def test_assignment_deterministic_across_runs_and_partitionings(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    a = kmeans_assign(_vectors(spark, rows), iters=1).collect()
+    b = kmeans_assign(_vectors(spark, rows).repartition(7), iters=1).collect()
+    assert {(r["vec_id"], r["cell"]) for r in a} == {(r["vec_id"], r["cell"]) for r in b}
+
+
+def test_empty_cell_keeps_init_centroid(spark):
+    # all vectors identical → every vector assigns to centroid 0 (tie
+    # broken by min cid); cells 1..7 get no members and must keep
+    # their init centroids rather than crash or emit nulls
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(12)]
+    out = kmeans_assign(_vectors(spark, rows), iters=2)
+    cells = {r["cell"] for r in out.collect()}
+    assert cells == {0}
+
+
+def test_cell_expr_tie_breaks_to_min_cid(spark):
+    cents = [[1] * 64, [1] * 64, [0] * 64]
+    df = _vectors(spark, [(0, [0.5] * 64)]).withColumn(
+        "cell", _kmeans_cell_expr(cents)
+    )
+    assert df.collect()[0]["cell"] == 0
+
+
+def test_scale_constant_matches_oracle_contract():
+    # the SQL oracle hard-codes ×16 and k=8; fail loudly if the
+    # Python constants drift from the oracle text
+    from pids_drg_esoa_spark.operators.similarity import _SQL_KMEANS_CELLS
+
+    assert K_MEANS_SCALE == 16 and K_MEANS_K == 8
+    assert "x * 16" in _SQL_KMEANS_CELLS and "vec_id < 8" in _SQL_KMEANS_CELLS
