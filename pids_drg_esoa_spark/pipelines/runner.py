@@ -89,6 +89,16 @@ def run_drugs_all(
         brands = spark.read.parquet(os.path.join(checkpoint_dir, "unified_brands"))
         mixtures = spark.read.parquet(os.path.join(checkpoint_dir, "unified_mixtures"))
 
+    # Materialize the dims once for BOTH tag() calls (annex + eSOA);
+    # tag_descriptions would otherwise localCheckpoint per call. See
+    # plans/tagger._materialize_dim / SCALE.md measured lesson #3.
+    from ..plans.tagger import _materialize_dim
+
+    generics = _materialize_dim(generics)
+    atc = _materialize_dim(atc)
+    brands = _materialize_dim(brands)
+    mixtures = _materialize_dim(mixtures)
+
     synonyms = inputs.get("synonyms")  # optional (synonym, generic_name) rows
     # optional FDA food registry (food_name, food_type, registration) —
     # unmatched texts that hit it are food, not unrecognized drugs
