@@ -92,12 +92,9 @@ def run_drugs_all(
     # Materialize the dims once for BOTH tag() calls (annex + eSOA);
     # tag_descriptions would otherwise localCheckpoint per call. See
     # plans/tagger._materialize_dim / SCALE.md measured lesson #3.
-    from ..plans.tagger import _materialize_dim
+    from ..plans.tagger import _materialize_dims
 
-    generics = _materialize_dim(generics)
-    atc = _materialize_dim(atc)
-    brands = _materialize_dim(brands)
-    mixtures = _materialize_dim(mixtures)
+    generics, atc, brands, mixtures = _materialize_dims(generics, atc, brands, mixtures)
 
     synonyms = inputs.get("synonyms")  # optional (synonym, generic_name) rows
     # optional FDA food registry (food_name, food_type, registration) —

@@ -452,6 +452,22 @@ def _materialize_dim(dim: DataFrame | None) -> DataFrame | None:
     return dim.localCheckpoint(eager=True)
 
 
+def _materialize_dims(*dims: DataFrame | None) -> list[DataFrame | None]:
+    """Materialize several dims CONCURRENTLY (one driver thread per
+    dim — Spark schedules jobs from multiple threads fine). The cost
+    per dim is dominated by one-time codegen of its derivation
+    expression (~2 s for prepare_pnf's 25-col batch), so overlapping
+    them turns 5 × 2.3 s sequential into ~max(2.3 s)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [d for d in dims if d is not None]
+    if not todo:
+        return list(dims)
+    with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+        done = list(ex.map(_materialize_dim, dims))
+    return done
+
+
 def tag_descriptions(
     esoa: DataFrame,
     generics_dim: DataFrame,
@@ -479,12 +495,16 @@ def tag_descriptions(
     # eager materialization is milliseconds of executor work; the
     # plan-side win is the whole point. Skip when the caller already
     # passes a leaf (checkpointed/parquet-read) relation.
-    generics_dim = _materialize_dim(generics_dim)
-    atc_dim = _materialize_dim(atc_dim)
-    brands_dim = _materialize_dim(brands_dim)
-    mixtures_dim = _materialize_dim(mixtures_dim)
-    synonyms_dim = _materialize_dim(synonyms_dim)
-    fda_food_dim = _materialize_dim(fda_food_dim)
+    (
+        generics_dim,
+        atc_dim,
+        brands_dim,
+        mixtures_dim,
+        synonyms_dim,
+        fda_food_dim,
+    ) = _materialize_dims(
+        generics_dim, atc_dim, brands_dim, mixtures_dim, synonyms_dim, fda_food_dim
+    )
 
     # The reference seeds its synonym dict with the SPELLING_SYNONYMS
     # canonical rewrites and the regional→US reverse map BEFORE the
