@@ -167,8 +167,21 @@ _QTY_TOKEN_PATTERN = (
     rf"^[0-9][0-9.]*{_UNIT_WORD}?(?:/(?:{_UNIT_WORD}|{_PACK_WORD}))?$"
 )
 _QTY_TOKEN_RE = re.compile(_QTY_TOKEN_PATTERN)
+# Standalone unit words dropped from combination components — the
+# reference's full UNIT_TOKENS vocabulary (unified_constants.py:827-846,
+# lowercased). A unit can be orphaned when the dose regex consumes its
+# number (e.g. '200 mg/5 ml': the ratio eats '200 mg/5', stranding
+# 'ml'), so the bare words must be in the drop set, not only inside
+# quantity patterns.
 _UNIT_TOKENS = frozenset(
-    {"gram", "grams", "meq", "mmol", "cc", "iu", "unit", "units"}
+    {
+        "mg", "g", "mcg", "ug", "kg", "gms", "gm", "gram", "grams",
+        "ml", "l", "cc",
+        "iu", "unit", "units", "lsu", "mu",
+        "meq", "meqs", "mol", "mmol",
+        "pct", "%",
+        "mg/ml", "mcg/ml", "iu/ml", "mg/5ml", "mg/l",
+    }
 )
 
 

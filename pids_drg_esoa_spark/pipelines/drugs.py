@@ -23,6 +23,7 @@ from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
 from ..functions.text import normalize_text, slug_id
 from ..functions.tokens import extract_base_and_salts
 from ..functions.constants import ROUTE_LABEL_EXPANSION
+from ..functions.vocab_full import CANONICAL_ATC_MAPPINGS_FULL
 from .base import BasePipeline, PipelineContext, register_pipeline
 
 
@@ -74,9 +75,14 @@ def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
     )
 
 
-def build_unified_atc(drugbank_atc: DataFrame, who_atc: DataFrame) -> DataFrame:
+def build_unified_atc(
+    drugbank_atc: DataFrame, who_atc: DataFrame, pnf_prepared: DataFrame | None = None
+) -> DataFrame:
     """unified_atc (…py:314-364): DrugBank codes + WHO codes for
-    generics not already covered (anti-join on generic+code)."""
+    generics not already covered (anti-join on generic+code) + PNF
+    rows keyed by the normalized molecule (…py:341-355) + the
+    canonical combination/alias mappings the reference unions last
+    (…py:360-364, unified_constants.py:1933-2018)."""
     db = drugbank_atc.select(
         "drugbank_id", F.upper("generic_name").alias("generic_name"), F.upper("atc_code").alias("atc_code")
     )
@@ -86,7 +92,23 @@ def build_unified_atc(drugbank_atc: DataFrame, who_atc: DataFrame) -> DataFrame:
         F.upper("atc_code").alias("atc_code"),
     )
     new = who.join(db.select("generic_name", "atc_code"), ["generic_name", "atc_code"], "left_anti")
-    return db.unionByName(new).dropDuplicates(["generic_name", "atc_code", "drugbank_id"])
+    out = db.unionByName(new)
+    if pnf_prepared is not None and "ATC Code" in pnf_prepared.columns:
+        pnf = pnf_prepared.select(
+            F.lit(None).cast("string").alias("drugbank_id"),
+            F.upper(F.trim("generic_normalized")).alias("generic_name"),
+            F.upper(F.trim("ATC Code")).alias("atc_code"),
+        ).filter(
+            F.col("atc_code").isNotNull() & (F.col("atc_code") != "")
+            & F.col("generic_name").isNotNull() & (F.col("generic_name") != "")
+        )
+        out = out.unionByName(pnf)
+    canonical = drugbank_atc.sparkSession.createDataFrame(
+        CANONICAL_ATC_MAPPINGS_FULL,
+        "drugbank_id string, generic_name string, atc_code string",
+    )
+    out = out.unionByName(canonical)
+    return out.dropDuplicates(["generic_name", "atc_code", "drugbank_id"])
 
 
 def build_unified_brands(fda_brands: DataFrame, drugbank_brands: DataFrame) -> DataFrame:

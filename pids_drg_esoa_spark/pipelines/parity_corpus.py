@@ -43,12 +43,31 @@ ESOA_CASES: list[tuple[str, str]] = [
     ("CEFUROXIME 500MG TAB", "atc"),           # prefix tier (axetil dim)
     ("MMR VACCINE 0.5ML", "generic"),          # vaccine canon; no vaccine ATC dim here
     ("5% DEXTROSE IN 0.9% SODIUM CHLORIDE 1 L BOTTLE", "atc"),  # IV active
-    # mixture without an ATC row — reference candidates keep drugbank only
-    ("ALENDRONATE + CHOLECALCIFEROL (VIT. D3) ( as SODIUM SALT) 70 mg + 2800 IU TABLET", "generic"),
+    # combination ATC via the canonical mappings the unified build
+    # unions last (unified_constants.py:1969 → M05BB03)
+    ("ALENDRONATE + CHOLECALCIFEROL (VIT. D3) ( as SODIUM SALT) 70 mg + 2800 IU TABLET", "atc"),
     ("FLANAX 275 TABLET", "atc"),              # brand swap + salt strip + bare-number dose
     ("COMPLETELY UNKNOWN COMPOUND 10MG", "none"),
     ("ENERGY BISCUIT", "none"),                # FDA food, not a drug
     ("KETOANALOGUE+AMINO ACIDS 600MG TAB (GENERIC)", "none"),  # not in dims
+    # round-4 additions, each from the reference's own fixtures/docs:
+    # IV-fluid shorthand (unified_constants.py:1181 PNSS / 1092 D5 —
+    # seeded spelling synonyms rewrite the token before lookup)
+    ("PNSS 1L", "atc"),
+    ("D5 500ML", "atc"),
+    # STIGMINE-family regression texts
+    # (tests/test_annex_f_normalization_stigmine.py:10-16)
+    ("PYRIDOSTIGMINE 60MG TABLET", "atc"),
+    ("RIVASTIGMINE 1.5MG CAPSULE", "atc"),
+    # combination with per-component doses + packaging noise
+    # (tests/test_annex_generic_name_cleaning.py:57-60)
+    (
+        "ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 225 MG + 200 MG/5 ML SUSPENSION 250 ML BOTTLE",
+        "atc",
+    ),
+    # brand-only text resolved through the FDA brand table
+    ("TERGECEF 200MG CAPSULE", "atc"),
+    ("TYLENOL 500 MG TABLET", "atc"),          # DrugBank brand row
 ]
 
 # Annex F rows (pipe dose format, runners.py:479-483) covering a
@@ -58,7 +77,7 @@ ANNEX_ROWS: list[tuple[str, str]] = [
     ("D00002", "CELECOXIB 200|MG|CAPSULE"),
     ("D00003", "NAPROXEN 275|MG|TABLET"),
     ("D00004", "AMOXICILLIN + CLAVULANIC ACID 625|MG|TABLET"),
-    ("D00005", "SALBUTAMOL 2.5|MG|RESPULE"),
+    ("D00005", "SALBUTAMOL 2.5|MG|NEBULE"),
     ("D00006", "NEOSTIGMINE 500|MG|AMPULE"),   # dose mismatch vs 1 g
     ("D00007", "MUPIROCIN 2% OINTMENT"),
 ]
@@ -73,6 +92,7 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("MUPIROCIN", "Topical:", "D06AX09", "2% ointment"),
             ("NEOSTIGMINE", "Inj.:", "N07AA01", "500 mcg/mL ampule"),
             ("SODIUM CHLORIDE", "IV:", "B05XA03", "0.9% solution"),
+            ("PYRIDOSTIGMINE", "Oral:", "N07AA02", "60 mg tablet"),
         ],
         "`Molecule` string, `Route` string, `ATC Code` string, `Technical Specifications` string",
     )
@@ -92,6 +112,10 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("DB00410", "Mupirocin"),
             ("DB01400", "Potassium chloride"),
             ("DB00788", "Naproxen"),
+            ("DB00989", "Rivastigmine"),
+            ("DB00671", "Cefixime"),
+            ("DB06723", "Aluminum hydroxide"),
+            ("DB09104", "Magnesium hydroxide"),
         ],
         "drugbank_id string, generic_name string",
     )
@@ -112,6 +136,9 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("DB00788", "NAPROXEN", "M01AE02"),
             # DrugBank carries mixture-product ATCs under the combo name
             ("DBMIX01", "AMOXICILLIN + CLAVULANIC ACID", "J01CR02"),
+            ("DB00989", "RIVASTIGMINE", "N06DA03"),
+            ("DB00671", "CEFIXIME", "J01DD08"),
+            ("DBMIX03", "ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE", "A02AD01"),
         ],
         "drugbank_id string, generic_name string, atc_code string",
     )
@@ -121,6 +148,9 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("J01CR02", "AMOXICILLIN AND BETA-LACTAMASE INHIBITOR"),
             ("N07AA01", "NEOSTIGMINE"),
             ("M05BB03", "ALENDRONIC ACID AND COLECALCIFEROL"),
+            # WHO names glucose, not dextrose (B05CX01) — the D5
+            # shorthand rewrites to GLUCOSE, so the dim must carry it
+            ("B05CX01", "GLUCOSE"),
         ],
         "atc_code string, atc_name string",
     )
@@ -149,6 +179,11 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
                 "DBMIX02",
                 "Alendronate + Cholecalciferol",
                 "alendronate + cholecalciferol",
+            ),
+            (
+                "DBMIX03",
+                "Aluminum hydroxide + Magnesium hydroxide",
+                "aluminum hydroxide + magnesium hydroxide",
             ),
         ],
         "drugbank_id string, mixture_name string, component_generics string",

@@ -74,7 +74,9 @@ def run_drugs_all(
     generics = build_unified_generics(
         inputs["drugbank_generics"], inputs["who_atc"], pnf_prepared
     )
-    atc = _flag_combination_atc(build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"]))
+    atc = _flag_combination_atc(
+        build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"], pnf_prepared)
+    )
     brands = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
     mixtures = build_unified_mixtures(inputs["mixtures"]).selectExpr(
         "component_key", "mixture_name", "drugbank_id"
