@@ -99,6 +99,16 @@ def run_drugs_all(
     generics, atc, brands, mixtures = _materialize_dims(generics, atc, brands, mixtures)
 
     synonyms = inputs.get("synonyms")  # optional (synonym, generic_name) rows
+    # Also accept the reference's unified_synonyms shape directly
+    # (drugbank_id, generic_name, synonyms pipe-joined —
+    # build_unified_reference.py:296-306): explode back to rows, the
+    # same split the reference tagger does when seeding its dict
+    # (tagger.py:207-230).
+    if synonyms is not None and "synonyms" in synonyms.columns:
+        synonyms = synonyms.select(
+            F.explode(F.split("synonyms", "\\|")).alias("synonym"),
+            F.col("generic_name"),
+        ).filter(F.col("synonym") != "")
     # optional FDA food registry (food_name, food_type, registration) —
     # unmatched texts that hit it are food, not unrecognized drugs
     # (runners.py:1428-1496)

@@ -122,3 +122,20 @@ def test_cli_end_to_end(spark, tmp_path, flow_inputs):
     )
     row = out.collect()[0]
     assert row.match_source == "labs_master"
+
+
+def test_reference_shaped_synonyms_input(spark, flow_inputs):
+    """The runner accepts the reference's unified_synonyms shape
+    (pipe-joined synonyms column, build_unified_reference.py:296-306)
+    and explodes it to rows before seeding the tagger."""
+    inputs = dict(flow_inputs)
+    inputs["synonyms"] = spark.createDataFrame(
+        [("DB00316", "PARACETAMOL", "ACETAMINOPHEN|TYLENOL COMPOUND")],
+        "drugbank_id string, generic_name string, synonyms string",
+    )
+    inputs["esoa"] = spark.createDataFrame(
+        [("ACETAMINOPHEN 500MG TABLET",)], "raw_text string"
+    )
+    res = run_drugs_all(spark, inputs)
+    row = res.esoa_with_atc.collect()[0]
+    assert row["generic_name"] == "PARACETAMOL"
