@@ -54,9 +54,9 @@ _MODULES = (
     "pids_drg_esoa_spark.plans.domain2",
     "pids_drg_esoa_spark.operators.dedup",
     "pids_drg_esoa_spark.operators.similarity",
-    "pids_drg_esoa_spark.operators.textstats",
     "pids_drg_esoa_spark.streaming.windowed",
     "pids_drg_esoa_spark.operators.multimodal",
+    "pids_drg_esoa_spark.operators.textstats",
     "pids_drg_esoa_spark.plans.bridge_demo",
     "pids_drg_esoa_spark.plans.scalars",
     "pids_drg_esoa_spark.plans.temporal",
