@@ -309,8 +309,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation stays an equi-join on the cell id — the O(n)-shuffle
     IVF shape used at 100 TB, with training cost O(iters · scan)."""
     e = table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe"))
-    cells = kmeans_assign(v, iters=1)
+    # persist the quantized vectors: consumed by the init collect, the
+    # training round (assign + statistics), the final assignment, and
+    # both probe sides; checkpoint the final assignment so the
+    # 512-literal centroid dot expression compiles once, not once per
+    # downstream consumer
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe")).persist()
+    cells = kmeans_assign(v, iters=1).localCheckpoint(eager=True)
+    v.unpersist()  # cells is materialized; nothing downstream reads v
     q = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb"), "cell"
     )
