@@ -1,0 +1,84 @@
+"""Physical-plan property tests for the headline catalog queries.
+
+SCALE.md documents WHY each plan shape survives 100 TB; these tests
+pin the shapes so a regression (a lost broadcast, a filter that stops
+reaching the scan, a disappeared partial aggregate) fails loudly
+instead of silently shipping a slow plan. Assertions read the
+executed/optimized plan strings the same way `.explain("formatted")`
+renders them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pids_drg_esoa_spark.plans.catalog import all_specs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _executed(spark, name):
+    df = all_specs()[name].fn(spark, SF_DIR)
+    # collect() (not count(): that builds a DIFFERENT plan) so AQE
+    # finalizes THIS queryExecution and the string shows real joins
+    # and codegen spans
+    df.collect()
+    return df, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    """J1/J3: fact×dim joins must broadcast the dim — never shuffle
+    the fact side on the join key (SCALE.md joins section)."""
+    for name in ("j1_left_join_fact_dim", "j3_broadcast_dim_chain"):
+        _, plan = _executed(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:2000]}"
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+
+
+def test_q1_scan_prunes_and_pushes(spark):
+    """TPC-H Q1: the filter reaches the parquet scan (PushedFilters)
+    and the scan reads only the referenced columns (ReadSchema)."""
+    df, plan = _executed(spark, "tpch_q1_pricing_summary")
+    scan = plan[plan.index("FileScan"):]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    read_schema = scan[scan.index("ReadSchema"):][:400]
+    assert "l_comment" not in read_schema, "scan reads unreferenced columns"
+    assert "l_orderkey" not in read_schema, "scan reads unreferenced columns"
+
+
+def test_q1_has_partial_aggregation(spark):
+    """Aggregations combine map-side before the exchange: the plan
+    carries a partial HashAggregate below the shuffle."""
+    _, plan = _executed(spark, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, "no partial/final aggregate pair"
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_minhash_candidate_join_is_equi(spark):
+    """LSH candidate generation must be an equi-join on (band, key) —
+    never a nested-loop pair scan (the O(n²) trap)."""
+    _, plan = _executed(spark, "dedup_minhash_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, "LSH degraded to nested loop"
+    assert "CartesianProduct" not in plan, "LSH degraded to cross product"
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """IVF training: the assignment is a literal-centroid projection
+    (no join), so the only joins in the final plan are the cell-probe
+    equi-join and the broadcast of the query set."""
+    _, plan = _executed(spark, "ann_ivf_kmeans_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    """The Q1 pipeline stays inside whole-stage codegen (no Python
+    row boundary in the hot path)."""
+    _, plan = _executed(spark, "tpch_q1_pricing_summary")
+    # codegen'd operators carry the `*(N)` stage prefix in the plan
+    # string; both aggregate stages must be inside a codegen span
+    assert "*(" in plan, "no whole-stage-codegen span in Q1"
+    assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
