@@ -361,3 +361,43 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
         .filter(F.col("dot_q") >= 95_000_000)
     )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS cell
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT.replace("b.e", "b.e")} AS dot_q
+    FROM v a JOIN v b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT} >= 95000000
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, scale path: block by (label, sign-bucket)
+    instead of label alone. The exact variant's within-label pair
+    space grows quadratically with the label population — measured
+    112 s at 10× sf0.1 (20K vectors) vs 2 s for this shape — while
+    the 8-plane cell key cuts each block ~256× and keeps candidate
+    generation an equi-join. Recall < 1 by design (a ≥0.95-cosine
+    pair CAN disagree on a sign bit when a dimension sits near zero);
+    the exact operator remains the verification tier, run on THESE
+    candidates at scale. Same integer-dot determinism as the rest of
+    the ANN family."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label",
+        quantize(F.col("embedding")).alias("qe"),
+        sign_bucket(F.col("embedding")).alias("cell"),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), "label", "cell", F.col("qe").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "label", "cell", F.col("qe").alias("eb"))
+    return (
+        a.join(b, ["label", "cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
+        .filter(F.col("dot_q") >= 95_000_000)
+    )
