@@ -94,6 +94,47 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joins a static
+    customer dim (broadcast — the static side is planned per
+    micro-batch, so a broadcast dim costs no stream-side shuffle) and
+    aggregates per (segment, event_type). The canonical 100 TB
+    pattern for enriching an event firehose with reference data; the
+    oracle is the equivalent batch join since one availableNow pass
+    sees all input."""
+    src = read_events_stream(spark, sf_dir)
+    cust = (
+        spark.read.option("pathGlobFilter", "customer.parquet")
+        .parquet(sf_dir)
+        .select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        src.join(F.broadcast(cust), src.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    name = "stream_static_enrich_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_stateful_sessionize",
     oracle="""
     WITH gaps AS (
