@@ -92,6 +92,66 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_CHARS = 64   # bytes per frame in the real kernel; chars here
+FRAME_STRIDE = 4   # sample every 4th frame
+MAX_FRAMES = 8     # per-document cap
+
+
+def sample_frames(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Frame-sampling operator (the video path): ONE payload row →
+    N sampled-frame rows, exploded INSIDE the Arrow batch — the
+    production shape for ffmpeg-style keyframe extraction (batch in,
+    variable rows out, no per-row pickling, cap applied at the
+    source). The kernel slices fixed-size frames and fingerprints
+    each; a real decoder swaps into the same loop."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            digests: list[str] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = len(payload) // FRAME_CHARS
+                for j, i in enumerate(range(0, n_frames, FRAME_STRIDE)):
+                    if j >= MAX_FRAMES:
+                        break
+                    frame = payload[i * FRAME_CHARS:(i + 1) * FRAME_CHARS]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    digests.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
+
+    return df.mapInPandas(_run, "doc_id bigint, frame_idx bigint, frame_md5 string")
+
+
+@register(
+    "mm_video_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(floor(length(text) / {FRAME_CHARS}) AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, text, i AS frame_idx
+        FROM f, unnest(generate_series(0, CAST(least(n_frames, {MAX_FRAMES * FRAME_STRIDE}) AS BIGINT) - 1, {FRAME_STRIDE})) AS t(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substring(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
+    FROM idx
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling end-to-end: every 4th fixed-size
+    frame of each payload, capped at 8 per document, fingerprinted in
+    the Arrow kernel. The 1→N row explosion happens inside
+    mapInPandas, so a 100 TB video corpus never materializes unsampled
+    frames — the cap and stride apply before anything leaves the
+    executor."""
+    d = table(spark, sf_dir, "documents")
+    return sample_frames(d.select("doc_id", "text"), "text", "doc_id")
+
+
 @register(
     "mm_image_decode_stub",
     oracle="""
