@@ -244,6 +244,97 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SIMHASH = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+    "h AS (SELECT doc_id, md5(tok) AS hx FROM tok),\n"
+    "sh AS (SELECT doc_id, "
+    + " || ".join(
+        f"(CASE WHEN sum(CASE WHEN substring(hx, {i + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        "THEN '1' ELSE '0' END)"
+        for i in range(32)
+    )
+    + " AS simhash FROM h GROUP BY doc_id)"
+)
+
+_SQL_HAMMING = (
+    "list_sum(list_transform(generate_series(1, 32), "
+    "i -> CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    {_SQL_SIMHASH},
+    blk AS (
+        SELECT doc_id, simhash,
+               substring(simhash, 1, 8) AS b0, substring(simhash, 9, 8) AS b1,
+               substring(simhash, 17, 8) AS b2, substring(simhash, 25, 8) AS b3
+        FROM sh
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+        FROM blk a JOIN blk b ON a.doc_id < b.doc_id AND (
+            (a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3) OR
+            (a.b0 = b.b0 AND a.b2 = b.b2 AND a.b3 = b.b3) OR
+            (a.b0 = b.b0 AND a.b1 = b.b1 AND a.b3 = b.b3) OR
+            (a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2))
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM (SELECT doc_a, doc_b, {_SQL_HAMMING} AS hamming FROM cand)
+    WHERE hamming <= 4
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: Charikar-style banded candidate
+    generation — split the 32-bit fingerprint into 4 blocks; any pair
+    within hamming ≤ 8 of each other agrees on ≥ 3 blocks (pigeonhole
+    when all differing bits fall in one block; threshold 4 ⇒ up to
+    one block of spread), so candidates come from FOUR equi-self-joins
+    (leave-one-block-out keys), never an all-pairs scan. Exact
+    hamming verification then runs on candidates only. Completes the
+    simhash family: fingerprints → banded candidates → verified
+    pairs, the same generate/verify contract as MinHash-LSH."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    agg = tok.groupBy("doc_id").agg(*_simhash_bits_spark())
+    fp = agg.select(
+        "doc_id", F.concat(*[F.col(f"b{i}") for i in range(32)]).alias("simhash")
+    ).persist()  # probed by all four band joins
+    blocks = fp.select(
+        "doc_id", "simhash",
+        *[F.substring("simhash", 1 + 8 * b, 8).alias(f"blk{b}") for b in range(4)],
+    )
+    pairs = None
+    for leave_out in range(4):
+        keys = [f"blk{b}" for b in range(4) if b != leave_out]
+        a = blocks.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), *keys
+        )
+        b = blocks.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), *keys
+        )
+        j = (
+            a.join(b, keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sa", "sb")
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    cand = pairs.dropDuplicates(["doc_a", "doc_b"])
+    hamming = sum(
+        F.when(
+            F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(32)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+    )
+
+
 @register(
     "dedup_ngram_jaccard_blocked",
     oracle=f"""
