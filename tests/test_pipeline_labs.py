@@ -62,3 +62,37 @@ def test_labs_pipeline_end_to_end(spark):
     m = ctx.artifacts["metrics"].collect()[0]
     assert (m.n_total, m.n_master, m.n_diag, m.n_unmatched) == (4, 2, 1, 1)
     assert set(timings) == {"pre_run", "prepare_inputs", "match", "post_run"}
+
+
+def test_labs_pipeline_with_xlsx_diagnostics(spark, tmp_path):
+    """S3 end-to-end in the labs flow: the diagnostics dim arrives as
+    a real .xlsx workbook (match_labs.py:55 reads it with
+    pd.read_excel(dtype=str)), decoded by the stdlib codec, and the
+    fallback tier matches through it identically; the report sink
+    round-trips through the same codec (S7, match_labs.py:116-123)."""
+    from pids_drg_esoa_spark.sources.readers import read_excel_df
+    from pids_drg_esoa_spark.sources.writers import write_excel_report
+    from pids_drg_esoa_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    esoa, master, _ = _fixtures(spark)
+    xlsx_path = str(tmp_path / "diagnostics.xlsx")
+    write_xlsx(
+        xlsx_path,
+        ["code", "desc", "cat", "spec", "etc", "misc"],
+        [("D9", "chest x ray PA", "rad", "spec", None, None)],
+    )
+    diagnostics = read_excel_df(spark, xlsx_path)
+
+    pipe = get_pipeline("LaboratoryAndDiagnostic")
+    ctx = PipelineContext(
+        spark=spark,
+        inputs={"esoa": esoa, "labs_master": master, "diagnostics": diagnostics},
+    )
+    pipe.run(ctx)
+    out = {r.ITEM_NUMBER: r for r in ctx.artifacts["esoa_matched_labs"].collect()}
+    assert out["103"].match_source == "diagnostics"
+
+    report = str(tmp_path / "matched.xlsx")
+    assert write_excel_report(ctx.artifacts["esoa_matched_labs"], report, sheet="matched")
+    header, rows = read_xlsx(report)
+    assert "match_source" in header and len(rows) == 4
