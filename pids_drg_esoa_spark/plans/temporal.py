@@ -54,11 +54,21 @@ def t_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (86400 * NS_PER_S)
     )
     joined = e.join(o, (e.user_id == o.o_custkey) & (order_ns <= e.ts), "inner")
-    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    # rank-1 as a grouped max_by, NOT a window: the per-user fanout is
+    # |orders(user)| per event (~1000× at sf0.1), and a window must
+    # sort that whole relation, while max_by gets map-side partial
+    # aggregation that crushes it before the exchange (SCALE.md
+    # measured lesson: groupBy beats window 7× on high-fanout rank-1).
+    # struct max = (latest o_orderdate, then largest o_orderkey) —
+    # identical tie-break to the former DESC,DESC row_number key.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", F.col("o_orderkey").alias("asof_orderkey"))
+        joined.groupBy("event_id", "user_id", "event_type")
+        .agg(
+            F.max_by(
+                "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+            ).alias("asof_orderkey")
+        )
+        .select("event_id", "user_id", "event_type", "asof_orderkey")
     )
 
 
