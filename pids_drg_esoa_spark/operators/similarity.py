@@ -181,11 +181,11 @@ def kmeans_assign(v: DataFrame, iters: int = 1) -> DataFrame:
     sufficient statistics (posexplode → groupBy(cell, pos) sum), a
     512-row result collected to the driver exactly like MLlib's
     aggregate-then-update step. Rounds are O(scan) each."""
-    init_rows = (
-        v.filter(F.col("vec_id") < K_MEANS_K).select("vec_id", "qe").collect()
-    )
-    by_id = {int(r[0]): [int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows}
-    cents = [by_id[i] for i in range(K_MEANS_K)]
+    # init = the K smallest vec_ids (== vec_id 0..K-1 on the catalog
+    # tables, which is what the SQL oracle hard-codes; robust to
+    # non-contiguous ids on arbitrary input)
+    init_rows = v.select("vec_id", "qe").orderBy("vec_id").limit(K_MEANS_K).collect()
+    cents = [[int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows]
     for _ in range(iters):
         assigned = v.withColumn("cell", _kmeans_cell_expr(cents))
         stats = (
