@@ -73,6 +73,21 @@ def test_kmeans_assignment_is_narrow(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rank1_and_topn_avoid_window_sorts(spark):
+    """The as-of join and per-key top-n run as hash aggregates with
+    map-side partial combine (SCALE.md: groupBy beats window on
+    high-fanout rank-1) — no Window operator, and a partial/final
+    aggregate pair is present."""
+    for name in ("t_asof_join_latest_order", "w5_topn_per_key"):
+        _, plan = _executed(spark, name)
+        assert "Window" not in plan, f"{name}: window crept back in"
+        # struct max_by lowers to SortAggregate, collect_list to
+        # ObjectHashAggregate — all carry the partial/final pair
+        n_agg = sum(plan.count(k) for k in
+                    ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+        assert n_agg >= 2, f"{name}: no partial/final aggregate pair\n{plan[:1500]}"
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     """The Q1 pipeline stays inside whole-stage codegen (no Python
     row boundary in the hot path)."""
