@@ -92,6 +92,32 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_BOX = 224  # fit-within target (the common vision-model input)
+
+
+def resize_plan(decoded: DataFrame) -> DataFrame:
+    """Resize planning over decoded metadata: fit each image inside
+    RESIZE_BOX×RESIZE_BOX preserving aspect ratio, never upscaling.
+    Pure integer arithmetic on the metadata columns (`div` — no
+    float scale factor), so the plan is native, codegen'd, and
+    engine-exact; the byte-level resample kernel would consume these
+    target boxes inside the same Arrow pass as the decode."""
+    m = F.greatest("width", "height")
+    fit = m <= RESIZE_BOX
+    out_w = F.when(fit, F.col("width")).otherwise(
+        F.expr(f"width * {RESIZE_BOX} div greatest(width, height)")
+    )
+    out_h = F.when(fit, F.col("height")).otherwise(
+        F.expr(f"height * {RESIZE_BOX} div greatest(width, height)")
+    )
+    return decoded.select(
+        "doc_id", "width", "height",
+        out_w.cast("bigint").alias("out_width"),
+        out_h.cast("bigint").alias("out_height"),
+        (~fit).alias("downscaled"),
+    )
+
+
 FRAME_CHARS = 64   # bytes per frame in the real kernel; chars here
 FRAME_STRIDE = 4   # sample every 4th frame
 MAX_FRAMES = 8     # per-document cap
@@ -152,9 +178,7 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d.select("doc_id", "text"), "text", "doc_id")
 
 
-@register(
-    "mm_image_decode_stub",
-    oracle="""
+_SQL_DECODE = """
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
            CAST(16 * (CASE substring(md5(text), 1, 1)
@@ -171,8 +195,10 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS height,
            'fake/raw' AS format
     FROM documents
-    """,
-)
+"""
+
+
+@register("mm_image_decode_stub", oracle=_SQL_DECODE)
 def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode path end-to-end: binary payload →
     Arrow batch → Python kernel → typed metadata rows. The
@@ -181,3 +207,28 @@ def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return decode_images(with_payload, "payload", "doc_id")
+
+
+@register(
+    "mm_image_resize_plan",
+    oracle=f"""
+    WITH dec AS ({_SQL_DECODE})
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN width
+                     ELSE (width * {RESIZE_BOX}) // greatest(width, height) END AS BIGINT) AS out_width,
+           CAST(CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN height
+                     ELSE (height * {RESIZE_BOX}) // greatest(width, height) END AS BIGINT) AS out_height,
+           greatest(width, height) > {RESIZE_BOX} AS downscaled
+    FROM dec
+    """,
+)
+def mm_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize-plan composition: the Arrow decode emits typed
+    dims, the native resize planner computes the fit-within-224
+    target box per image (aspect preserved, no upscale) entirely in
+    integer arithmetic. At 100 TB the resample kernel consumes these
+    boxes inside the decode pass; the plan stage itself never leaves
+    codegen."""
+    d = table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_plan(decode_images(with_payload, "payload", "doc_id"))
