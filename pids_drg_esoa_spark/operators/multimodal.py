@@ -232,3 +232,61 @@ def mm_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return resize_plan(decode_images(with_payload, "payload", "doc_id"))
+
+
+AUDIO_WINDOW = 64   # samples per analysis window (chars here)
+MAX_WINDOWS = 4     # leading windows analyzed per payload
+
+
+def audio_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Audio feature-extraction plumbing: per payload, energy of the
+    leading fixed-size sample windows (1→N rows, exploded inside the
+    Arrow batch exactly like frame sampling). The fake kernel sums
+    code points per window — a real one computes RMS/spectral bands
+    over PCM samples in the same batch loop; windowing and caps apply
+    executor-side so raw audio never ships unsampled."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            widxs: list[int] = []
+            energies: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_windows = min(len(payload) // AUDIO_WINDOW, MAX_WINDOWS)
+                for w in range(n_windows):
+                    window = payload[w * AUDIO_WINDOW:(w + 1) * AUDIO_WINDOW]
+                    ids.append(int(did))
+                    widxs.append(w)
+                    energies.append(sum(ord(c) for c in window))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": widxs, "energy": energies}
+            )
+
+    return df.mapInPandas(_run, "doc_id bigint, window_idx bigint, energy bigint")
+
+
+@register(
+    "mm_audio_window_energy",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               least(CAST(floor(length(text) / {AUDIO_WINDOW}) AS BIGINT), {MAX_WINDOWS}) AS n_windows
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, text, i AS window_idx
+        FROM f, unnest(generate_series(0, n_windows - 1, 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(list_sum(list_transform(generate_series(1, {AUDIO_WINDOW}),
+                j -> unicode(substring(text, window_idx * {AUDIO_WINDOW} + j, 1)))) AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed feature extraction through the Arrow
+    kernel: code-point energy of the first 4 complete 64-sample
+    windows per payload (deterministic stand-in for RMS over PCM),
+    oracle-checked value-for-value."""
+    d = table(spark, sf_dir, "documents")
+    return audio_features(d.select("doc_id", "text"), "text", "doc_id")
