@@ -433,11 +433,19 @@ def a5_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build_unified_reference.py:459 A5; SURVEY §7 'order-dependence')
     with a deterministic window rank-1."""
     l = table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    # survivor = min over the explicit ordering struct; min_by gets
+    # map-side partial aggregation (no per-partition window sort),
+    # and the struct min reproduces the (l_linenumber, l_partkey)
+    # rank-1 exactly
+    ord_key = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
     return (
-        l.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_linenumber")
+        l.groupBy("l_orderkey")
+        .agg(F.min(ord_key).alias("s"))
+        .select(
+            "l_orderkey",
+            F.col("s.l_partkey").alias("l_partkey"),
+            F.col("s.l_linenumber").alias("l_linenumber"),
+        )
     )
 
 
