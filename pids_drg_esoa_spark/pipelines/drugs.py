@@ -23,7 +23,7 @@ from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
 from ..functions.text import normalize_text, slug_id
 from ..functions.tokens import extract_base_and_salts
 from ..functions.constants import ROUTE_LABEL_EXPANSION
-from ..functions.vocab_full import CANONICAL_ATC_MAPPINGS_FULL
+from ..functions.vocab_full import CANONICAL_ATC_MAPPINGS_FULL, CANONICAL_GENERICS_FULL
 from .base import BasePipeline, PipelineContext, register_pipeline
 
 
@@ -61,7 +61,36 @@ def build_unified_generics(
     for extra in (who, pnf_g):
         new = extra.join(out.select("name_key"), "name_key", "left_anti")
         out = out.unionByName(new)
-    return out
+
+    # Canonical seeds last (…py:216-240): a canonical row carrying a
+    # DrugBank id UPGRADES the same-named entry's id (source →
+    # canonical); names not present yet are added. Broadcast join —
+    # the canonical table is ~60 literal rows.
+    canon = drugbank.sparkSession.createDataFrame(
+        CANONICAL_GENERICS_FULL, "drugbank_id string, generic_name string"
+    ).select(
+        F.col("drugbank_id").alias("c_dbid"),
+        F.upper("generic_name").alias("c_name"),
+        F.lower(F.trim("generic_name")).alias("name_key"),
+    ).dropDuplicates(["name_key"])
+    out = (
+        out.join(F.broadcast(canon), "name_key", "left")
+        .select(
+            "name_key",
+            F.coalesce("c_dbid", "drugbank_id").alias("drugbank_id"),
+            "generic_name",
+            F.when(F.col("c_dbid").isNotNull(), "canonical")
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+    )
+    missing = canon.join(out.select("name_key"), "name_key", "left_anti").select(
+        "name_key",
+        F.col("c_dbid").alias("drugbank_id"),
+        F.col("c_name").alias("generic_name"),
+        F.lit("canonical").alias("source"),
+    )
+    return out.unionByName(missing)
 
 
 def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:

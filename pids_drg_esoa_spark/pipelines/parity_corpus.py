@@ -68,6 +68,12 @@ ESOA_CASES: list[tuple[str, str]] = [
     # brand-only text resolved through the FDA brand table
     ("TERGECEF 200MG CAPSULE", "atc"),
     ("TYLENOL 500 MG TABLET", "atc"),          # DrugBank brand row
+    # canonical-generic seeds (unified_constants.py:1850-1930 — the
+    # build merges them into unified_generics, and the canonical ATC
+    # table carries their codes): TB 4-drug abbreviation + the
+    # cotrimoxazole alias resolve without any corpus dim row
+    ("HRZE TABLET", "atc"),
+    ("COTRIMOXAZOLE 800MG/160MG TAB", "atc"),
 ]
 
 # Annex F rows (pipe dose format, runners.py:479-483) covering a
