@@ -1,0 +1,425 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The dedup module (operators/dedup.py) ends at verified near-duplicate
+PAIRS; a real pipeline then needs the three ops here:
+
+- **cluster assignment**: connected components over the near-dup pair
+  graph → one canonical document per cluster (the keep-list). Spark
+  side is iterative min-label propagation over the edge list — each
+  round is one join + one groupBy (shuffles bounded by |edges|, never
+  |docs|²), lineage truncated per round with an eager
+  ``localCheckpoint`` so the plan stays O(1) deep. Convergence is
+  bounded by the cluster diameter; near-dup clusters are shallow
+  (pairs come from a ≥2/3-Jaccard verify), so 2-3 rounds in practice.
+  At 100 TB the same loop holds — the edge relation is the candidate
+  pairs (sparse by construction), and a diameter-heavy graph would
+  swap in alternating star contraction (O(log n) rounds) without
+  changing the operator contract.
+- **PII detection/redaction**: pure native regexp (codegen'd, no
+  Python in the hot path). The catalog entry plants deterministic
+  PII (email/phone/IPv4 derived from doc_id) so the oracle verifies
+  real matches, not vacuous zeros.
+- **stratified sampling**: deterministic per-stratum hash sampling —
+  the "downsample overrepresented languages/sources" op. The keep
+  decision is a lexicographic compare of an md5 prefix against a
+  per-stratum threshold: engine-portable, seedless, reproducible
+  under any partitioning, and re-runnable (same rows survive every
+  run — the property random() sampling lacks at scale).
+
+All three are oracle-gated; the connected-components oracle is a
+DuckDB recursive CTE (transitive closure → min reachable id), which
+is exact at oracle scale while the Spark side uses the scalable
+iterative form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import table
+from .dedup import (
+    N_HASHES,
+    _SQL_SHINGLES,
+    lsh_candidate_pairs,
+    minhash_signature,
+    verify_jaccard,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over an edge list (reusable operator)
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation over undirected edges ``(doc_a, doc_b)``
+    until fixpoint: returns (doc, cluster_id) for every doc that
+    appears in an edge, cluster_id = min doc id reachable.
+
+    Each round: neighbor-min join + groupBy (both keyed on doc —
+    shuffle O(|edges|)), then an eager localCheckpoint so round N+1
+    plans against a leaf, not N stacked joins. The driver-side loop
+    only ever sees a change COUNT, never data.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(F.col("src").alias("doc"), F.least("src", "nbr_min").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(prop, "doc", "left")
+            .select(
+                "doc",
+                F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("new_lbl"),
+                "lbl",
+            )
+        ).localCheckpoint()
+        if nxt.filter(F.col("new_lbl") < F.col("lbl")).count() == 0:
+            break
+        labels = nxt.select("doc", F.col("new_lbl").alias("lbl")).localCheckpoint()
+    return labels.select("doc", F.col("lbl").alias("cluster_id"))
+
+
+# Shared SQL: the verified near-dup pair relation (identical to the
+# dedup_minhash_lsh_pairs oracle — same shingles, signature, banding,
+# verification, threshold).
+_SQL_PAIRS = f"""
+    sig AS (
+        SELECT doc,
+               {", ".join(f"min(md5('{h}|' || sh)) AS m{h}" for h in range(N_HASHES))}
+        FROM shd GROUP BY doc
+    ),
+    banded AS (
+        SELECT doc, 0 AS band_idx, m0 || m1 AS band_key FROM sig
+        UNION ALL SELECT doc, 1, m2 || m3 FROM sig
+        UNION ALL SELECT doc, 2, m4 || m5 FROM sig
+        UNION ALL SELECT doc, 3, m6 || m7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM shd GROUP BY doc),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shd sa ON sa.doc = c.doc_a
+        JOIN shd sb ON sb.doc = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes za ON za.doc = doc_a
+        JOIN sizes zb ON zb.doc = doc_b
+        WHERE 3 * n_common >= 2 * (za.n + zb.n - n_common)
+    )
+"""
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+    SELECT doc_id,
+           cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    )
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash-LSH verified pairs →
+    connected components → every document labelled with its cluster's
+    canonical (min) doc_id, cluster size, and a keep flag. This is the
+    stage after pair generation that an actual dedup pipeline filters
+    on (``is_canonical``)."""
+    d = table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", 3).persist()
+    sig = minhash_signature(sh).persist()
+    pairs = lsh_candidate_pairs(sig).persist()
+    cand_docs = pairs.select(F.col("doc_a").alias("doc")).union(
+        pairs.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    sh_cand = sh.join(cand_docs, "doc", "leftsemi")
+    verified = verify_jaccard(
+        pairs, sh_cand, sizes=sig.select("doc", F.col("n_sh").alias("n"))
+    ).filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
+
+    comp = connected_components(verified.select("doc_a", "doc_b"))
+    from pyspark.sql import Window as W
+
+    assigned = d.join(comp, d.doc_id == comp.doc, "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    w = W.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) agree on:
+# char classes, bounded repeats, \\b anchors — no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Append n_emails/n_phones/n_ips counts and a ``redacted`` text
+    column (matches replaced by <EMAIL>/<PHONE>/<IP>), all native
+    regexp — stays inside whole-stage codegen."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(_EMAIL_RE), 0)).cast("bigint"),
+            "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(_PHONE_RE), 0)).cast("bigint"),
+            "n_ips": F.size(F.regexp_extract_all(text_col, F.lit(_IPV4_RE), 0)).cast("bigint"),
+            "redacted": redacted,
+        }
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents with planted deterministic
+    PII (email/phone/IPv4 derived from doc_id, so the oracle verifies
+    non-trivial matches). Counts + md5 of the redacted text."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(planted, "text").select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+# Per-language keep rates as 2-hex-digit thresholds (md5 prefix <
+# threshold): en ≈ 16% (41/256), de = 50%, fr = 75%, else 100%.
+_STRATUM_THRESHOLDS = {"en": "29", "de": "80", "fr": "c0"}
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, thresholds: dict[str, str]
+) -> DataFrame:
+    """Deterministic hash sampling with per-stratum rates: keep a row
+    iff the first two hex chars of md5(id) sort below the stratum's
+    threshold. Seedless and partition-independent — the same rows
+    survive re-runs, which random() sampling cannot guarantee on a
+    cluster."""
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = None
+    for k, v in thresholds.items():
+        cond = F.col(stratum_col) == k
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    thr = expr.otherwise(F.lit("zz"))
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < thr)
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)      AS n_words,
+           CAST(sum_word_chars AS BIGINT) AS sum_word_chars,
+           CAST(n_alpha_words AS BIGINT)  AS n_alpha_words,
+           n_words BETWEEN 3 AND 10000                                   AS r_word_count,
+           2 * n_words <= sum_word_chars AND sum_word_chars <= 12 * n_words AS r_mean_word_len,
+           5 * n_alpha_words >= 3 * n_words                              AS r_alpha_fraction,
+           (n_words BETWEEN 3 AND 10000)
+             AND (2 * n_words <= sum_word_chars AND sum_word_chars <= 12 * n_words)
+             AND (5 * n_alpha_words >= 3 * n_words)                      AS keep
+    FROM (
+        SELECT doc_id,
+               len(t) AS n_words,
+               list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_word_chars,
+               len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery: word-count band, mean word
+    length band, alphabetic-word fraction — every rule an INTEGER
+    inequality (mean-length as 2n ≤ Σchars ≤ 12n, fraction as
+    5·alpha ≥ 3·n) so no float ratio ever hits the value hash, and the
+    whole battery stays in one codegen'd projection (no shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint").alias("n_alpha_words"),
+    )
+    r_wc = F.col("n_words").between(3, 10000)
+    r_mwl = (2 * F.col("n_words") <= F.col("sum_word_chars")) & (
+        F.col("sum_word_chars") <= 12 * F.col("n_words")
+    )
+    r_af = 5 * F.col("n_alpha_words") >= 3 * F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "n_alpha_words",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_af.alias("r_alpha_fraction"),
+        (r_wc & r_mwl & r_af).alias("keep"),
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT)        AS bin_offset
+    FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing: within each
+    source (the pack stream), a running token total assigns every doc
+    a bin id + offset against a {PACK_BUDGET}-token budget. The window
+    partitions by SOURCE, never globally — a global cumulative sum is
+    a one-partition scale killer; per-stream packing is how a 100 TB
+    corpus packs in parallel. All integers — portable to the oracle."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    base = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), F.sum(n_tok).over(w).alias("cum")
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        (start % PACK_BUDGET).cast("bigint").alias("bin_offset"),
+    )
+
+
+@register(
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, bucket
+    FROM (
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATUM_THRESHOLDS.items())}
+                    ELSE 'zz' END AS thr
+        FROM documents
+    )
+    WHERE bucket < thr
+    """,
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 16% / de 50% /
+    fr 75%): the rebalance-overrepresented-strata op, as a pure
+    filter — no shuffle, fully pushed into the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang", _STRATUM_THRESHOLDS
+    ).select("doc_id", "lang", "bucket")

@@ -62,6 +62,7 @@ _MODULES = (
     "pids_drg_esoa_spark.plans.temporal",
     "pids_drg_esoa_spark.plans.advanced",
     "pids_drg_esoa_spark.plans.domain",
+    "pids_drg_esoa_spark.operators.curation",
 )
 
 
