@@ -74,6 +74,20 @@ ESOA_CASES: list[tuple[str, str]] = [
     # cotrimoxazole alias resolve without any corpus dim row
     ("HRZE TABLET", "atc"),
     ("COTRIMOXAZOLE 800MG/160MG TAB", "atc"),
+    # round-4 session-2 additions — the remaining committed reference
+    # cases not yet in the corpus:
+    # the two other adversarial descriptions from
+    # scripts/test_generic_filtering.py:21-29 (trailing '**' noise;
+    # comma-detail splitting with an embedded brand alias)
+    ("CLARITHROMYCIN 500 MG TABLET **", "atc"),
+    ("CLARITHROMYCIN, CLARITHROMED, 125MG/ML, FOR SUSPENSION", "atc"),
+    # normalization-suite texts (tests/test_generic_normalization.py):
+    # saline-only salts + USP noise (:36-39), dextrose-in-water
+    # collapse (:23-26), and the SODIUM + CHLORIDE truncation guard
+    # (:47-50 — must resolve as SODIUM CHLORIDE, not SODIUM)
+    ("SODIUM CHLORIDE INJECTION USP", "atc"),
+    ("DEXTROSE IN WATER 5% SOLUTION", "atc"),
+    ("SODIUM + CHLORIDE INJECTION", "atc"),
 ]
 
 # Annex F rows (pipe dose format, runners.py:479-483) covering a
@@ -122,6 +136,7 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("DB00671", "Cefixime"),
             ("DB06723", "Aluminum hydroxide"),
             ("DB09104", "Magnesium hydroxide"),
+            ("DB01211", "Clarithromycin"),
         ],
         "drugbank_id string, generic_name string",
     )
@@ -145,6 +160,7 @@ def build_inputs(spark: SparkSession) -> dict[str, DataFrame]:
             ("DB00989", "RIVASTIGMINE", "N06DA03"),
             ("DB00671", "CEFIXIME", "J01DD08"),
             ("DBMIX03", "ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE", "A02AD01"),
+            ("DB01211", "CLARITHROMYCIN", "J01FA09"),
         ],
         "drugbank_id string, generic_name string, atc_code string",
     )

@@ -70,6 +70,7 @@ _DOC_ENRICH_SCHEMA = T.StructType(
         T.StructField("vaccine_canon", T.StringType()),
         T.StructField("input_class", T.StringType()),
         T.StructField("details", DETAILS_SCHEMA),
+        T.StructField("components", T.ArrayType(T.StringType())),
         T.StructField("stripped", T.ArrayType(T.StringType())),
         T.StructField("combo_keys", T.ArrayType(T.StringType())),
     ]
@@ -98,14 +99,38 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 keys.append(ks)
         return keys
 
+    from ..functions.tokens import normalize_generic_combination_py
+
+    def merge_clean(t: str, details: dict, comps: list[str]) -> list[str]:
+        """Reference tagger.py:604-619: when the F15 extractor yields a
+        cleaner generic name than the raw text, ALSO tokenize it and
+        merge (clean tokens first, dedup-preserving order). This is
+        what resolves comma-detail texts like 'CLARITHROMYCIN,
+        CLARITHROMED, 125MG/ML, FOR SUSPENSION' — the raw tokenizer
+        sees one junk-bearing component, the clean one is exact."""
+        gname = details.get("generic_name")
+        if gname and gname != t.upper():
+            clean = [
+                c
+                for c in normalize_generic_combination_py(gname).lower().split(" + ")
+                if c
+            ]
+            if clean and clean != comps:
+                return list(dict.fromkeys(clean + comps))
+        return comps
+
     @F.pandas_udf(_DOC_ENRICH_SCHEMA)
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
         brand_map, multiword, syn = brand_b.value, mw_b.value, syn_b.value
+        details = [extract_drug_details_py(t) for t in text]
+        merged = [
+            merge_clean(t, d, list(c) if c is not None else [])
+            for t, d, c in zip(text, details, components)
+        ]
         stripped = [
-            stripped_generics_py(list(c) if c is not None else [], brand_map, multiword)
-            for c in components
+            stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
         return pd.DataFrame(
             {
@@ -114,7 +139,8 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     classify_input_py(t, int(n) if n is not None else 0)
                     for t, n in zip(text, n_comp)
                 ],
-                "details": [extract_drug_details_py(t) for t in text],
+                "details": details,
+                "components": merged,
                 "stripped": stripped,
                 "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
             }
@@ -254,6 +280,13 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
         # and the parsed input form (native twin — stays in codegen)
         .withColumn("details", F.col("enrich.details"))
+        # clean-merged lookup tokens (reference tagger.py:604-619:
+        # details-clean tokens first, raw tokens after, deduped) —
+        # feeds the token-tier key explode; the combination gate and
+        # mixture tier stay on the raw `components`/`n_comp` so a
+        # clean-token VARIANT of one raw component never inflates the
+        # all-components-matched requirement
+        .withColumn("lookup_components", F.col("enrich.components"))
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
         .withColumn("stripped", F.col("enrich.stripped"))
         .withColumn("combo_keys", F.col("enrich.combo_keys"))
@@ -587,9 +620,9 @@ def tag_descriptions(
         )
         candidates.append(mixture_hits)
 
-    # --- token tier: explode components, salt-strip, cascade ---
+    # --- token tier: explode clean-merged components, salt-strip, cascade ---
     keys = (
-        docs.select("raw_text", F.explode("components").alias("component"))
+        docs.select("raw_text", F.explode("lookup_components").alias("component"))
         .withColumn("key", F.lower(strip_salt_suffix(F.col("component"))))
         .filter(F.col("key") != "")
         .select("raw_text", "key")
