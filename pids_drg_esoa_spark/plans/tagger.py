@@ -406,6 +406,30 @@ def _token_matches(
         )
     )
 
+    # Multiword-containment tier (reference extract_generic_tokens'
+    # multiword matching, tokenizer.py:1113-1200): a multiword dim
+    # name word-boundary-contained in a junk-bearing token resolves
+    # without fuzzy ('sodium chloride usp' ⊃ 'sodium chloride' — the
+    # reference extracts the dim name at tokenize time, so it probes
+    # as an exact token; fuzzy would miss once the junk outweighs the
+    # name). Bounded like prefix: |distinct keys| × |multiword dim
+    # names| broadcast probe; longest (most specific) names first.
+    mwg = g.filter(F.col("gkey").contains(" "))
+    cont = keys.join(
+        mwg,
+        (keys.key != F.col("gkey"))
+        & F.concat(F.lit(" "), keys.key, F.lit(" ")).contains(
+            F.concat(F.lit(" "), F.col("gkey"), F.lit(" "))
+        ),
+    )
+    wm = W.partitionBy("raw_text", "key").orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
+    tiers.append(
+        tier(
+            cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3),
+            5, PRIORITY_TOKEN, "multiword",
+        )
+    )
+
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
     # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
     # threshold; a first-letter block would drop leading-char typos
@@ -424,7 +448,7 @@ def _token_matches(
     tiers.append(
         tier(
             scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1),
-            5, PRIORITY_FUZZY, "fuzzy",
+            6, PRIORITY_FUZZY, "fuzzy",
         )
     )
 
@@ -453,7 +477,7 @@ def _token_matches(
             tier(
                 keys.join(syn2, keys.key == F.col("skey3"))
                 .join(mxn, F.col("starget") == F.col("mkey")),
-                6, PRIORITY_TOKEN, "synonym_mixture",
+                7, PRIORITY_TOKEN, "synonym_mixture",
             )
         )
 
