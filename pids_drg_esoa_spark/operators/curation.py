@@ -299,6 +299,78 @@ def stratified_sample(
 
 
 @register(
+    "corpus_curation_keeplist",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_PAIRS},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+    assigned AS (
+        SELECT doc_id,
+               cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+        )
+    ),
+    quality AS (
+        SELECT doc_id
+        FROM (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   list_aggregate(list_transform(t, x -> len(x)), 'sum') AS sum_word_chars,
+                   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        WHERE n_words BETWEEN 3 AND 10000
+          AND 2 * n_words <= sum_word_chars AND sum_word_chars <= 12 * n_words
+          AND 5 * n_alpha_words >= 3 * n_words
+    ),
+    sampled AS (
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                   CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in (("en", "29"), ("de", "80"), ("fr", "c0")))}
+                        ELSE 'zz' END AS thr
+            FROM documents
+        )
+        WHERE bucket < thr
+    )
+    SELECT a.doc_id, s.lang, a.cluster_id, a.cluster_size
+    FROM assigned a
+    JOIN sampled s ON s.doc_id = a.doc_id
+    JOIN quality q ON q.doc_id = a.doc_id
+    WHERE a.doc_id = a.cluster_id
+    """,
+)
+def corpus_curation_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training corpus actually runs:
+    keep a document iff it is its near-dup cluster's canonical
+    (dedup_cluster_assign), passes the quality-rule battery
+    (text_quality_filter), and survives the deterministic stratified
+    sample (doc_sample_stratified). Three independent keep signals —
+    each one an already-oracle-gated operator — joined on doc_id; the
+    composition itself is the operator under test."""
+    assigned = dedup_cluster_assign(spark, sf_dir).filter(F.col("is_canonical"))
+    quality = text_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    sampled = doc_sample_stratified(spark, sf_dir).select("doc_id", "lang")
+    return (
+        assigned.join(sampled, "doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "lang", "cluster_id", "cluster_size")
+    )
+
+
+@register(
     "text_quality_filter",
     oracle="""
     SELECT doc_id,
