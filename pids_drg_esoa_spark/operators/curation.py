@@ -427,6 +427,62 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_decontamination_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shd AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                           t[i+3] || ' ' || t[i+4])) AS sh
+        FROM toks WHERE len(t) >= 5
+    ),
+    eval_sh  AS (SELECT doc, sh FROM shd WHERE doc % 97 = 0),
+    train_sh AS (SELECT doc, sh FROM shd WHERE doc % 97 <> 0),
+    sizes AS (SELECT doc, count(*) AS n FROM train_sh GROUP BY doc),
+    overlap AS (
+        SELECT t.doc AS train_doc, e.doc AS eval_doc, count(*) AS n_overlap
+        FROM train_sh t JOIN eval_sh e ON e.sh = t.sh
+        GROUP BY t.doc, e.doc
+    )
+    SELECT o.train_doc, o.eval_doc,
+           CAST(o.n_overlap AS BIGINT) AS n_overlap,
+           CAST(z.n AS BIGINT)         AS n_train_sh,
+           10 * o.n_overlap >= z.n     AS contaminated
+    FROM overlap o JOIN sizes z ON z.doc = o.train_doc
+    """,
+)
+def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: word 5-gram shingles of every
+    training document joined against the eval split's shingles (eval
+    stand-in: doc_id ≡ 0 mod 97 — deterministic, no planted file).
+    Output is per (train_doc, eval_doc): overlap count, the training
+    doc's shingle total, and an integer-ratio contamination flag
+    (≥10% shared 5-grams). The join is keyed on the shingle string —
+    at 100 TB the eval side is tiny (benchmarks), so this broadcasts,
+    and 5-grams (13-grams in production) keep the key near-unique so
+    the equi-join never fans out."""
+    d = table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", 5)
+    eval_sh = sh.filter(F.col("doc") % 97 == 0)
+    train_sh = sh.filter(F.col("doc") % 97 != 0)
+    sizes = train_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    overlap = (
+        train_sh.withColumnRenamed("doc", "train_doc")
+        .join(eval_sh.withColumnRenamed("doc", "eval_doc"), "sh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return overlap.join(sizes.withColumnRenamed("doc", "train_doc"), "train_doc").select(
+        "train_doc",
+        "eval_doc",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.col("n").cast("bigint").alias("n_train_sh"),
+        (10 * F.col("n_overlap") >= F.col("n")).alias("contaminated"),
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed training sequence
 
 
