@@ -221,3 +221,42 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(floor(epoch_ns(ts) / 86400000000000) * 86400 AS BIGINT) AS day_start
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    dedup_exact_groups: engine-executed ``dropDuplicates`` on
+    (user_id, event_type, event-time day), with the event-time column
+    in the key set under a watermark so the dedup STATE is evicted as
+    the watermark passes — bounded state at 100 TB, where an
+    unwatermarked dropDuplicates would accumulate every key ever
+    seen. Append mode emits each first-seen key once; one availableNow
+    pass ⇒ set-equal to the batch DISTINCT oracle."""
+    src = read_events_stream(spark, sf_dir)
+    day_start = (F.floor(F.col("ts") / (86400 * NS_PER_S)) * 86400).cast("bigint")
+    evt = src.withColumn("day_start", day_start).withColumn(
+        "day_ts", F.timestamp_seconds(F.col("day_start"))
+    )
+    dedup = (
+        evt.withWatermark("day_ts", "2 days")
+        .dropDuplicates(["user_id", "event_type", "day_ts"])
+        .select("user_id", "event_type", "day_start")
+    )
+    name = "stream_dedup_events_sink"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
