@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from ..plans.catalog import register
 from ..sources.tables import table
 from .dedup import (
-    N_HASHES,
     _SQL_SHINGLES,
+    _SQL_VERIFIED,
     lsh_candidate_pairs,
     minhash_signature,
     verify_jaccard,
@@ -74,12 +74,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .select(F.col("src").alias("doc"), F.least("src", "nbr_min").alias("lbl"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.src == labels.doc)
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # one eager checkpoint per round; the `labels` re-binding below
+        # is a pure column-select over this leaf (no second write)
         nxt = (
             labels.join(prop, "doc", "left")
             .select(
@@ -88,47 +91,29 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                 "lbl",
             )
         ).localCheckpoint()
-        if nxt.filter(F.col("new_lbl") < F.col("lbl")).count() == 0:
+        changed = nxt.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = nxt.select("doc", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            converged = True
             break
-        labels = nxt.select("doc", F.col("new_lbl").alias("lbl")).localCheckpoint()
+    if not converged:
+        # Silent non-convergence would split real clusters (several
+        # docs wrongly kept as canonical) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "graph diameter exceeds the bound — raise max_rounds or use "
+            "star contraction"
+        )
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
-# Shared SQL: the verified near-dup pair relation (identical to the
-# dedup_minhash_lsh_pairs oracle — same shingles, signature, banding,
-# verification, threshold).
+# The verified near-dup pair relation, shared with the
+# dedup_minhash_lsh_pairs oracle via ONE fragment (operators/dedup.py
+# _SQL_VERIFIED) so the banding scheme and Jaccard threshold can
+# never drift between the pair and cluster oracles.
 _SQL_PAIRS = f"""
-    sig AS (
-        SELECT doc,
-               {", ".join(f"min(md5('{h}|' || sh)) AS m{h}" for h in range(N_HASHES))}
-        FROM shd GROUP BY doc
-    ),
-    banded AS (
-        SELECT doc, 0 AS band_idx, m0 || m1 AS band_key FROM sig
-        UNION ALL SELECT doc, 1, m2 || m3 FROM sig
-        UNION ALL SELECT doc, 2, m4 || m5 FROM sig
-        UNION ALL SELECT doc, 3, m6 || m7 FROM sig
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
-    ),
-    sizes AS (SELECT doc, count(*) AS n FROM shd GROUP BY doc),
-    common AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS n_common
-        FROM cand c
-        JOIN shd sa ON sa.doc = c.doc_a
-        JOIN shd sb ON sb.doc = c.doc_b AND sb.sh = sa.sh
-        GROUP BY c.doc_a, c.doc_b
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b
-        FROM common
-        JOIN sizes za ON za.doc = doc_a
-        JOIN sizes zb ON zb.doc = doc_b
-        WHERE 3 * n_common >= 2 * (za.n + zb.n - n_common)
-    )
+    {_SQL_VERIFIED},
+    pairs AS (SELECT doc_a, doc_b FROM verified)
 """
 
 
@@ -174,7 +159,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, sh_cand, sizes=sig.select("doc", F.col("n_sh").alias("n"))
     ).filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
 
+    # connected_components materializes its edge input eagerly
+    # (localCheckpoint), so the pair pipeline's caches are consumed by
+    # the time it returns — release them instead of leaking them into
+    # executor storage for the rest of the session.
     comp = connected_components(verified.select("doc_a", "doc_b"))
+    for r in (pairs, sig, sh):
+        r.unpersist()
     from pyspark.sql import Window as W
 
     assigned = d.join(comp, d.doc_id == comp.doc, "left").select(
@@ -194,7 +185,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Patterns restricted to syntax Java regex and RE2 (DuckDB) agree on:
 # char classes, bounded repeats, \\b anchors — no lookaround.
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{4}\b"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
@@ -339,7 +330,7 @@ def stratified_sample(
         FROM (
             SELECT doc_id, lang,
                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-                   CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in (("en", "29"), ("de", "80"), ("fr", "c0")))}
+                   CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATUM_THRESHOLDS.items())}
                         ELSE 'zz' END AS thr
             FROM documents
         )
@@ -464,7 +455,10 @@ def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 5-grams (13-grams in production) keep the key near-unique so
     the equi-join never fans out."""
     d = table(spark, sf_dir, "documents")
-    sh = word_shingles(d, "text", "doc_id", 5)
+    # 3 consumers (eval probe, train build, sizes agg) — persist or
+    # the scan+explode subtree re-executes per consumer (same rule as
+    # the minhash shingles).
+    sh = word_shingles(d, "text", "doc_id", 5).persist()
     eval_sh = sh.filter(F.col("doc") % 97 == 0)
     train_sh = sh.filter(F.col("doc") % 97 != 0)
     sizes = train_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))

@@ -148,10 +148,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_SQL_SHINGLES},
+# SQL fragment: the full generate-and-verify pair relation (signature
+# → banding → candidates → exact-Jaccard verify → ≥2/3 threshold).
+# Shared by the minhash oracle here and the cluster-assignment /
+# keep-list oracles in operators/curation.py — ONE definition so the
+# banding scheme and threshold can never drift between them.
+_SQL_VERIFIED = f"""
     sig AS (
         SELECT doc,
                {", ".join(f"min(md5('{h}|' || sh)) AS m{h}" for h in range(N_HASHES))}
@@ -175,14 +177,24 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shd sa ON sa.doc = c.doc_a
         JOIN shd sb ON sb.doc = c.doc_b AND sb.sh = sa.sh
         GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(za.n + zb.n - n_common AS BIGINT) AS n_union
+        FROM common
+        JOIN sizes za ON za.doc = doc_a
+        JOIN sizes zb ON zb.doc = doc_b
+        WHERE 3 * n_common >= 2 * (za.n + zb.n - n_common)
     )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS BIGINT) AS n_common,
-           CAST(za.n + zb.n - n_common AS BIGINT) AS n_union
-    FROM common
-    JOIN sizes za ON za.doc = doc_a
-    JOIN sizes zb ON zb.doc = doc_b
-    WHERE 3 * n_common >= 2 * (za.n + zb.n - n_common)
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_VERIFIED}
+    SELECT doc_a, doc_b, n_common, n_union FROM verified
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -671,7 +671,20 @@ def tag_descriptions(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    per_doc = best_per_key.groupBy("raw_text").agg(
+    # The gate's numerator must count RAW components only: the merged
+    # lookup_components add clean VARIANTS of raw components ('clavulanic
+    # acid' next to 'clavulanic acid usp'), and if both variants match,
+    # countDistinct(key) overshoots n_comp and the equality filter would
+    # silently drop a valid synthesized combination. Semi-join the hits
+    # to the raw-component key set before aggregating.
+    raw_keys = (
+        docs.select("raw_text", F.explode("components").alias("component"))
+        .withColumn("key", F.lower(strip_salt_suffix(F.col("component"))))
+        .filter(F.col("key") != "")
+        .select("raw_text", "key")
+        .distinct()
+    )
+    per_doc = best_per_key.join(raw_keys, ["raw_text", "key"], "leftsemi").groupBy("raw_text").agg(
         F.countDistinct("key").alias("n_matched"),
         F.array_join(F.array_sort(F.collect_set("generic_name")), " + ").alias("joined_name"),
         F.array_join(F.array_sort(F.collect_set("match_reason")), "+").alias("joined_reason"),

@@ -42,6 +42,21 @@ def test_redact_pii_counts_and_replacement(spark):
     assert row["redacted"] == "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> done"
 
 
+def test_redact_pii_mixed_case_email(spark):
+    df = spark.createDataFrame([(1, "write John.Doe@Example.COM today")], ["id", "text"])
+    row = redact_pii(df, "text").collect()[0]
+    assert row["n_emails"] == 1
+    assert row["redacted"] == "write <EMAIL> today"
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
 def test_redact_pii_no_matches_is_identity(spark):
     df = spark.createDataFrame([(1, "nothing sensitive here")], ["id", "text"])
     row = redact_pii(df, "text").collect()[0]
