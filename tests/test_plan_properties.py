@@ -88,6 +88,35 @@ def test_rank1_and_topn_avoid_window_sorts(spark):
         assert n_agg >= 2, f"{name}: no partial/final aggregate pair\n{plan[:1500]}"
 
 
+def test_curation_filters_are_shuffle_free(spark):
+    """PII redaction and stratified sampling are pure scan-stage
+    projections/filters — zero Exchange, zero Python boundary."""
+    for name in ("text_pii_redact", "doc_sample_stratified"):
+        _, plan = _executed(spark, name)
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle\n{plan[:1500]}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_shuffles_once_per_stream(spark):
+    """Sequence packing partitions by SOURCE (the pack stream), never
+    globally: exactly one hash-partition exchange, no single-partition
+    global sort."""
+    _, plan = _executed(spark, "doc_pack_sequences")
+    # AQE prints Final + Initial plans; count only the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_decontamination_is_equi_join(spark):
+    """Train/eval shingle overlap joins on the shingle key — never a
+    nested-loop pair scan."""
+    _, plan = _executed(spark, "text_decontamination_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     """The Q1 pipeline stays inside whole-stage codegen (no Python
     row boundary in the hot path)."""
