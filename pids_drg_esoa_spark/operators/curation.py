@@ -1,7 +1,10 @@
 """Corpus-curation operators for training-data pipelines.
 
 The dedup module (operators/dedup.py) ends at verified near-duplicate
-PAIRS; a real pipeline then needs the three ops here:
+PAIRS; a real pipeline then needs the stages here — cluster
+assignment (text AND embedding space), PII redaction, quality
+filtering, sequence packing, stratified sampling, train/eval
+decontamination, and the composed keep-list:
 
 - **cluster assignment**: connected components over the near-dup pair
   graph → one canonical document per cluster (the keep-list). Spark
@@ -26,10 +29,12 @@ PAIRS; a real pipeline then needs the three ops here:
   under any partitioning, and re-runnable (same rows survive every
   run — the property random() sampling lacks at scale).
 
-All three are oracle-gated; the connected-components oracle is a
-DuckDB recursive CTE (transitive closure → min reachable id), which
-is exact at oracle scale while the Spark side uses the scalable
-iterative form.
+Every operator is oracle-gated; the connected-components oracles are
+DuckDB recursive CTEs (transitive closure → min reachable id), exact
+at oracle scale while the Spark side uses the scalable iterative
+form. The quality filter, packing, and decontamination entries keep
+all comparisons in integer arithmetic so no float ratio ever hits
+the value hash.
 """
 
 from __future__ import annotations
