@@ -91,7 +91,7 @@ def test_rank1_and_topn_avoid_window_sorts(spark):
 def test_curation_filters_are_shuffle_free(spark):
     """PII redaction and stratified sampling are pure scan-stage
     projections/filters — zero Exchange, zero Python boundary."""
-    for name in ("text_pii_redact", "doc_sample_stratified"):
+    for name in ("text_pii_redact", "doc_sample_stratified", "text_quality_filter"):
         _, plan = _executed(spark, name)
         assert "Exchange" not in plan, f"{name}: unexpected shuffle\n{plan[:1500]}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
