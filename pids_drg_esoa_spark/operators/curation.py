@@ -171,17 +171,24 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(verified.select("doc_a", "doc_b"))
     for r in (pairs, sig, sh):
         r.unpersist()
+    return assign_clusters(d, "doc_id", comp)
+
+
+def assign_clusters(base: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
+    """Label every base row with its component's canonical (min) id,
+    cluster size, and keep flag; rows absent from the pair graph are
+    singleton clusters of themselves."""
     from pyspark.sql import Window as W
 
-    assigned = d.join(comp, d.doc_id == comp.doc, "left").select(
-        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    assigned = base.join(comp, base[id_col] == comp.doc, "left").select(
+        id_col, F.coalesce("cluster_id", id_col).alias("cluster_id")
     )
     w = W.partitionBy("cluster_id")
     return assigned.select(
-        "doc_id",
+        id_col,
         "cluster_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
@@ -347,18 +354,7 @@ def _register_embedding_cluster() -> None:
         )
         comp = connected_components(pairs)
         e = table(spark, sf_dir, "embeddings")
-        from pyspark.sql import Window as W
-
-        assigned = e.join(comp, e.vec_id == comp.doc, "left").select(
-            "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
-        )
-        w = W.partitionBy("cluster_id")
-        return assigned.select(
-            "vec_id",
-            "cluster_id",
-            F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
-            (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
-        )
+        return assign_clusters(e, "vec_id", comp)
 
 
 _register_embedding_cluster()
