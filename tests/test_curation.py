@@ -32,6 +32,33 @@ def test_connected_components_merges_transitively(spark):
     assert set(got.values()) == {2}
 
 
+def test_connected_components_random_graph_vs_union_find(spark):
+    import random
+
+    rng = random.Random(99)
+    edges = {(rng.randrange(80), rng.randrange(80)) for _ in range(120)}
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["doc"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == want
+
+
 def test_redact_pii_counts_and_replacement(spark):
     df = spark.createDataFrame(
         [(1, "mail a.b@x.io and c@y.org call 555-1234 ip 10.0.0.1 done")],
