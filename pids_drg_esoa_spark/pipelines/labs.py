@@ -61,11 +61,16 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
         "desc_norm",
         "master_item_number",
     )
+    # full diagnostics passthrough (reference output carries
+    # diagnostics_cat/spec/etc/misc, match_labs.py:100-107); columns
+    # are optional so thin fixtures still work
+    diag_extra = [c for c in ("cat", "spec", "etc", "misc") if c in diagnostics.columns]
     d = _first_wins(
         diagnostics.select(
             normalize_basic("desc").alias("desc_norm"),
             F.col("code").alias("diag_code"),
             F.col("desc").alias("diag_description"),
+            *[F.col(c).alias(f"diag_{c}") for c in diag_extra],
         ),
         "desc_norm",
         "diag_code",
@@ -76,6 +81,13 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
         .withColumn(
             "matched_description",
             F.coalesce("master_description", "diag_description"),
+        )
+        # the reference's name for the coalesced output column
+        # (match_labs.py:73 standard_description, falling back to the
+        # input description when unmatched)
+        .withColumn(
+            "standard_description",
+            F.coalesce("master_description", "diag_description", "DESCRIPTION"),
         )
         .withColumn(
             "match_source",

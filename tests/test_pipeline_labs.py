@@ -57,6 +57,12 @@ def test_labs_pipeline_end_to_end(spark):
     assert out["101"].matched_description == "CBC Platelet Count auto"
     assert out["102"].match_source == "labs_master"
     assert out["103"].match_source == "diagnostics"  # fallback catalog
+    # full diagnostics passthrough + the reference's coalesced
+    # standard_description (input description when unmatched)
+    assert out["103"].diag_cat == "rad" and out["103"].diag_spec == "spec"
+    assert out["103"].standard_description == "chest x ray PA"
+    unmatched = [r for r in out.values() if r.match_source == "unmatched"]
+    assert all(r.standard_description == r.DESCRIPTION for r in unmatched)
     assert out["104"].match_source == "unmatched"
 
     m = ctx.artifacts["metrics"].collect()[0]
