@@ -929,9 +929,20 @@ def tag_descriptions(
             " + ",
         ),
     )
+    # Reference output parity: every result row carries the full F15
+    # details surface (_build_result_dict propagates DRUG_DETAILS_COLUMNS,
+    # tagger.py:69-118) — flatten the struct the enrich crossing already
+    # computed; 'generic_name' stays the MATCHED name, so that field is
+    # excluded from the flatten.
+    detail_cols = [
+        F.col(f"details.{f.name}").alias(f.name)
+        for f in DETAILS_SCHEMA.fields
+        if f.name != "generic_name"
+    ]
     tagged = (
         docs.select(
-            "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon"
+            "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon",
+            *detail_cols,
         )
         .join(best, "raw_text", "left")
         .withColumn(
