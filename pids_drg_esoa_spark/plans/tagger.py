@@ -73,6 +73,11 @@ _DOC_ENRICH_SCHEMA = T.StructType(
         T.StructField("components", T.ArrayType(T.StringType())),
         T.StructField("stripped", T.ArrayType(T.StringType())),
         T.StructField("combo_keys", T.ArrayType(T.StringType())),
+        # F20-categorized input tokens for the output's dose/form/route
+        # columns (reference tagger.py:937-951,980-982)
+        T.StructField("cat_dose", T.StringType()),
+        T.StructField("cat_form", T.StringType()),
+        T.StructField("cat_route", T.StringType()),
     ]
 )
 
@@ -123,8 +128,18 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
+        from ..functions.text import normalize_text_py
+        from ..functions.tokens import categorize_tokens_py, split_with_parentheses_py
+
         brand_map, multiword, syn = brand_b.value, mw_b.value, syn_b.value
         details = [extract_drug_details_py(t) for t in text]
+        # dose/form/route output columns: F20 categories over the
+        # normalized token stream (reference pipe-joins doses/routes
+        # and takes the first normalized form, tagger.py:937-951)
+        cats = [
+            categorize_tokens_py(split_with_parentheses_py(normalize_text_py(t).upper()))
+            for t in text
+        ]
         merged = [
             merge_clean(t, d, list(c) if c is not None else [])
             for t, d, c in zip(text, details, components)
@@ -143,6 +158,9 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 "components": merged,
                 "stripped": stripped,
                 "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
+                "cat_dose": ["|".join(c["dose"]) or None for c in cats],
+                "cat_form": [next(iter(c["form"]), None) for c in cats],
+                "cat_route": ["|".join(c["route"]) or None for c in cats],
             }
         )
 
@@ -290,6 +308,9 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
         .withColumn("stripped", F.col("enrich.stripped"))
         .withColumn("combo_keys", F.col("enrich.combo_keys"))
+        .withColumn("cat_dose", F.col("enrich.cat_dose"))
+        .withColumn("cat_form", F.col("enrich.cat_form"))
+        .withColumn("cat_route", F.col("enrich.cat_route"))
         .withColumn("input_form", parse_form_col(F.col("raw_text")))
         .drop("enrich")
     )
@@ -942,6 +963,9 @@ def tag_descriptions(
     tagged = (
         docs.select(
             "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon",
+            F.col("cat_dose").alias("dose"),
+            F.col("cat_form").alias("form"),
+            F.col("cat_route").alias("route"),
             *detail_cols,
         )
         .join(best, "raw_text", "left")
