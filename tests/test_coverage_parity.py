@@ -52,6 +52,29 @@ def test_part4_exercises_match_and_mismatch(parity):
                for r in reasons)
 
 
+def test_output_carries_reference_surface(parity):
+    """The tag output must expose the reference's full result surface
+    (_build_result_dict + DRUG_DETAILS_COLUMNS, tagger.py:69-118):
+    matched fields, dose/form/route, and every F15 detail column."""
+    rows, _, res = parity
+    cols = set(res.esoa_with_atc.columns)
+    required = {
+        "raw_text", "generic_name", "atc_primary", "drugbank_id",
+        "reference_text", "match_reason", "dose", "form", "route",
+        "salt_details", "brand_details", "indication_details",
+        "alias_details", "type_details", "release_details",
+        "form_details", "diluent_details", "iv_diluent_type",
+        "iv_diluent_amount", "dose_values", "dose_units", "dose_types",
+        "total_volume_ml", "drug_amount_mg", "diluent_amount_mg",
+        "concentration_mg_per_ml",
+    }
+    assert required <= cols, sorted(required - cols)
+    r = rows["5% DEXTROSE IN 0.9% SODIUM CHLORIDE 1 L BOTTLE"]
+    assert r.iv_diluent_type == "SODIUM CHLORIDE" and r.iv_diluent_amount == "0.9%"
+    assert rows["PARACETAMOL 500MG TAB"].dose == "500MG"
+    assert rows["PARACETAMOL 500MG TAB"].form == "TABLET"
+
+
 def test_summary_tracks_baseline_block(parity):
     _, _, res = parity
     assert "Coverage vs BASELINE.md" in res.summary_md
