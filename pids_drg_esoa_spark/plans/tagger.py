@@ -358,16 +358,23 @@ def _token_matches(
         if "reference_text" in generics_dim.columns
         else F.lit(None).cast("string")
     )
+    # dim provenance → the reference's `sources` output column
+    src_col = (
+        F.col("source") if "source" in generics_dim.columns
+        else F.lit(None).cast("string")
+    )
     g = F.broadcast(
         generics_dim.select(
             F.lower("generic_name").alias("gkey"),
             "generic_name", "drugbank_id", ref_col.alias("reference_text"),
+            src_col.alias("sources"),
         )
     )
 
     def tier(df: DataFrame, order: int, priority: int, reason: str) -> DataFrame:
         return df.select(
             "raw_text", "key", "generic_name", "drugbank_id", "reference_text",
+            "sources",
             F.lit(order).alias("tier_order"),
             F.lit(priority).alias("match_priority"),
             F.lit(reason).alias("match_reason"),
@@ -486,6 +493,7 @@ def _token_matches(
                 F.col("mixture_name").alias("generic_name"),
                 F.col("mixture_name").alias("reference_text"),
                 "drugbank_id",
+                F.lit("mixtures").alias("sources"),
             )
         )
         syn2 = F.broadcast(
@@ -661,6 +669,7 @@ def tag_descriptions(
                 F.lit(PRIORITY_MIXTURE).alias("match_priority"),
                 F.lit("combination_key").alias("match_reason"),
                 F.lit("mixture").alias("gm_reason"),
+                F.lit("mixtures").alias("sources"),
             )
         )
         candidates.append(mixture_hits)
@@ -720,6 +729,7 @@ def tag_descriptions(
             F.lit(None).cast("string").alias("drugbank_id"),
             F.lit(None).cast("string").alias("reference_text"),
             F.concat(F.lit("combination_tokens:"), "joined_reason").alias("match_reason"),
+            F.lit(None).cast("string").alias("sources"),
         )
     )
     # Token-tier candidates now exist for EVERY doc (the reference
@@ -727,7 +737,8 @@ def tag_descriptions(
     # scoring.py:234-273): combination inputs drop non-combo names, IV
     # solutions drop vehicle-only names, single inputs keep matches.
     token_cand = token_hits.select(
-        "raw_text", "generic_name", "drugbank_id", "reference_text", "match_reason"
+        "raw_text", "generic_name", "drugbank_id", "reference_text", "match_reason",
+        "sources",
     )
 
     # Combination-key lookups against the GENERICS dim (reference
@@ -742,10 +753,15 @@ def tag_descriptions(
         if "reference_text" in generics_dim.columns
         else F.lit(None).cast("string")
     )
+    src_col2 = (
+        F.col("source") if "source" in generics_dim.columns
+        else F.lit(None).cast("string")
+    )
     gu = F.broadcast(
         generics_dim.select(
             F.upper("generic_name").alias("ukey"),
             "generic_name", "drugbank_id", ref_col2.alias("reference_text"),
+            src_col2.alias("sources"),
         )
     )
     combo_key_hits = (
@@ -754,6 +770,7 @@ def tag_descriptions(
         .select(
             "raw_text", "generic_name", "drugbank_id", "reference_text",
             F.lit("combo_key").alias("match_reason"),
+            "sources",
         )
         .dropDuplicates(["raw_text", "generic_name", "drugbank_id"])
     )
@@ -821,6 +838,7 @@ def tag_descriptions(
         .select(
             "raw_text", "generic_name", "drugbank_id", "reference_text",
             "match_priority", "match_reason", F.col("v.reason").alias("gm_reason"),
+            "sources",
         )
     )
     candidates.append(gated)
@@ -854,6 +872,7 @@ def tag_descriptions(
             # the W2-preferred (first) ATC's combination flag drives
             # the W1 atc_priority key
             (F.element_at(atc_structs, 1)["combo"] == 1).alias("primary_is_combo"),
+            F.min("sources").alias("sources"),
         )
     )
 
@@ -927,7 +946,7 @@ def tag_descriptions(
         .filter(F.col("rn") == 1)
         .select(
             "raw_text", "generic_name", "drugbank_id", "match_priority",
-            "match_reason", "gm_reason", "atc_codes",
+            "match_reason", "gm_reason", "atc_codes", "sources",
             F.split("atc_codes", "\\|").getItem(0).alias("atc_primary"),
             # reference output: reference_text falls back to the
             # generic name, uppercased (tagger.py:953-957)

@@ -60,7 +60,7 @@ def test_output_carries_reference_surface(parity):
     cols = set(res.esoa_with_atc.columns)
     required = {
         "raw_text", "generic_name", "atc_primary", "drugbank_id",
-        "reference_text", "match_reason", "dose", "form", "route",
+        "reference_text", "match_reason", "sources", "dose", "form", "route",
         "salt_details", "brand_details", "indication_details",
         "alias_details", "type_details", "release_details",
         "form_details", "diluent_details", "iv_diluent_type",
