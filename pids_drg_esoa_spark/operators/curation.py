@@ -302,62 +302,57 @@ def stratified_sample(
 
 
 def _embedding_pairs_sql() -> str:
-    from .similarity import _SQL_DOT
+    """The exact near-dup pair relation, shared with the
+    embedding_near_dup_pairs oracle via similarity._SQL_EMB_PAIRS —
+    one definition of the blocking and the cosine threshold."""
+    from .similarity import _SQL_EMB_PAIRS
 
     return f"""
-    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    pairs AS (
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_SQL_DOT} >= 95000000
-    )
+    {_SQL_EMB_PAIRS},
+    pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM emb_pairs)
     """
 
 
-def _register_embedding_cluster() -> None:
-    @register(
-        "embedding_cluster_assign",
-        oracle=f"""
-        WITH RECURSIVE {_embedding_pairs_sql()},
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(doc, lbl) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
-        ),
-        comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
-        SELECT vec_id,
-               cluster_id,
-               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-               vec_id = cluster_id AS is_canonical
-        FROM (
-            SELECT m.vec_id, COALESCE(c.cluster_id, m.vec_id) AS cluster_id
-            FROM embeddings m LEFT JOIN comp c ON c.doc = m.vec_id
-        )
-        """,
+@register(
+    "embedding_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_embedding_pairs_sql()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+    SELECT vec_id,
+           cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM (
+        SELECT m.vec_id, COALESCE(c.cluster_id, m.vec_id) AS cluster_id
+        FROM embeddings m LEFT JOIN comp c ON c.doc = m.vec_id
     )
-    def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Semantic (embedding-space) cluster assignment: the exact
-        cosine near-dup pairs (quantized integer dot ≥ 0.95) through
-        the SAME connected-components operator the text path uses —
-        one cluster implementation, two candidate generators. Every
-        vector gets its cluster's canonical (min) id, size, and keep
-        flag; at scale the pair input swaps to the LSH-blocked
-        variant (embedding_near_dup_lsh) with this stage unchanged."""
-        from .similarity import embedding_near_dup_pairs
+    """,
+)
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) cluster assignment: the exact
+    cosine near-dup pairs (quantized integer dot ≥ 0.95) through
+    the SAME connected-components operator the text path uses —
+    one cluster implementation, two candidate generators. Every
+    vector gets its cluster's canonical (min) id, size, and keep
+    flag; at scale the pair input swaps to the LSH-blocked
+    variant (embedding_near_dup_lsh) with this stage unchanged."""
+    from .similarity import embedding_near_dup_pairs
 
-        pairs = embedding_near_dup_pairs(spark, sf_dir).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
-        comp = connected_components(pairs)
-        e = table(spark, sf_dir, "embeddings")
-        return assign_clusters(e, "vec_id", comp)
-
-
-_register_embedding_cluster()
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    e = table(spark, sf_dir, "embeddings")
+    return assign_clusters(e, "vec_id", comp)
 
 
 @register(

@@ -337,13 +337,29 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cosine near-dup threshold on the quantized integer dot: 0.95·QUANT².
+# ONE constant shared by the Spark operators and every oracle below
+# (and by curation's embedding cluster oracle) so the pair relation
+# can never drift between the pair and cluster views.
+NEAR_DUP_DOT_MIN = 95_000_000
+
+# SQL fragment: the label-blocked exact near-dup pair relation.
+_SQL_EMB_PAIRS = f"""
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    emb_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {_SQL_DOT} AS dot_q
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_SQL_DOT} >= {NEAR_DUP_DOT_MIN}
+    )
+"""
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT.replace("b.e", "b.e")} AS dot_q
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_SQL_DOT} >= 95000000
+    WITH {_SQL_EMB_PAIRS}
+    SELECT vec_a, vec_b, label, dot_q FROM emb_pairs
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +375,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
-        .filter(F.col("dot_q") >= 95_000_000)
+        .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
     )
 
 
@@ -373,7 +389,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT.replace("b.e", "b.e")} AS dot_q
     FROM v a JOIN v b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE {_SQL_DOT} >= 95000000
+    WHERE {_SQL_DOT} >= {NEAR_DUP_DOT_MIN}
     """,
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,5 +415,5 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["label", "cell"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
-        .filter(F.col("dot_q") >= 95_000_000)
+        .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
     )

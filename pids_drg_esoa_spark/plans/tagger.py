@@ -128,17 +128,16 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
-        from ..functions.text import normalize_text_py
         from ..functions.tokens import categorize_tokens_py, split_with_parentheses_py
 
         brand_map, multiword, syn = brand_b.value, mw_b.value, syn_b.value
         details = [extract_drug_details_py(t) for t in text]
-        # dose/form/route output columns: F20 categories over the
-        # normalized token stream (reference pipe-joins doses/routes
-        # and takes the first normalized form, tagger.py:937-951)
+        # dose/form/route output columns: F20 categories over the raw
+        # token stream, paren spans preserved (the reference feeds
+        # categorize from normalize_tokens over the raw text,
+        # tokenizer.py:957-1034; output shape per tagger.py:937-951)
         cats = [
-            categorize_tokens_py(split_with_parentheses_py(normalize_text_py(t).upper()))
-            for t in text
+            categorize_tokens_py(split_with_parentheses_py(t.upper())) for t in text
         ]
         merged = [
             merge_clean(t, d, list(c) if c is not None else [])
@@ -772,7 +771,7 @@ def tag_descriptions(
             F.lit("combo_key").alias("match_reason"),
             "sources",
         )
-        .dropDuplicates(["raw_text", "generic_name", "drugbank_id"])
+        .dropDuplicates()
     )
     token_cand = token_cand.unionByName(combo_key_hits)
 
@@ -937,6 +936,12 @@ def tag_descriptions(
         F.desc(F.length("generic_name")),
         F.asc("atc_codes"),
         F.asc("generic_name"),
+        # payload columns that are NOT part of the reference tuple but
+        # ride along in the output: order them too, so a dim carrying
+        # duplicate names with different provenance/reference text
+        # still yields a deterministic winner
+        F.asc_nulls_last("reference_text"),
+        F.asc_nulls_last("sources"),
     )
     best = (
         ranked_input.withColumn("atc_priority", atc_priority)
