@@ -167,10 +167,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected_components materializes its edge input eagerly
     # (localCheckpoint), so the pair pipeline's caches are consumed by
     # the time it returns — release them instead of leaking them into
-    # executor storage for the rest of the session.
-    comp = connected_components(verified.select("doc_a", "doc_b"))
-    for r in (pairs, sig, sh):
-        r.unpersist()
+    # executor storage for the rest of the session. try/finally so the
+    # release also happens when components fail to converge (the loud
+    # RuntimeError path).
+    try:
+        comp = connected_components(verified.select("doc_a", "doc_b"))
+    finally:
+        for r in (pairs, sig, sh):
+            r.unpersist()
     return assign_clusters(d, "doc_id", comp)
 
 
@@ -205,20 +209,22 @@ _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Append n_emails/n_phones/n_ips counts and a ``redacted`` text
     column (matches replaced by <EMAIL>/<PHONE>/<IP>), all native
-    regexp — stays inside whole-stage codegen."""
+    regexp — stays inside whole-stage codegen.
+
+    Counts follow the replacement precedence (email, then IP, then
+    phone): each counter runs over the text with the higher-precedence
+    classes already replaced, so a phone/IP-shaped substring inside an
+    email (``555-1234@x.com``) is neither counted nor emitted — counts
+    always agree with what appears in ``redacted``."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
-        ),
-        _PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, _IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, _PHONE_RE, "<PHONE>")
     return df.withColumns(
         {
             "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(_EMAIL_RE), 0)).cast("bigint"),
-            "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(_PHONE_RE), 0)).cast("bigint"),
-            "n_ips": F.size(F.regexp_extract_all(text_col, F.lit(_IPV4_RE), 0)).cast("bigint"),
+            "n_phones": F.size(F.regexp_extract_all(after_ip, F.lit(_PHONE_RE), 0)).cast("bigint"),
+            "n_ips": F.size(F.regexp_extract_all(after_email, F.lit(_IPV4_RE), 0)).cast("bigint"),
             "redacted": redacted,
         }
     )
@@ -235,17 +241,20 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
                ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
                CAST((doc_id * 7) % 256 AS VARCHAR) AS text
         FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS after_email,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IPV4_RE}', '<IP>', 'g') AS after_ip
+        FROM planted
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
-           md5(regexp_replace(
-               regexp_replace(
-                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_IPV4_RE}', '<IP>', 'g'),
-               '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
-    FROM planted
+           CAST(len(regexp_extract_all(after_ip, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(after_email, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(after_ip, '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM staged
     """,
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +302,10 @@ def stratified_sample(
     survive re-runs, which random() sampling cannot guarantee on a
     cluster."""
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    if not thresholds:
+        # No per-stratum rates → keep everything ("zz" sorts above any
+        # 2-hex-char bucket); an empty map must not crash the chain.
+        return df.withColumn("bucket", bucket)
     expr = None
     for k, v in thresholds.items():
         cond = F.col(stratum_col) == k
@@ -523,7 +536,11 @@ def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # 3 consumers (eval probe, train build, sizes agg) — persist or
     # the scan+explode subtree re-executes per consumer (same rule as
-    # the minhash shingles).
+    # the minhash shingles). INTENTIONALLY not unpersisted here: the
+    # returned plan is lazy, so the cache must outlive this function
+    # for the caller's action to hit it; callers that loop over many
+    # corpora should `.unpersist()` via df.sparkSession.catalog or run
+    # inside their own cache scope.
     sh = word_shingles(d, "text", "doc_id", 5).persist()
     eval_sh = sh.filter(F.col("doc") % 97 == 0)
     train_sh = sh.filter(F.col("doc") % 97 != 0)

@@ -259,4 +259,21 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # Set-equality with the batch DISTINCT oracle holds only if the
+    # availableNow pass was a single data micro-batch: across batches
+    # the 2-day watermark advances and dropDuplicates would silently
+    # DROP first-seen keys whose event-time day is already older than
+    # the watermark. Fail loudly rather than diverge silently if the
+    # source ever spans multiple files / sets maxFilesPerTrigger.
+    def _n_rows(p) -> int:
+        v = p.get("numInputRows", 0) if isinstance(p, dict) else getattr(p, "numInputRows", 0)
+        return int(v or 0)
+
+    data_batches = sum(1 for p in q.recentProgress if p is not None and _n_rows(p) > 0)
+    if data_batches > 1:
+        raise RuntimeError(
+            f"stream_dedup_events processed {data_batches} data micro-batches; "
+            "the batch-DISTINCT equivalence requires a single batch — use "
+            "dropDuplicatesWithinWatermark semantics for multi-batch sources"
+        )
     return spark.table(name)
