@@ -219,6 +219,115 @@ def dose_similarity_py(a: Dose, b: Dose) -> float:
     return 0.0
 
 
+# F12 modified-release equivalence band (reference dose.py:28-36):
+# trimetazidine MR capsules marketed at 55-90 mg correspond to the
+# 35 mg base strength in the PNF.
+_SPECIAL_AMOUNT_EQUIVALENCE: dict[str, tuple[float, float, float]] = {
+    "trimetazidine": (35.0, 55.0, 90.0),  # (target_mg, min_mg, max_mg)
+}
+
+
+def _isclose_col(a: Column, b: Column) -> Column:
+    """Column twin of math.isclose(rel_tol=1e-12, abs_tol=1e-9)."""
+    return F.abs(a - b) <= F.greatest(
+        1e-12 * F.greatest(F.abs(a), F.abs(b)), F.lit(1e-9)
+    )
+
+
+def dose_similarity(
+    d: Column,
+    pnf_dose_kind: Column,
+    pnf_strength_mg: Column,
+    pnf_ratio_mg_per_ml: Column,
+    pnf_pct: Column,
+    pnf_generic_id: Column,
+) -> Column:
+    """F12 native tier (reference dose.py:200-259): 1.0 iff the parsed
+    eSOA dose ``d`` (parse_dose struct) equals the PNF row's dose after
+    unit conversion, else 0.0.
+
+    - amounts compare in mg vs ``strength_mg``; the trimetazidine MR
+      band (PNF 35 mg base ∧ eSOA 55-90 mg ∧ amount-kind PNF row)
+      also scores 1.0;
+    - ratios require PNF dose_kind='ratio' and equal mg/mL;
+    - percents require PNF dose_kind='percent' and exact pct.
+    All comparisons via isclose(rel 1e-12, abs 1e-9); whole-stage
+    codegen (no UDF)."""
+    mg_esoa = to_mg(d["strength"], d["unit"])
+    gid = F.lower(F.trim(pnf_generic_id))
+    special = F.lit(False)
+    for name, (target, lo, hi) in _SPECIAL_AMOUNT_EQUIVALENCE.items():
+        special = special | (
+            (gid == name)
+            & (pnf_dose_kind == "amount")
+            & _isclose_col(pnf_strength_mg, F.lit(target))
+            & (mg_esoa >= lo)
+            & (mg_esoa <= hi)
+        )
+    amount_sim = F.when(
+        mg_esoa.isNull() | pnf_strength_mg.isNull(), 0.0
+    ).when(_isclose_col(mg_esoa, pnf_strength_mg) | special, 1.0).otherwise(0.0)
+
+    ratio_esoa = mg_esoa / F.coalesce(d["per_val"], F.lit(1.0))
+    ratio_sim = F.when(
+        (pnf_dose_kind != "ratio")
+        | mg_esoa.isNull()
+        | pnf_ratio_mg_per_ml.isNull()
+        | (pnf_ratio_mg_per_ml == 0),
+        0.0,
+    ).when(_isclose_col(ratio_esoa, pnf_ratio_mg_per_ml), 1.0).otherwise(0.0)
+
+    pct_sim = F.when(
+        (pnf_dose_kind != "percent") | d["pct"].isNull() | pnf_pct.isNull(), 0.0
+    ).when(_isclose_col(d["pct"], pnf_pct), 1.0).otherwise(0.0)
+
+    return (
+        F.when(d["kind"].isNull() | pnf_dose_kind.isNull(), 0.0)
+        .when(d["kind"] == "amount", amount_sim)
+        .when(d["kind"] == "ratio", ratio_sim)
+        .when(d["kind"] == "percent", pct_sim)
+        .otherwise(0.0)
+    )
+
+
+def dose_similarity_pnf_py(
+    d: Dose,
+    pnf_dose_kind: str | None,
+    pnf_strength_mg: float | None,
+    pnf_ratio_mg_per_ml: float | None,
+    pnf_pct: float | None,
+    pnf_generic_id: str | None,
+) -> float:
+    """Python twin of dose_similarity (the reference's actual
+    signature: parsed eSOA dose vs a PNF row)."""
+    if d.kind is None or pnf_dose_kind is None:
+        return 0.0
+    if d.kind == "amount":
+        mg = to_mg_py(d.strength, d.unit)
+        if mg is None or pnf_strength_mg is None:
+            return 0.0
+        if _isclose(mg, pnf_strength_mg):
+            return 1.0
+        special = _SPECIAL_AMOUNT_EQUIVALENCE.get((pnf_generic_id or "").strip().lower())
+        if special and pnf_dose_kind == "amount":
+            target, lo, hi = special
+            if _isclose(pnf_strength_mg, target) and lo <= mg <= hi:
+                return 1.0
+        return 0.0
+    if d.kind == "ratio":
+        if pnf_dose_kind != "ratio":
+            return 0.0
+        mg = to_mg_py(d.strength, d.unit)
+        if mg is None or not pnf_ratio_mg_per_ml:
+            return 0.0
+        return 1.0 if _isclose(mg / (d.per_val or 1.0), pnf_ratio_mg_per_ml) else 0.0
+    if d.kind == "percent":
+        if pnf_dose_kind != "percent" or d.pct is None or pnf_pct is None:
+            return 0.0
+        return 1.0 if _isclose(d.pct, pnf_pct) else 0.0
+    return 0.0
+
+
 def normalize_dose_string(col: Column | str) -> Column:
     """F16: canonical dose string — amounts as mg ('1 g' → '1000MG'),
     ratios reduced to per-1-mL ('500mg/5ml' → '100MG/ML'). Non-doses

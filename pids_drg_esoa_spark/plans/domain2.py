@@ -405,3 +405,101 @@ def w3_details_tiebreak_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridge_to_drug_codes(tagged, a.unionByName(b)).select(
         "raw_text", "drug_code", "match_reason"
     )
+
+
+@register(
+    "dom_dose_similarity_planted",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT p_partkey % 16 AS k FROM part)
+    SELECT k,
+           CAST(CASE WHEN k IN (0, 2, 4, 6, 12, 13, 14, 15)
+                     THEN 1.0 ELSE 0.0 END AS DOUBLE) AS similarity
+    FROM ks
+    """,
+)
+def dom_dose_similarity_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 dose_similarity under the oracle (reference dose.py:200-259
+    + the trimetazidine MR band dose.py:28-36). Each k plants an eSOA
+    text and a PNF-side row; the REAL parse_dose + dose_similarity
+    columns run in Spark and the oracle reads the expected score
+    straight off the planted structure:
+
+      k=0  '1 g' vs 1000 mg           -> 1 (exact after conversion)
+      k=1  '450 mg' vs 500 mg         -> 0
+      k=2  '500 mg/5 ml' vs 100 mg/ml -> 1 (ratio reduction)
+      k=3  '500 mg/5 ml' vs 50 mg/ml  -> 0
+      k=4  '0.9 %' vs 0.9 %           -> 1
+      k=5  '5 %' vs 0.9 %             -> 0
+      k=6  TRIMETAZIDINE 60 mg vs 35  -> 1 (MR band 55-90)
+      k=7  TRIMETAZIDINE 100 mg vs 35 -> 0 (outside band)
+      k=8  OTHER 60 mg vs 35          -> 0 (band is per-generic)
+      k=9  esoa ratio vs PNF amount   -> 0 (kind mismatch)
+      k=10 no dose in esoa            -> 0
+      k=11 esoa percent vs PNF amount -> 0 (kind mismatch)
+      k=12 TRIMETAZIDINE 55 mg vs 35  -> 1 (band lower edge)
+      k=13 TRIMETAZIDINE 90 mg vs 35  -> 1 (band upper edge)
+      k=14 TRIMETAZIDINE 35 mg vs 35  -> 1 (plain equality)
+      k=15 '1 g/1 l' vs 1 mg/ml       -> 1 (L->mL on the per-side)
+    """
+    from ..functions.dose import dose_similarity, parse_dose
+
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 16).alias("k")).distinct()
+    k = F.col("k")
+    text = (
+        F.when(k == 0, "GEN 1 g tablet")
+        .when(k == 1, "GEN 450 mg")
+        .when(k.isin(2, 3, 9), "GEN 500 mg/5 ml")
+        .when(k.isin(4, 11), "GEN 0.9 %")
+        .when(k == 5, "GEN 5 %")
+        .when(k == 6, "TRIMETAZIDINE 60 mg mr capsule")
+        .when(k == 7, "TRIMETAZIDINE 100 mg")
+        .when(k == 8, "OTHER 60 mg")
+        .when(k == 10, "GEN tablets")
+        .when(k == 12, "TRIMETAZIDINE 55 mg")
+        .when(k == 13, "TRIMETAZIDINE 90 mg")
+        .when(k == 14, "TRIMETAZIDINE 35 mg")
+        .otherwise(F.lit("GEN 1 g/1 l iv"))
+    )
+    pnf_kind = (
+        F.when(k.isin(2, 3), "ratio").when(k.isin(4, 5), "percent").otherwise(F.lit("amount"))
+    )
+    pnf_kind = F.when(k == 15, "ratio").otherwise(pnf_kind)
+    pnf_strength_mg = (
+        F.when(k == 0, 1000.0)
+        .when(k.isin(1, 10), 500.0)
+        .when(k.isin(6, 7, 8, 12, 13, 14), 35.0)
+        .when(k.isin(9, 11), 100.0)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    pnf_ratio = (
+        F.when(k == 2, 100.0)
+        .when(k == 3, 50.0)
+        .when(k == 15, 1.0)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    pnf_pct = F.when(k.isin(4, 5), 0.9).otherwise(F.lit(None).cast("double"))
+    pnf_gid = F.when(
+        k.isin(6, 7, 12, 13, 14), "trimetazidine"
+    ).when(k == 8, "other").otherwise(F.lit("gen"))
+
+    planted = ks.select(
+        "k",
+        parse_dose(text).alias("d"),
+        pnf_kind.alias("pnf_kind"),
+        pnf_strength_mg.alias("pnf_strength_mg"),
+        pnf_ratio.alias("pnf_ratio"),
+        pnf_pct.alias("pnf_pct"),
+        pnf_gid.alias("pnf_gid"),
+    )
+    return planted.select(
+        "k",
+        dose_similarity(
+            F.col("d"),
+            F.col("pnf_kind"),
+            F.col("pnf_strength_mg"),
+            F.col("pnf_ratio"),
+            F.col("pnf_pct"),
+            F.col("pnf_gid"),
+        ).alias("similarity"),
+    )

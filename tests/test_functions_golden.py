@@ -190,6 +190,27 @@ def test_dose_similarity_ratio_reduction():
     assert dose_similarity_py(a, b) == 1.0
 
 
+def test_dose_similarity_pnf_trimetazidine_band():
+    """Reference dose.py:28-36,220-237: MR trimetazidine 55-90 mg
+    accepted against the 35 mg base strength — for that generic only,
+    amount-kind PNF rows only, band edges inclusive."""
+    from pids_drg_esoa_spark.functions.dose import dose_similarity_pnf_py
+
+    def sim(text, gid="trimetazidine", kind="amount", mg=35.0):
+        return dose_similarity_pnf_py(parse_dose_py(text), kind, mg, None, None, gid)
+
+    assert sim("TRIMETAZIDINE 60 mg MR capsule") == 1.0
+    assert sim("TRIMETAZIDINE 55 mg") == 1.0
+    assert sim("TRIMETAZIDINE 90 mg") == 1.0
+    assert sim("TRIMETAZIDINE 35 mg") == 1.0      # plain equality
+    assert sim("TRIMETAZIDINE 100 mg") == 0.0     # outside band
+    assert sim("TRIMETAZIDINE 54.9 mg") == 0.0
+    assert sim("OTHER 60 mg", gid="other") == 0.0  # band is per-generic
+    assert sim("TRIMETAZIDINE 60 mg", kind="ratio") == 0.0  # amount rows only
+    # 450 vs 500 must stay a mismatch (strict equality elsewhere)
+    assert dose_similarity_pnf_py(parse_dose_py("450 mg"), "amount", 500.0, None, None, "x") == 0.0
+
+
 def test_normalize_dose_string(spark):
     df = spark.createDataFrame(
         [("1 g tablet",), ("500mg/5ml syrup",), ("250 mg cap",), ("2 % cream",)],
