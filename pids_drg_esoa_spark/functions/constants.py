@@ -205,3 +205,27 @@ REGIONAL_CANONICAL: dict[str, str] = {
     "NOREPINEPHRINE": "NORADRENALINE",
     "MEPERIDINE": "PETHIDINE",
 }
+
+
+# Part-4 garbage tokens (reference GARBAGE_TOKENS,
+# unified_constants.py:1016-1031): dropped from pipe-separated generic
+# strings before Annex lookup.
+GARBAGE_TOKENS: frozenset[str] = frozenset({
+    "MG", "ML", "MCG", "G", "IU", "UNIT", "UNITS",
+    "TAB", "TABLET", "CAP", "CAPSULE", "AMP", "AMPULE", "VIAL", "BOTTLE",
+    "ORAL", "IV", "IM", "SC", "TOPICAL",
+    "FORTE", "PLUS", "EXTRA", "MAX", "ULTRA", "JUNIOR", "PEDIA", "ADULT",
+    "ORANGE", "STRAWBERRY", "CHERRY", "GRAPE", "MINT", "VANILLA", "LEMON",
+    "PNF", "NAN", "-", "+", "/", "AND", "WITH",
+    "SOLVENT", "DILUENT", "SOLUTION", "SUSPENSION", "POWDER",
+})
+
+# DrugBank chemical-component → marketed-mixture rewrites applied to
+# the eSOA generic string before Part-4 lookup (runners.py:1157-1162;
+# unified_constants.py:1112-1120).
+DRUGBANK_COMPONENT_SYNONYMS: dict[str, str] = {
+    "GENTAMICIN C2": "GENTAMICIN",
+    "GENTAMICIN C1": "GENTAMICIN",
+    "GENTAMICIN C1A": "GENTAMICIN",
+    "GENTAMICIN": "GENTAMICIN C2",
+}

@@ -358,16 +358,28 @@ def _segment_combo_total(text_upper: str) -> float | None:
 
 
 def dose_key_py(
-    text: str | None, generic: str | None = None, details: dict | None = None
+    text: str | None,
+    generic: str | None = None,
+    details: dict | None = None,
+    desc: str | None = None,
 ) -> DoseKey:
     """``get_dose_key`` (runners.py:725-790): structured F15 columns
     first (IV w/v math), then the parse cascade, then NSS/D5/D10
     inference from description+generic context. Pass ``details`` when
     the caller already ran the F15 extractor — it is the expensive
-    step and must not run twice per row."""
-    if not text:
+    step and must not run twice per row.
+
+    Two input modes, mirroring the reference:
+    - column mode (``desc`` given): ``text`` is the Part-2/3 dose
+      TOKEN STRING (pipe-joined, e.g. '10|50|MG') exactly as the
+      reference's get_dose_key receives row['dose']; the parse cascade
+      runs on it verbatim and the NSS/D5 context scans use ``desc``.
+    - free-text mode (``desc`` None): ``text`` is a full description;
+      the pipe run is lifted out and '+'-segment combo totals are
+      gathered before the cascade (this repo's planted-oracle path)."""
+    if not text and not (desc and details):
         return NONE_KEY
-    det = details if details is not None else extract_drug_details_py(text)
+    det = details if details is not None else extract_drug_details_py(desc or text)
 
     if det["iv_diluent_type"]:
         return DoseKey(
@@ -383,9 +395,13 @@ def dose_key_py(
             )
         return DoseKey("mg", amount=det["drug_amount_mg"])
 
-    pipe_run = _PIPE_RUN_RE.search(text)
-    dose_str = pipe_run.group(0) if pipe_run else text
-    combo_total = None if pipe_run else _segment_combo_total(text.upper())
+    if desc is not None:
+        dose_str = text
+        combo_total = None
+    else:
+        pipe_run = _PIPE_RUN_RE.search(text)
+        dose_str = pipe_run.group(0) if pipe_run else text
+        combo_total = None if pipe_run else _segment_combo_total(text.upper())
     if combo_total is not None:
         return DoseKey("mg", amount=combo_total)
     total, conc, vol, unit_type = parse_dose_to_mg_py(dose_str)
@@ -396,18 +412,20 @@ def dose_key_py(
             return DoseKey("iu", amount=total)
         return DoseKey("mg", amount=total)
 
-    desc = text.upper()
+    context = (desc if desc is not None else text or "").upper()
     gen = (generic or "").upper()
     if vol is not None and vol > 0:
-        no_pct = "%" not in text
-        is_nss = any(kw in desc for kw in _NSS_KEYWORDS) or (
+        # the reference's %-veto looks at the DOSE STRING, not the
+        # description (runners.py:774,781,787: `"%" not in dose_str`)
+        no_pct = "%" not in (text or "")
+        is_nss = any(kw in context for kw in _NSS_KEYWORDS) or (
             "SODIUM CHLORIDE" in gen and "DEXTROSE" not in gen
         )
         if is_nss and no_pct:
             return DoseKey("conc", conc=9.0, vol=vol, unit="pct")
-        if (_D5_RE.search(desc) or "5% DEXTROSE" in desc) and "DEXTROSE" in gen and no_pct:
+        if (_D5_RE.search(context) or "5% DEXTROSE" in context) and "DEXTROSE" in gen and no_pct:
             return DoseKey("conc", conc=50.0, vol=vol, unit="pct")
-        if (_D10_RE.search(desc) or "10% DEXTROSE" in desc) and "DEXTROSE" in gen and no_pct:
+        if (_D10_RE.search(context) or "10% DEXTROSE" in context) and "DEXTROSE" in gen and no_pct:
             return DoseKey("conc", conc=100.0, vol=vol, unit="pct")
     return NONE_KEY
 

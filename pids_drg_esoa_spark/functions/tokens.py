@@ -203,15 +203,21 @@ def _clean_component(part: str) -> str:
 
 
 def normalize_generic_combination_py(text: str | None) -> str:
-    """Combination normalization (reference generic_normalization
-    semantics, tests/test_generic_normalization.py): normalize, strip
-    doses/forms, split components on IN / WITH / AND / '+', merge
-    compound salt ions, join ' + ' uppercased.
+    """Combination normalization (live extract_generic_tokens
+    semantics, tokenizer.py:1113-1392): normalize, strip doses/forms,
+    split components on IN / WITH / AND / '+', join ' + ' uppercased.
 
     'DEXTROSE IN LACTATED RINGERS WITH POTASSIUM CHLORIDE AND
     MAGNESIUM SULFATE' → 'DEXTROSE + LACTATED RINGERS + POTASSIUM
-    CHLORIDE + MAGNESIUM SULFATE'; 'SODIUM + CHLORIDE INJECTION' →
-    'SODIUM CHLORIDE'."""
+    CHLORIDE + MAGNESIUM SULFATE'. Components are NOT merged across
+    '+': the LIVE reference keeps 'SODIUM + CHLORIDE' as two salt
+    tokens (each then strips to nothing downstream) — the
+    'SODIUM CHLORIDE' merge in tests/test_generic_normalization.py:47
+    belongs to the legacy normalizer in debug/old_files, not the
+    production tagger (adjudicated by the row-level differential run,
+    scripts/diff_reference.py). F18's ADJACENT-token compound merge
+    ('SODIUM CHLORIDE' without '+') survives via multiword
+    protection."""
     if not text:
         return ""
     # Parenthetical spans (brands, salt markers, packaging codes like
@@ -220,7 +226,6 @@ def normalize_generic_combination_py(text: str | None) -> str:
     s = _protect_multiwords(normalize_text_py(re.sub(r"\([^)]*\)", " ", text)))
     raw_parts = re.split(r"\bin\b|\bwith\b|\band\b|\+", s)
     parts = [p for p in (_clean_component(p) for p in raw_parts) if p]
-    parts = detect_compound_salts_py(parts)
     seen: set[str] = set()
     uniq = []
     for p in parts:
@@ -298,8 +303,9 @@ def normalize_generic_combination_native(col):
     """Column twin of normalize_generic_combination_py (SURVEY §2.7):
     strip parentheticals → normalize_text → drop dose expressions →
     split components on IN/WITH/AND/+ → per-component token filtering
-    (stopwords, form/route vocab, bare numbers) → adjacent pure-ion
-    merge (F18) → order-preserving dedupe → ' + ' join, uppercased."""
+    (stopwords, form/route vocab, bare numbers) → order-preserving
+    dedupe → ' + ' join, uppercased. No cross-'+' ion merge — live
+    reference parity (see the Python twin's docstring)."""
     from pyspark.sql import Column, functions as F
 
     from .text import normalize_text
@@ -319,8 +325,6 @@ def normalize_generic_combination_native(col):
     drop_tokens = sorted(
         {t for t in STOPWORDS} | {t for t in _FORM_ROUTE_TOKENS} | set(_UNIT_TOKENS)
     )
-    ions = sorted(PURE_IONS)
-    ions_arr = F.array(*[F.lit(t) for t in ions])
 
     def clean_part(p: Column) -> Column:
         toks = F.filter(
@@ -341,46 +345,10 @@ def normalize_generic_combination_native(col):
         lambda p: p != "",
     )
 
-    # F18 adjacent pure-ion merge + order-preserving dedupe in one
-    # left-to-right aggregate: acc = (out array, pending ion or '').
+    # order-preserving dedupe (no cross-'+' ion merge — see docstring)
     empty = F.array().cast("array<string>")
-    merged = F.aggregate(
-        parts,
-        F.struct(empty.alias("out"), F.lit("").alias("pend")),
-        lambda acc, x: F.when(
-            (acc["pend"] != "")
-            & F.array_contains(ions_arr, x)
-            & ~x.contains(" "),
-            F.struct(
-                F.concat(acc["out"], F.array(F.concat_ws(" ", acc["pend"], x))).alias("out"),
-                F.lit("").alias("pend"),
-            ),
-        ).otherwise(
-            F.when(
-                F.array_contains(ions_arr, x) & ~x.contains(" "),
-                F.struct(
-                    F.when(acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"])))
-                    .otherwise(acc["out"])
-                    .alias("out"),
-                    x.alias("pend"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.concat(
-                        F.when(acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"])))
-                        .otherwise(acc["out"]),
-                        F.array(x),
-                    ).alias("out"),
-                    F.lit("").alias("pend"),
-                )
-            )
-        ),
-        lambda acc: F.when(
-            acc["pend"] != "", F.concat(acc["out"], F.array(acc["pend"]))
-        ).otherwise(acc["out"]),
-    )
     deduped = F.aggregate(
-        merged,
+        parts,
         empty,
         lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
             F.concat(acc, F.array(x))

@@ -125,11 +125,16 @@ def run_drugs_all(
         )
 
     # ---- Part 2: Annex F tagging --------------------------------------
+    # annex_order pins the reference's candidate insertion order (the
+    # W3 stable-sort tie-break) to the Annex input row order.
+    annex_src = inputs["annex_f"].withColumn(
+        "annex_order", F.monotonically_increasing_id()
+    )
     annex_tagged = tag(
-        inputs["annex_f"].select(F.col("drug_description").alias("raw_text")), "raw_text"
+        annex_src.select(F.col("drug_description").alias("raw_text")), "raw_text"
     ).join(
-        inputs["annex_f"].select(
-            "drug_code", F.col("drug_description").alias("raw_text")
+        annex_src.select(
+            "drug_code", F.col("drug_description").alias("raw_text"), "annex_order"
         ),
         "raw_text",
         "right",
@@ -140,7 +145,11 @@ def run_drugs_all(
     esoa_tagged = tag(inputs["esoa"], "raw_text", with_food=True).persist()
 
     # ---- Part 4: bridge to drug codes ---------------------------------
-    bridged = bridge_to_drug_codes(esoa_tagged, inputs["annex_f"]).persist()
+    # Part 4 consumes the TAGGED outputs of Parts 2 and 3 (the
+    # reference reads annex_f_with_atc + esoa_with_atc, runners.py:
+    # 287-330) — candidate keys come from matched_generic_name and the
+    # dose/form/route token columns, never from re-parsed raw text.
+    bridged = bridge_to_drug_codes(esoa_tagged, annex_tagged).persist()
 
     # ---- summary + metrics (run_drugs_all.py:52-117) ------------------
     a_n, a_atc, a_db = _coverage(annex_tagged)

@@ -66,6 +66,159 @@ PARSED_SIDE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Reference-column mode (the production shape): Part 4 consumes the
+# TAGGED Part-2/Part-3 outputs — dose/form/route token columns + the
+# F15 structured fields — never re-parsing raw text (runners.py:
+# 1012-1094 annex candidates, 1146-1190 eSOA generics, 725-790 dose
+# keys from row columns). The free-text parse path below it remains
+# for dims-only callers (planted oracles).
+# ---------------------------------------------------------------------------
+from ..functions.constants import DRUGBANK_COMPONENT_SYNONYMS, GARBAGE_TOKENS
+from ..functions.vocab_full import ALL_DRUG_SYNONYMS_FULL
+
+_DOSE_LIKE_RE = None  # compiled lazily inside the UDF worker
+
+
+def _extract_clean_generics_py(generic_str: str | None) -> list[str]:
+    """F36 extract_clean_generics (runners.py:1103-1135): pipe-split,
+    drop garbage tokens / short tokens / pure dose patterns / pure
+    numbers, dedupe preserving order."""
+    import re as _re
+
+    if not generic_str:
+        return []
+    seen: set[str] = set()
+    clean: list[str] = []
+    for p in str(generic_str).split("|"):
+        p = p.strip().upper()
+        if not p or p in GARBAGE_TOKENS or p in seen or len(p) <= 2:
+            continue
+        if _re.match(r"^\d+(\.\d+)?\s*(MG|ML|MCG|G|IU|%|CC|L)$", p, _re.IGNORECASE):
+            continue
+        if p.replace(".", "").isdigit():
+            continue
+        seen.add(p)
+        clean.append(p)
+    return clean
+
+
+def _extract_generics_from_description_py(desc: str | None) -> list[str]:
+    """F36 fallback (runners.py:1137-1160): pull generic words straight
+    from the DESCRIPTION when the tagged generic string is empty."""
+    import re as _re
+
+    if not desc:
+        return []
+    desc = str(desc).upper()
+    generics: list[str] = []
+    for part in _re.split(r"[+/]|\s+AND\s+|\s+\+\s+", desc):
+        m = _re.match(r"^([A-Z][A-Z\s\-]+?)(?:\s*\d|\s*\(|$)", part.strip())
+        if m:
+            generic = _re.sub(r"\s+", " ", m.group(1).strip())
+            if generic and len(generic) > 2 and generic not in GARBAGE_TOKENS:
+                generics.append(generic)
+    return generics
+
+
+def _esoa_lookup_keys_py(generic_raw: str | None, desc: str | None) -> list[str]:
+    """Per-row Annex lookup keys: component-synonym rewrite on the raw
+    generic string (runners.py:1157-1162, dict order preserved — the
+    final GENTAMICIN→GENTAMICIN C2 entry wins), clean generics with
+    the description fallback, then get_all_name_variants per generic
+    (identity + static-synonym forward and reverse, runners.py:
+    1090-1098)."""
+    s = str(generic_raw).upper() if generic_raw is not None else ""
+    for wrong, correct in DRUGBANK_COMPONENT_SYNONYMS.items():
+        if wrong in s:
+            s = s.replace(wrong, correct)
+    generics = _extract_clean_generics_py(s)
+    if not generics:
+        generics = _extract_generics_from_description_py(desc)
+    keys: list[str] = []
+    for g in generics:
+        variants = [g]
+        if g in ALL_DRUG_SYNONYMS_FULL:
+            variants.append(ALL_DRUG_SYNONYMS_FULL[g])
+        variants.extend(syn for syn, canon in ALL_DRUG_SYNONYMS_FULL.items() if canon == g)
+        for v in variants:
+            if v not in keys:
+                keys.append(v)
+    return keys
+
+
+def _annex_index_keys_py(generic_raw: str | None) -> list[str]:
+    """Annex-side index keys per tagged row (runners.py:1024-1088):
+    clean generics, each plus its paren-stripped base and the static
+    forward synonym of both."""
+    import re as _re
+
+    generics = _extract_clean_generics_py(generic_raw)
+    keys: list[str] = []
+
+    def add(k: str) -> None:
+        if k and k not in keys:
+            keys.append(k)
+
+    for g in generics:
+        add(g)
+        base = _re.sub(r"\s*\([^)]*\)", "", g).strip()
+        if base and base != g:
+            add(base)
+        if g in ALL_DRUG_SYNONYMS_FULL:
+            add(ALL_DRUG_SYNONYMS_FULL[g])
+        if base and base in ALL_DRUG_SYNONYMS_FULL:
+            add(ALL_DRUG_SYNONYMS_FULL[base])
+    return keys
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def esoa_lookup_keys(generic_raw: pd.Series, desc: pd.Series) -> pd.Series:
+    return pd.Series([_esoa_lookup_keys_py(g, d) for g, d in zip(generic_raw, desc)])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def annex_index_keys(generic_raw: pd.Series) -> pd.Series:
+    return generic_raw.map(_annex_index_keys_py)
+
+
+@F.pandas_udf(DOSE_KEY_SCHEMA)
+def dose_key_from_columns(
+    dose_str: pd.Series,
+    desc: pd.Series,
+    generic: pd.Series,
+    drug_mg: pd.Series,
+    conc: pd.Series,
+    vol: pd.Series,
+    iv_type: pd.Series,
+) -> pd.DataFrame:
+    """get_dose_key from ROW COLUMNS (runners.py:725-790): structured
+    F15 fields first, then the parse cascade over the dose TOKEN
+    STRING, then NSS/D5/D10 inference from the description+generic."""
+    out = []
+    for ds, de, g, mg, c, v, iv in zip(
+        dose_str, desc, generic, drug_mg, conc, vol, iv_type
+    ):
+        det = {
+            "iv_diluent_type": iv if iv and not pd.isna(iv) else None,
+            "concentration_mg_per_ml": None if pd.isna(c) else float(c),
+            "total_volume_ml": None if pd.isna(v) else float(v),
+            "drug_amount_mg": None if pd.isna(mg) else float(mg),
+        }
+        k = dose_key_py(ds, g, details=det, desc=de or "")
+        out.append(
+            {
+                "kind": k.kind,
+                "amount": k.amount,
+                "conc": k.conc,
+                "vol": k.vol,
+                "unit": k.unit,
+                "diluent": k.diluent,
+            }
+        )
+    return pd.DataFrame(out)
+
+
 @F.pandas_udf(PARSED_SIDE_SCHEMA)
 def parse_side(text: pd.Series, generic: pd.Series) -> pd.DataFrame:
     """One Arrow crossing per relation: dose key (F34 cascade, with
@@ -251,41 +404,126 @@ def build_annex_index(annex_f: DataFrame) -> DataFrame:
     ).filter(F.col("component") != "")
 
 
+_W3_DETAIL_FIELDS = (
+    "release_details", "type_details", "form_details", "indication_details",
+    "salt_details", "brand_details", "alias_details",
+    "iv_diluent_type", "iv_diluent_amount",
+)
+
+
+def _esoa_side_ref(tagged: DataFrame) -> DataFrame:
+    """eSOA side from the tagged Part-3 columns (reference mode)."""
+    details_struct = F.struct(
+        *[F.col(f).alias(f) for f in _W3_DETAIL_FIELDS]
+    )
+    # The reference's description fallback reads row['DESCRIPTION']
+    # literally (runners.py:1163-1165) — when the eSOA text column is
+    # 'raw_text' (the prepared shape) the fallback never fires, in
+    # production too. Feed it only an actual DESCRIPTION column.
+    fallback_desc = (
+        F.col("DESCRIPTION")
+        if "DESCRIPTION" in tagged.columns
+        else F.lit(None).cast("string")
+    )
+    keys = esoa_lookup_keys(F.col("generic_name"), fallback_desc)
+    return tagged.select(
+        "raw_text",
+        "generic_name",
+        keys.alias("components"),
+        dose_key_from_columns(
+            F.col("dose"), F.col("raw_text"), F.col("generic_name"),
+            F.col("drug_amount_mg"), F.col("concentration_mg_per_ml"),
+            F.col("total_volume_ml"), F.col("iv_diluent_type"),
+        ).alias("esoa_dose"),
+        F.upper(F.trim("form")).alias("esoa_form"),
+        F.upper(F.trim("route")).alias("esoa_route"),
+        details_struct.alias("esoa_details"),
+    ).withColumn("has_generic", F.size("components") > 0)
+
+
+def build_annex_index_ref(annex_tagged: DataFrame) -> DataFrame:
+    """Annex candidate index from the tagged Part-2 columns: one row
+    per (index key → drug code) with the row's dose key / form / route
+    (runners.py:1012-1094 — dict index as a broadcast relation)."""
+    if "annex_order" not in annex_tagged.columns:
+        annex_tagged = annex_tagged.withColumn(
+            "annex_order", F.monotonically_increasing_id()
+        )
+    desc_col = (
+        F.col("drug_description") if "drug_description" in annex_tagged.columns
+        else F.col("raw_text")
+    )
+    return (
+        annex_tagged.select(
+            "drug_code",
+            desc_col.alias("drug_description"),
+            "annex_order",
+            dose_key_from_columns(
+                F.col("dose"), desc_col, F.col("generic_name"),
+                F.col("drug_amount_mg"), F.col("concentration_mg_per_ml"),
+                F.col("total_volume_ml"), F.col("iv_diluent_type"),
+            ).alias("annex_dose"),
+            F.upper(F.trim("form")).alias("annex_form"),
+            F.upper(F.trim("route")).alias("annex_route"),
+            annex_index_keys(F.col("generic_name")).alias("index_keys"),
+        )
+        .filter(F.col("drug_code").isNotNull() & (F.size("index_keys") > 0))
+        .select(
+            "drug_code", "drug_description", "annex_order",
+            "annex_dose", "annex_form", "annex_route",
+            F.explode("index_keys").alias("component"),
+        )
+    )
+
+
 def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     """tagged: output of plans.tagger (raw_text, generic_name, …).
     Returns one row per raw_text with (drug_code, match_reason) using
-    the reference's strict dose∧form∧route gate and reason labels."""
-    esoa = (
-        tagged.select(
-            "raw_text",
-            "generic_name",
-            F.col("matched").alias("has_generic"),
-            F.filter(
-                F.split(F.lower(F.coalesce("generic_name", F.lit(""))), " \\+ "),
-                lambda x: x != "",
-            ).alias("components"),
+    the reference's strict dose∧form∧route gate and reason labels.
+
+    Two modes: when both relations carry the tagged Part-2/3 columns
+    (dose/form/route token strings + F15 structured fields), Part 4
+    runs the reference's column-driven path; otherwise (dims-only
+    planted oracles) both sides are parsed from raw text."""
+    ref_mode = {"dose", "form", "route", "drug_amount_mg"}.issubset(tagged.columns)
+    annex_ref_mode = {"generic_name", "dose", "form", "route"}.issubset(annex_f.columns)
+    if ref_mode:
+        esoa = _esoa_side_ref(tagged).localCheckpoint(eager=True)
+    else:
+        esoa = (
+            tagged.select(
+                "raw_text",
+                "generic_name",
+                F.col("matched").alias("has_generic"),
+                F.filter(
+                    F.split(F.lower(F.coalesce("generic_name", F.lit(""))), " \\+ "),
+                    lambda x: x != "",
+                ).alias("components"),
+            )
+            .withColumn("esoa_parsed", parse_side(F.col("raw_text"), F.col("generic_name")))
+            .select(
+                "raw_text", "generic_name", "has_generic", "components",
+                F.col("esoa_parsed.dose").alias("esoa_dose"),
+                F.col("esoa_parsed.form").alias("esoa_form"),
+                F.col("esoa_parsed.route").alias("esoa_route"),
+                F.col("esoa_parsed.details").alias("esoa_details"),
+            )
+            # localCheckpoint, not persist: parse_side embeds the native
+            # dose/form/route expression trees; candidate gen and the
+            # final left join would each copy that subtree into the plan
+            # and Catalyst re-walks it per transformation (same pathology
+            # as the tagger docs relation — see plans/tagger.py).
+            .localCheckpoint(eager=True)
         )
-        .withColumn("esoa_parsed", parse_side(F.col("raw_text"), F.col("generic_name")))
-        .select(
-            "raw_text", "generic_name", "has_generic", "components",
-            F.col("esoa_parsed.dose").alias("esoa_dose"),
-            F.col("esoa_parsed.form").alias("esoa_form"),
-            F.col("esoa_parsed.route").alias("esoa_route"),
-            F.col("esoa_parsed.details").alias("esoa_details"),
-        )
-        # localCheckpoint, not persist: parse_side embeds the native
-        # dose/form/route expression trees; candidate gen and the
-        # final left join would each copy that subtree into the plan
-        # and Catalyst re-walks it per transformation (same pathology
-        # as the tagger docs relation — see plans/tagger.py).
-        .localCheckpoint(eager=True)
-    )
     # materialize: the index embeds parse_side's native dose/form
     # expression trees; broadcasting a leaf keeps them out of the
     # probe-side plan (see plans/tagger._materialize_dim)
     from .tagger import _materialize_dim
 
-    index = F.broadcast(_materialize_dim(build_annex_index(annex_f)))
+    index_df = (
+        build_annex_index_ref(annex_f) if annex_ref_mode else build_annex_index(annex_f)
+    )
+    index = F.broadcast(_materialize_dim(index_df))
 
     cand = (
         esoa.filter(F.col("has_generic"))

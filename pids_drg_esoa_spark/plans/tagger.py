@@ -68,10 +68,16 @@ from ..functions.details import DETAILS_SCHEMA, extract_drug_details_py  # noqa:
 _DOC_ENRICH_SCHEMA = T.StructType(
     [
         T.StructField("vaccine_canon", T.StringType()),
+        T.StructField("is_vaccine", T.BooleanType()),
         T.StructField("input_class", T.StringType()),
         T.StructField("details", DETAILS_SCHEMA),
         T.StructField("components", T.ArrayType(T.StringType())),
         T.StructField("stripped", T.ArrayType(T.StringType())),
+        # the reference's word-granular stripped list for the
+        # no_candidates generic_name display (unknown phrases arrive
+        # as one word per token from its extract; known multiword dim
+        # names / pure-salt compounds / vaccine names stay whole)
+        T.StructField("stripped_display", T.ArrayType(T.StringType())),
         T.StructField("combo_keys", T.ArrayType(T.StringType())),
         # F20-categorized input tokens for the output's dose/form/route
         # columns (reference tagger.py:937-951,980-982)
@@ -106,6 +112,22 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
 
     from ..functions.tokens import normalize_generic_combination_py
 
+    def multiword_hits(t: str, gname: str | None, multiword) -> list[str]:
+        """Reference extract_generic_tokens' multiword matching
+        (tokenizer.py:1113-1200 via tagger.py:606-620): any multiword
+        DIM name — including '+'-combination names like 'ALUMINUM
+        HYDROXIDE + MAGNESIUM HYDROXIDE' — found verbatim in the text
+        (or in the F15-cleaned name) becomes ONE lookup token, which is
+        what lets combination-named unified rows exact-hit with their
+        ATC/DrugBank payload. Longest-first with substring dedup, the
+        reference's order."""
+        hay = " " + " ".join(((gname or "") + " ; " + (t or "")).upper().split()) + " "
+        hits: list[str] = []
+        for mw in multiword:  # pre-sorted longest-first by the caller
+            if f" {mw} " in hay and not any(mw in h for h in hits):
+                hits.append(mw)
+        return hits
+
     def merge_clean(t: str, details: dict, comps: list[str]) -> list[str]:
         """Reference tagger.py:604-619: when the F15 extractor yields a
         cleaner generic name than the raw text, ALSO tokenize it and
@@ -130,8 +152,30 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     ) -> pd.DataFrame:
         from ..functions.tokens import categorize_tokens_py, split_with_parentheses_py
 
+        from ..functions.vaccines import match_vaccine_text_py
+
         brand_map, multiword, syn = brand_b.value, mw_b.value, syn_b.value
         details = [extract_drug_details_py(t) for t in text]
+        # Vaccine detection, reference semantics (tagger.py:578-600):
+        # normalize_vaccine_name sets the canonical name INTO the F15
+        # details (drug_details["generic_name"] = vaccine_name, with
+        # vaccine_details appended to type_details); match_vaccine_text
+        # ALSO flags _is_vaccine on a bare acronym/component hit — the
+        # component scan is substring-based, so e.g. FLU-containing
+        # names flag too (live-reference parity, diff-adjudicated).
+        vac = [normalize_vaccine_name_py(t) for t in text]
+        vmatch = [match_vaccine_text_py(t) for t in text]
+        is_vac = [
+            (vn is not None) or (acr is not None) or bool(comps)
+            for (vn, _), (acr, comps) in zip(vac, vmatch)
+        ]
+        for d, (vn, vdet) in zip(details, vac):
+            if vn:
+                d["generic_name"] = vn
+                if vdet:
+                    d["type_details"] = (
+                        f"{d['type_details']}; {vdet}" if d.get("type_details") else vdet
+                    )
         # dose/form/route output columns: F20 categories over the raw
         # token stream, paren spans preserved (the reference feeds
         # categorize from normalize_tokens over the raw text,
@@ -143,12 +187,58 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             merge_clean(t, d, list(c) if c is not None else [])
             for t, d, c in zip(text, details, components)
         ]
+        # multiword dim names found in the text join the token list —
+        # APPENDED, so the component order (stripped[0]=active,
+        # stripped[1]=vehicle for IV solutions) stays the extract's
+        mw_sorted = sorted(multiword, key=len, reverse=True)
+        merged = [
+            list(
+                dict.fromkeys(
+                    comps
+                    + [m.lower() for m in multiword_hits(t, d.get("generic_name"), mw_sorted)]
+                )
+            )
+            for t, d, comps in zip(text, details, merged)
+        ]
+        # vaccine canonical name becomes the PRIMARY lookup token
+        # (reference tagger.py:608-610 prepend)
+        merged = [
+            (
+                [vn.lower()] + [c for c in comps if c.upper() != vn.upper()]
+                if vn
+                else comps
+            )
+            for (vn, _), comps in zip(vac, merged)
+        ]
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
+
+        from ..functions.constants import PURE_SALT_COMPOUNDS
+
+        def display_split(entries: list[str], vn: str | None) -> list[str]:
+            out: list[str] = []
+            for e in entries:
+                if (
+                    " " in e
+                    and "+" not in e
+                    and e not in multiword
+                    and e.lower() not in PURE_SALT_COMPOUNDS
+                    and e != (vn or "").upper()
+                    and "VACCINE" not in e
+                ):
+                    out.extend(w for w in e.split() if w)
+                else:
+                    out.append(e)
+            return list(dict.fromkeys(out))
+
+        stripped_display = [
+            display_split(s, vn) for s, (vn, _) in zip(stripped, vac)
+        ]
         return pd.DataFrame(
             {
-                "vaccine_canon": [normalize_vaccine_name_py(t) for t in text],
+                "vaccine_canon": [vn for vn, _ in vac],
+                "is_vaccine": is_vac,
                 "input_class": [
                     classify_input_py(t, int(n) if n is not None else 0)
                     for t, n in zip(text, n_comp)
@@ -156,6 +246,7 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 "details": details,
                 "components": merged,
                 "stripped": stripped,
+                "stripped_display": stripped_display,
                 "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
                 "cat_dose": ["|".join(c["dose"]) or None for c in cats],
                 "cat_form": [next(iter(c["form"]), None) for c in cats],
@@ -271,6 +362,10 @@ PRIORITY_TOKEN = 1
 PRIORITY_BRAND = 2
 PRIORITY_PREFIX = 3
 PRIORITY_FUZZY = 4
+# mixture tiers are fallbacks in the reference (fire only when no
+# other candidate survives) — rank below every gated candidate
+PRIORITY_SYNONYM_MIXTURE_FALLBACK = 98
+PRIORITY_MIXTURE_FALLBACK = 99
 
 
 def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFrame:
@@ -293,6 +388,7 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
             "enrich", doc_enrich(F.col("raw_text"), F.col("n_comp"), F.col("components"))
         )
         .withColumn("vaccine_canon", F.col("enrich.vaccine_canon"))
+        .withColumn("is_vaccine", F.col("enrich.is_vaccine"))
         .withColumn("input_class", F.col("enrich.input_class"))
         # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
         # and the parsed input form (native twin — stays in codegen)
@@ -306,6 +402,7 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         .withColumn("lookup_components", F.col("enrich.components"))
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
         .withColumn("stripped", F.col("enrich.stripped"))
+        .withColumn("stripped_display", F.col("enrich.stripped_display"))
         .withColumn("combo_keys", F.col("enrich.combo_keys"))
         .withColumn("cat_dose", F.col("enrich.cat_dose"))
         .withColumn("cat_form", F.col("enrich.cat_form"))
@@ -390,7 +487,7 @@ def _token_matches(
             tier(
                 keys.join(syn, keys.key == F.col("skey"))
                 .join(g, F.col("target_key") == F.col("gkey")),
-                1, PRIORITY_TOKEN, "synonym",
+                0, PRIORITY_TOKEN, "synonym",
             )
         )
 
@@ -399,7 +496,7 @@ def _token_matches(
     sing = keys.withColumn("skey2", _singular_key(F.col("key"))).filter(
         F.col("skey2") != F.col("key")
     )
-    tiers.append(tier(sing.join(g, sing.skey2 == F.col("gkey")), 2, PRIORITY_TOKEN, "singular"))
+    tiers.append(tier(sing.join(g, sing.skey2 == F.col("gkey")), 0, PRIORITY_TOKEN, "singular"))
 
     if brands_dim is not None:
         # The reference swaps brand→generic FIRST and salt-strips the
@@ -416,7 +513,7 @@ def _token_matches(
             tier(
                 keys.join(br, keys.key == F.col("bkey"))
                 .join(g, F.col("target_key") == F.col("gkey")),
-                3, PRIORITY_BRAND, "brand",
+                0, PRIORITY_BRAND, "brand",
             )
         )
 
@@ -659,13 +756,29 @@ def tag_descriptions(
             )
         )
         combo_key = F.array_join(F.array_sort("components"), "|")
+        # Display name = sorted UPPER components, NOT the dim's mixture
+        # name (reference _lookup_mixture tagger.py:345-356:
+        # display_name = ' + '.join(sorted(unique.upper()))). And the
+        # mixture lookup is a FALLBACK in the reference — it fires only
+        # when no other candidate survives (pre-gate: unique_matches
+        # empty, tagger.py:806-834; post-gate: select_best returned
+        # None, tagger.py:990-1018) — so it ranks BELOW every gated
+        # candidate instead of above them (r4's priority-0 was wrong:
+        # diff-adjudicated on 'AMOXICILLIN + CLAVULANIC ACID', where
+        # the reference picks the canonical unified row, DB00766).
+        display = F.array_join(
+            F.array_sort(F.transform("components", lambda c: F.upper(c))), " + "
+        )
         mixture_hits = (
             docs.filter(F.col("n_comp") >= 2)
             .withColumn("component_key", combo_key)
             .join(mx, "component_key")
             .select(
-                "raw_text", "generic_name", "drugbank_id", "reference_text",
-                F.lit(PRIORITY_MIXTURE).alias("match_priority"),
+                "raw_text",
+                display.alias("generic_name"),
+                "drugbank_id",
+                "reference_text",
+                F.lit(PRIORITY_MIXTURE_FALLBACK).alias("match_priority"),
                 F.lit("combination_key").alias("match_reason"),
                 F.lit("mixture").alias("gm_reason"),
                 F.lit("mixtures").alias("sources"),
@@ -673,10 +786,16 @@ def tag_descriptions(
         )
         candidates.append(mixture_hits)
 
-    # --- token tier: explode clean-merged components, salt-strip, cascade ---
+    # --- token tier: the probe keys are the STRIPPED generics (brand
+    # swap → multiword/pure-salt guard → salt strip → junk filter) —
+    # exactly the reference's per-text lookup set (tagger.py:701-778).
+    # Re-stripping natively here would lose the multiword guard: e.g.
+    # the 'ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE' multiword token
+    # must probe UNstripped or the combination-named dim row is only
+    # reachable via prefix (diff-adjudicated).
     keys = (
-        docs.select("raw_text", F.explode("lookup_components").alias("component"))
-        .withColumn("key", F.lower(strip_salt_suffix(F.col("component"))))
+        docs.select("raw_text", F.explode("stripped").alias("component"))
+        .withColumn("key", F.lower("component"))
         .filter(F.col("key") != "")
         .select("raw_text", "key")
         .distinct()
@@ -685,54 +804,17 @@ def tag_descriptions(
         keys, generics_dim, synonyms_dim, brands_dim, mixtures_dim
     ).persist()
 
-    # synthesized combination: EVERY component of a multi-part input
-    # matched ⇒ ' + '-joined candidate (tagger.py:707-834 assembly).
-    # The gate counts DISTINCT matched components, not hit rows: tiers
-    # are many-to-many (duplicate generic_name in dims), so a raw row
-    # count lets one component with 2 hits mask another with 0. Each
-    # component first resolves to its best hit (rank-1 per key) so the
-    # joined name contains exactly one generic per component.
-    w_key = W.partitionBy("raw_text", "key").orderBy(
-        F.asc("match_priority"), F.desc(F.length("generic_name")), F.asc("generic_name")
-    )
-    best_per_key = (
-        token_hits.withColumn("rn", F.row_number().over(w_key))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    # The gate's numerator must count RAW components only: the merged
-    # lookup_components add clean VARIANTS of raw components ('clavulanic
-    # acid' next to 'clavulanic acid usp'), and if both variants match,
-    # countDistinct(key) overshoots n_comp and the equality filter would
-    # silently drop a valid synthesized combination. Semi-join the hits
-    # to the raw-component key set before aggregating.
-    raw_keys = (
-        docs.select("raw_text", F.explode("components").alias("component"))
-        .withColumn("key", F.lower(strip_salt_suffix(F.col("component"))))
-        .filter(F.col("key") != "")
-        .select("raw_text", "key")
-        .distinct()
-    )
-    per_doc = best_per_key.join(raw_keys, ["raw_text", "key"], "leftsemi").groupBy("raw_text").agg(
-        F.countDistinct("key").alias("n_matched"),
-        F.array_join(F.array_sort(F.collect_set("generic_name")), " + ").alias("joined_name"),
-        F.array_join(F.array_sort(F.collect_set("match_reason")), "+").alias("joined_reason"),
-    )
-    combo_docs = docs.select("raw_text", "n_comp").filter(F.col("n_comp") >= 2)
-    synthesized = (
-        combo_docs.join(per_doc, "raw_text")
-        .filter(F.col("n_matched") == F.col("n_comp"))
-        .select(
-            "raw_text",
-            F.col("joined_name").alias("generic_name"),
-            F.lit(None).cast("string").alias("drugbank_id"),
-            F.lit(None).cast("string").alias("reference_text"),
-            F.concat(F.lit("combination_tokens:"), "joined_reason").alias("match_reason"),
-            F.lit(None).cast("string").alias("sources"),
-        )
-    )
-    # Token-tier candidates now exist for EVERY doc (the reference
-    # admits all dim hits into scoring and lets the gates decide,
+    # No synthesized ' + '-joined candidates: the reference never
+    # fabricates a combination name from individually-matched tokens —
+    # combination outputs come only from dim rows with combination
+    # names (combo-key hits on unified) or the mixture fallback
+    # (diff-adjudicated: a r1 misreading of tagger.py:707-834 that the
+    # row-level differential run exposed — single-name candidates for
+    # a combination input are SKIPPED by scoring, and when nothing
+    # combo-named survives the row falls to the mixture fallback or
+    # no_match).
+    # Token-tier candidates exist for EVERY doc (the reference admits
+    # all dim hits into scoring and lets the gates decide,
     # scoring.py:234-273): combination inputs drop non-combo names, IV
     # solutions drop vehicle-only names, single inputs keep matches.
     token_cand = token_hits.select(
@@ -775,6 +857,25 @@ def tag_descriptions(
     )
     token_cand = token_cand.unionByName(combo_key_hits)
 
+    # no_match vs no_candidates (reference tagger.py:826-876 +
+    # result assembly): a doc whose cache hits yielded at least one
+    # CANDIDATE (an ATC row or a drugbank_id — hits with neither never
+    # become candidates, tagger.py:847-876) but no valid best is
+    # 'no_match' with generic_name None; a doc with no candidates at
+    # all is 'no_candidates' with the pipe-joined stripped tokens.
+    _atc_names = F.broadcast(
+        atc_dim.select(F.col("generic_name").alias("cand_gen")).distinct()
+    )
+    had_candidates = (
+        token_cand.join(
+            _atc_names, token_cand.generic_name == F.col("cand_gen"), "left"
+        )
+        .filter(F.col("drugbank_id").isNotNull() | F.col("cand_gen").isNotNull())
+        .select("raw_text")
+        .distinct()
+        .withColumn("had_candidates", F.lit(True))
+    )
+
     # --- F33 admission gate -------------------------------------------
     # Per-doc selection inputs (scoring.py:203-310): normalized input
     # set with fuzzy corrections folded in, active/vehicle components,
@@ -813,7 +914,7 @@ def tag_descriptions(
     for reason, prio in sorted(MATCH_PRIORITY.items()):
         priority_expr = F.when(F.col("v.reason") == reason, prio).otherwise(priority_expr)
     gated = (
-        synthesized.unionByName(token_cand)
+        token_cand
         .join(
             doc_inputs.select(
                 "raw_text", "input_set", "active", "vehicle", "is_iv", "is_combination"
@@ -984,26 +1085,57 @@ def tag_descriptions(
         for f in DETAILS_SCHEMA.fields
         if f.name != "generic_name"
     ]
+    # Vaccine output override, reference semantics (tagger.py:963-971):
+    # on a MATCHED row flagged _is_vaccine, the F15 details' generic
+    # name (the canonical vaccine name when normalize_vaccine_name hit,
+    # else the extractor's cleaned name) replaces both generic_name and
+    # reference_text. UNMATCHED rows stay unmatched — the reference
+    # emits the pipe-joined stripped token set as their generic_name
+    # (tagger.py:826-833) with no ATC/DrugBank payload.
+    vac_name = F.col("_details_generic")
+    vac_override = (
+        F.col("is_vaccine") & vac_name.isNotNull() & (vac_name != "")
+    )
+    unmatched_name = F.when(
+        F.size("stripped_display") > 0, F.upper(F.array_join("stripped_display", "|"))
+    )
     tagged = (
         docs.select(
-            "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "vaccine_canon",
+            "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "is_vaccine",
+            "stripped_display",
+            F.col("details.generic_name").alias("_details_generic"),
             F.col("cat_dose").alias("dose"),
             F.col("cat_form").alias("form"),
             F.col("cat_route").alias("route"),
             *detail_cols,
         )
         .join(best, "raw_text", "left")
+        .join(had_candidates, "raw_text", "left")
+        .withColumn("matched", F.col("generic_name").isNotNull())
         .withColumn(
-            "generic_name", F.coalesce("vaccine_canon", regionalized)
+            "generic_name",
+            F.when(F.col("matched") & vac_override, vac_name)
+            .when(F.col("matched"), regionalized)
+            # no_match (candidates existed, none valid) → NULL;
+            # no_candidates → pipe-joined stripped tokens
+            .when(F.col("had_candidates").isNull(), unmatched_name),
+        )
+        .withColumn(
+            "reference_text",
+            F.when(F.col("matched") & vac_override, vac_name).otherwise(
+                F.col("reference_text")
+            ),
         )
         .withColumn(
             "match_reason",
-            F.when(F.col("vaccine_canon").isNotNull(), "vaccine").otherwise(
-                F.coalesce("match_reason", F.lit("unmatched"))
+            F.coalesce(
+                "match_reason",
+                F.when(F.col("had_candidates").isNotNull(), "no_match").otherwise(
+                    "no_candidates"
+                ),
             ),
         )
-        .withColumn("matched", F.col("generic_name").isNotNull())
-        .drop("vaccine_canon")
+        .drop("stripped_display", "_details_generic", "had_candidates")
     )
     if fda_food_dim is not None:
         tagged = _apply_fda_food(tagged, fda_food_dim)

@@ -74,7 +74,10 @@ COMBINATION_CASES = [
         "DEXTROSE IN LACTATED RINGERS WITH POTASSIUM CHLORIDE AND MAGNESIUM SULFATE",
         "DEXTROSE + LACTATED RINGERS + POTASSIUM CHLORIDE + MAGNESIUM SULFATE",
     ),
-    ("SODIUM + CHLORIDE INJECTION", "SODIUM CHLORIDE"),
+    # the LIVE reference keeps '+'-separated ions as separate
+    # components (the legacy 'SODIUM CHLORIDE' merge lives only in
+    # debug/old_files) — adjudicated by scripts/diff_reference.py
+    ("SODIUM + CHLORIDE INJECTION", "SODIUM + CHLORIDE"),
     ("DEXTROSE IN SODIUM CHLORIDE SOLUTION", "DEXTROSE + SODIUM CHLORIDE"),
     ("PARACETAMOL 500MG TABLET", "PARACETAMOL"),
     ("AMOXICILLIN + CLAVULANIC ACID 625MG TAB", "AMOXICILLIN + CLAVULANIC ACID"),

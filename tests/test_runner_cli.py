@@ -39,8 +39,10 @@ def flow_inputs(spark):
         ),
         "annex_f": spark.createDataFrame(
             [
-                ("D001", "PARACETAMOL 500|MG|TABLET"),
-                ("D002", "AMOXICILLIN 250|MG|CAPSULE"),
+                # plain-text descriptions — the real Annex F shape
+                # (the pipe dose format is Part 2's own intermediate)
+                ("D001", "PARACETAMOL 500 mg TABLET"),
+                ("D002", "AMOXICILLIN 250 mg CAPSULE"),
             ],
             "drug_code string, drug_description string",
         ),
@@ -75,7 +77,11 @@ def test_run_drugs_all_flow(spark, flow_inputs, tmp_path):
     assert bridged["PARACETAMOL 500MG TAB"].drug_code == "D001"
     assert bridged["BIOGESIC 500 MG TABLET"].drug_code == "D001"
     assert bridged["AMOXICILLIN 500MG CAP"].match_reason == "no_perfect_match:dose_mismatch"
-    assert bridged["MYSTERY TONIC"].match_reason == "no_generic"
+    # the reference's Part 4 looks up even unmatched rows' stripped-
+    # token names ('MYSTERY|TONIC') and labels them generic_not_in_
+    # annex; no_generic is reserved for rows where even the token
+    # extraction came up empty (diff-adjudicated)
+    assert bridged["MYSTERY TONIC"].match_reason == "generic_not_in_annex"
     assert res.coverage["esoa_drug_code"] == 3
 
     # summary text has the reference's section shape

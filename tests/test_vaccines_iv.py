@@ -21,30 +21,44 @@ def test_vaccine_detection():
     assert not is_vaccine_text_py("PARACETAMOL 500MG TAB")
 
 
-def test_acronym_expansion():
-    assert normalize_vaccine_name_py("MMR VACCINE") == "MEASLES + MUMPS + RUBELLA VACCINE"
-    assert (
-        normalize_vaccine_name_py("DTAP BOOSTER VACCINE")
-        == "DIPHTHERIA + TETANUS + ACELLULAR PERTUSSIS VACCINE"
+def test_canonical_registry():
+    """Reference normalize_vaccine_name (unified_constants.py:1385-1446):
+    canonical names come from the VACCINE_CANONICAL registry; texts
+    with VACCINE but no pattern hit fall back to ('VACCINE', rest)."""
+    assert normalize_vaccine_name_py("MMR VACCINE") == ("MMR VACCINE", None)
+    name, details = normalize_vaccine_name_py("HEPATITIS B VACCINE RECOMBINANT 10MCG")
+    assert name == "HEPATITIS B VACCINE" and details == "Recombinant"
+    name, details = normalize_vaccine_name_py("SOMEODD VACCINE")
+    assert name == "VACCINE" and "SOMEODD" in details
+
+
+def test_match_vaccine_text_bidirectional():
+    """match_vaccine_text (:1678-1707): word-bounded acronym scan,
+    else substring component extraction + reverse acronym lookup —
+    including the FLU-inside-FLUCONAZOLE substring behavior the live
+    reference has (diff-adjudicated)."""
+    from pids_drg_esoa_spark.functions.vaccines import match_vaccine_text_py
+
+    assert match_vaccine_text_py("DTP BOOSTER 0.5ML") == (
+        "DTP", ["DIPHTHERIA", "TETANUS", "PERTUSSIS"]
     )
-    penta = normalize_vaccine_name_py("PENTA VACCINE")
-    assert penta is not None and "HEPATITIS B" in penta and penta.count("+") == 4
-
-
-def test_component_pattern_to_canon():
-    got = normalize_vaccine_name_py("measles mumps rubella vaccine live")
-    assert got == "MEASLES + MUMPS + RUBELLA VACCINE"
+    acr, comps = match_vaccine_text_py("measles mumps rubella vaccine live")
+    assert acr == "MMR" and comps == ["MEASLES", "MUMPS", "RUBELLA"]
+    # substring component scan: FLU inside FLUCONAZOLE flags INFLUENZA
+    assert match_vaccine_text_py("FLUCONAZOLE 200MG TAB") == ("FLU", ["INFLUENZA"])
+    assert match_vaccine_text_py("PARACETAMOL 500MG TAB") == (None, None)
 
 
 def test_bidirectional_keys():
     keys = vaccine_component_keys_py("MMR VACCINE")
-    assert "measles + mumps + rubella vaccine" in keys
-    assert "measles" in keys and "rubella" in keys
-    assert "mmr" in keys  # reverse: components → acronym
+    assert "MMR" in keys and "MMR VACCINE" in keys
+    assert "MEASLES" in keys and "RUBELLA" in keys
+    assert "MEASLES + MUMPS + RUBELLA" in keys
+    assert "MEASLES + MUMPS + RUBELLA VACCINE" in keys
 
 
 def test_non_vaccine_is_none():
-    assert normalize_vaccine_name_py("AMOXICILLIN 500MG CAP") is None
+    assert normalize_vaccine_name_py("AMOXICILLIN 500MG CAP") == (None, None)
 
 
 @pytest.mark.parametrize(
