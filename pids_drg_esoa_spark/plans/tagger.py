@@ -210,31 +210,36 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             )
             for (vn, _), comps in zip(vac, merged)
         ]
+        from ..functions.constants import PURE_SALT_COMPOUNDS
+
+        def word_expand(comps: list[str], vn: str | None) -> list[str]:
+            """Reference token granularity: unknown multi-word phrases
+            arrive ONE WORD PER TOKEN from extract_generic_tokens —
+            only multiword DIM names, pure-salt compounds, vaccine
+            names, and '+'-combinations stay whole (tokenizer.py:
+            1113-1200). 'NEOSTIGMINE METHYLSULFATE' must probe as
+            NEOSTIGMINE + METHYLSULFATE, not as one glued phrase
+            (diff-adjudicated)."""
+            out: list[str] = []
+            for c in comps:
+                if (
+                    " " in c
+                    and "+" not in c
+                    and c.upper() not in multiword
+                    and c.lower() not in PURE_SALT_COMPOUNDS
+                    and c.upper() != (vn or "").upper()
+                    and "VACCINE" not in c.upper()
+                ):
+                    out.extend(w for w in c.split() if w)
+                else:
+                    out.append(c)
+            return list(dict.fromkeys(out))
+
+        merged = [word_expand(c, vn) for c, (vn, _) in zip(merged, vac)]
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
-
-        from ..functions.constants import PURE_SALT_COMPOUNDS
-
-        def display_split(entries: list[str], vn: str | None) -> list[str]:
-            out: list[str] = []
-            for e in entries:
-                if (
-                    " " in e
-                    and "+" not in e
-                    and e not in multiword
-                    and e.lower() not in PURE_SALT_COMPOUNDS
-                    and e != (vn or "").upper()
-                    and "VACCINE" not in e
-                ):
-                    out.extend(w for w in e.split() if w)
-                else:
-                    out.append(e)
-            return list(dict.fromkeys(out))
-
-        stripped_display = [
-            display_split(s, vn) for s, (vn, _) in zip(stripped, vac)
-        ]
+        stripped_display = stripped
         return pd.DataFrame(
             {
                 "vaccine_canon": [vn for vn, _ in vac],
