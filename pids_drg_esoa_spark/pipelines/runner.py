@@ -64,11 +64,22 @@ def run_drugs_all(
     inputs: dict[str, DataFrame],
     metrics_path: str | None = None,
     checkpoint_dir: str | None = None,
+    bucketed_dims: bool = False,
 ) -> RunResult:
     """Parts 1-4. ``inputs`` carries the reference-shaped tables:
     pnf, drugbank_generics, drugbank_atc, drugbank_brands, fda_brands,
     who_atc, mixtures, annex_f (drug_code, drug_description), esoa
-    (raw_text)."""
+    (raw_text).
+
+    ``bucketed_dims=True`` persists the Part-1 unified dims as
+    bucketed+sorted catalog tables on their join keys
+    (sources/writers.write_bucketed_table — SCALE.md lesson #3's
+    cluster-scale form) and reads them back from the catalog: when a
+    dim outgrows the broadcast threshold (a full DrugBank unified
+    build), every downstream equi-join on the bucket key reads
+    co-located pre-sorted buckets with NO dim-side Exchange
+    (plan property pinned by tests/test_runner_cli.py::
+    test_bucketed_dims_layout)."""
     # ---- Part 1: unified reference ------------------------------------
     pnf_prepared = prepare_pnf(inputs["pnf"])
     generics = build_unified_generics(
@@ -81,7 +92,21 @@ def run_drugs_all(
     mixtures = build_unified_mixtures(inputs["mixtures"]).selectExpr(
         "component_key", "mixture_name", "drugbank_id"
     )
-    if checkpoint_dir:
+    if bucketed_dims:
+        from ..sources.writers import write_bucketed_table
+
+        for name, df, key in [
+            ("unified_generics", generics, "generic_name"),
+            ("unified_atc", atc, "generic_name"),
+            ("unified_brands", brands, "brand_name"),
+            ("unified_mixtures", mixtures, "component_key"),
+        ]:
+            write_bucketed_table(df, name, (key,))
+        generics = spark.table("unified_generics")
+        atc = spark.table("unified_atc")
+        brands = spark.table("unified_brands")
+        mixtures = spark.table("unified_mixtures")
+    elif checkpoint_dir:
         for name, df in [("unified_generics", generics), ("unified_atc", atc),
                          ("unified_brands", brands), ("unified_mixtures", mixtures)]:
             path = os.path.join(checkpoint_dir, name)

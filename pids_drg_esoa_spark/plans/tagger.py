@@ -631,7 +631,12 @@ def _materialize_dim(dim: DataFrame | None) -> DataFrame | None:
     if dim is None:
         return None
     try:
-        plan = dim._jdf.queryExecution().analyzed()
+        # Leafness is judged on the OPTIMIZED plan: a catalog-table
+        # read analyzes as SubqueryAlias(Relation) (one child) but
+        # optimizes to the bare relation — checkpointing it would
+        # discard the bucketed layout runner.run_drugs_all(
+        # bucketed_dims=True) just paid for.
+        plan = dim._jdf.queryExecution().optimizedPlan()
         if plan.children().size() == 0:  # already a leaf relation
             return dim
     except Exception:
