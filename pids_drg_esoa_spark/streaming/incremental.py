@@ -49,3 +49,51 @@ def stream_esoa_parts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_tag_esoa_parts(
+    spark: SparkSession,
+    directory: str,
+    dims: dict,
+    output_path: str,
+    checkpoint_dir: str,
+    item_ref_code: str = "DrugsAndMedicine",
+    on_batch: Callable[[int, int], None] | None = None,
+):
+    """The incremental form of the reference's Part-3 eSOA tagging
+    (run_drugs_all.py:312-382 re-reads and re-tags every part per
+    run): watch the part directory, run the SAME batch tagger plan
+    (plans/tagger.tag_descriptions) on each new part only, append the
+    tagged rows to ``output_path``. Exactly-once per part via the
+    stream checkpoint; tagging cost is O(new rows) per trigger — the
+    100 TB ingestion path.
+
+    ``dims`` carries tag_descriptions' dim kwargs (generics_dim,
+    atc_dim, ...). They are materialized to plan leaves ONCE here, not
+    per micro-batch, so each trigger pays only the probe-side plan.
+    ``on_batch(batch_id, n_tagged)`` is an optional metrics hook (S8:
+    pair with sources.writers.append_metrics)."""
+    from ..plans.tagger import _materialize_dims, tag_descriptions
+
+    keys = list(dims)
+    mat = dict(zip(keys, _materialize_dims(*(dims[k] for k in keys))))
+
+    def process(batch_df, batch_id: int) -> None:
+        rows = batch_df.filter(batch_df["ITEM_REF_CODE"] == item_ref_code)
+        tagged = tag_descriptions(
+            rows.withColumnRenamed("DESCRIPTION", "raw_text"), **mat
+        )
+        out = rows.join(tagged, rows["DESCRIPTION"] == tagged["raw_text"], "left").drop(
+            "raw_text"
+        )
+        if on_batch is None:
+            out.write.mode("append").parquet(output_path)
+        else:
+            out.persist()
+            try:
+                out.write.mode("append").parquet(output_path)
+                on_batch(batch_id, out.count())
+            finally:
+                out.unpersist()
+
+    return stream_esoa_parts(spark, directory, process, checkpoint_dir)

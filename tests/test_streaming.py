@@ -149,3 +149,60 @@ def test_incremental_part_files_foreachbatch(spark, tmp_path):
     q2 = stream_esoa_parts(spark, str(src), process, str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert [n for _, n in seen] == [1]
+
+
+def test_streaming_tagger_per_trigger(spark, tmp_path):
+    """SURVEY §7 north-star: the batch tagger plan run incrementally —
+    each new esoa part is tagged ONCE per trigger (O(new rows)), the
+    tagged output accumulates, and a resumed query tags only parts the
+    checkpoint hasn't seen."""
+    from pids_drg_esoa_spark.streaming.incremental import stream_tag_esoa_parts
+
+    dims = {
+        "generics_dim": spark.createDataFrame(
+            [("PARACETAMOL", "DB00316"), ("AMLODIPINE", "DB00381")],
+            "generic_name string, drugbank_id string",
+        ),
+        "atc_dim": spark.createDataFrame(
+            [("PARACETAMOL", "N02BE01", False), ("AMLODIPINE", "C08CA01", False)],
+            "generic_name string, atc_code string, is_combination_atc boolean",
+        ),
+    }
+    src = tmp_path / "parts"
+    src.mkdir()
+    (src / "esoa_pt_1.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "1,DrugsAndMedicine,PARACETAMOL 500MG TAB\n"
+        "2,Laboratory,URINALYSIS\n"
+    )
+    (src / "esoa_pt_2.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "3,DrugsAndMedicine,AMLODIPINE 5MG TAB\n"
+    )
+    out_dir, ckpt = str(tmp_path / "tagged"), str(tmp_path / "ckpt")
+    batches: list[tuple[int, int]] = []
+
+    q = stream_tag_esoa_parts(
+        spark, str(src), dims, out_dir, ckpt,
+        on_batch=lambda bid, n: batches.append((bid, n)),
+    )
+    q.awaitTermination()
+    # one drug row tagged per trigger (the Laboratory row is filtered)
+    assert sorted(n for _, n in batches) == [1, 1]
+    tagged = {r.DESCRIPTION: r for r in spark.read.parquet(out_dir).collect()}
+    assert tagged["PARACETAMOL 500MG TAB"].atc_primary == "N02BE01"
+    assert tagged["AMLODIPINE 5MG TAB"].generic_name == "AMLODIPINE"
+
+    # late part: the resumed query tags ONLY the new file
+    (src / "esoa_pt_3.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "4,DrugsAndMedicine,PARACETAMOL 250MG SUSP\n"
+    )
+    batches.clear()
+    q2 = stream_tag_esoa_parts(
+        spark, str(src), dims, out_dir, ckpt,
+        on_batch=lambda bid, n: batches.append((bid, n)),
+    )
+    q2.awaitTermination()
+    assert [n for _, n in batches] == [1]
+    assert spark.read.parquet(out_dir).count() == 3
