@@ -423,3 +423,101 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(2 * F.col("n_common") >= F.col("n_union"))
+
+
+SPAN_W = 8  # token-window width for exact substring dedup
+
+# Deterministic planted boilerplate: every 7th doc carries the same
+# 12-token footer, so cross-document duplicated spans exist in the
+# synthetic corpus and the operator's dup accounting is non-trivial.
+_BOILERPLATE = (
+    "standard footer terms apply all rights reserved contact support "
+    "for details here"
+)
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILERPLATE}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM planted),
+    win AS (
+        SELECT doc_id,
+               md5(unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - {SPAN_W - 1}, 0)),
+                   i -> list_aggregate(tk[i:i+{SPAN_W - 1}], 'string_agg', ' ')))) AS wh
+        FROM t
+    ),
+    occ AS (SELECT wh, count(*) AS c FROM win GROUP BY wh),
+    per_doc AS (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(coalesce(count(*) FILTER (WHERE o.c >= 2), 0) AS BIGINT) AS n_dup_windows
+        FROM win w JOIN occ o ON o.wh = w.wh
+        GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(floor(p.n_dup_windows * 1000000.0 / p.n_windows), 0) AS BIGINT)
+               AS dup_span_frac_micros
+    FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide
+    a {SPAN_W}-token window over every document, hash each window, and
+    per document report how many window positions are duplicated
+    ANYWHERE in the corpus — the signal used to cut repeated
+    boilerplate at span (not document) granularity. Lee et al. build a
+    suffix array; the distributed equivalent at fixed window width is
+    a window-hash occurrence count: explode windows → groupBy(hash)
+    with map-side combine → join counts back → per-doc re-agg. Every
+    relation is keyed (window-hash, then doc_id); shuffle volume is
+    O(tokens), never O(docs²). Hashing the window to a fixed-width md5
+    keeps shuffle keys bounded regardless of window text length. A
+    deterministic boilerplate footer is planted on doc_id % 7 = 0 so
+    the dup relation is non-empty on the synthetic corpus."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _BOILERPLATE)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= SPAN_W, F.sequence(F.lit(1), F.size(toks) - (SPAN_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    win = d.select("doc_id", F.explode(idx).alias("i"), toks.alias("tk")).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(SPAN_W)))
+        ).alias("wh"),
+    )
+    occ = win.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        win.join(occ, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.coalesce(F.sum(F.when(F.col("c") >= 2, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+    )
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.coalesce(
+            F.floor(F.col("n_dup_windows") * 1000000.0 / F.col("n_windows")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dup_span_frac_micros"),
+    )

@@ -417,3 +417,76 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
         .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
     )
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle=f"""
+    WITH emb0 AS (SELECT vec_id, embedding FROM embeddings),
+    embeddings_planted AS (
+        SELECT vec_id, embedding FROM emb0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM emb0 WHERE vec_id % 50 = 0
+    ),
+    {_SQL_KMEANS_CELLS.replace("FROM embeddings", "FROM embeddings_planted")},
+    drops AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM a2 a
+        JOIN a2 b ON b.cell = a.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+                                           i -> va.qe[i] * vb.qe[i])) AS BIGINT)
+              >= {NEAR_DUP_DOT_MIN}
+    )
+    SELECT a2.vec_id,
+           CAST(a2.cell AS BIGINT) AS cell,
+           (d.drop_id IS NULL) AS kept
+    FROM a2 LEFT JOIN drops d ON d.drop_id = a2.vec_id
+    """,
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then search for near-duplicates ONLY within each cluster and keep
+    one representative per duplicate group (here: the lowest vec_id —
+    any vector cosine-≥0.95-close to a lower-id vector in its cell is
+    dropped). Reuses the deterministic integer k-means
+    (``kmeans_assign`` — bit-exact across engines) and the shared
+    NEAR_DUP_DOT_MIN threshold, so the pair relation cannot drift from
+    the embedding near-dup operators. Scale shape: the cluster id is
+    the blocking key — candidate generation is an equi-self-join on
+    cell, and with k grown ∝ corpus size the per-cell pair space stays
+    bounded (the paper's 50K-cluster regime); assignment itself is a
+    shuffle-free literal-centroid map. Returns every vector with its
+    cell and kept flag (the keep-list form curation composes). Every
+    50th vector is planted as an exact clone (vec_id + 1e6) so the
+    synthetic corpus — whose organic vectors never reach 0.95 cosine
+    — exercises a non-empty drop set; each clone lands in its
+    original's cell and is dropped as the higher id."""
+    e0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e0.unionAll(
+        e0.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe")).persist()
+    cells = kmeans_assign(v, iters=1).localCheckpoint(eager=True)
+    v.unpersist()
+    a = cells.select(F.col("vec_id").alias("vec_a"), "cell", F.col("qe").alias("ea"))
+    b = cells.select(F.col("vec_id").alias("vec_b"), "cell", F.col("qe").alias("eb"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(int_dot(F.col("ea"), F.col("eb")) >= NEAR_DUP_DOT_MIN)
+        .select(F.col("vec_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        cells.join(drops, cells.vec_id == drops.drop_id, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("drop_id").isNull().alias("kept"),
+        )
+    )

@@ -201,3 +201,161 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("text"), 1, 8).alias("fp_prefix"),
         "min_shingle_md5",
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM t
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+    s2 AS (
+        SELECT doc_id,
+               max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2,
+               CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup2
+        FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM t
+    ),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+    s3 AS (
+        SELECT doc_id, max(c) AS top3, CAST(sum(c) AS BIGINT) AS n3
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(s2.n2, 0) AS BIGINT) AS n_2grams,
+           CAST(coalesce(floor(s2.top2 * 1000000.0 / s2.n2), 0) AS BIGINT) AS top_2gram_frac_micros,
+           CAST(coalesce(floor(s2.dup2 * 1000000.0 / s2.n2), 0) AS BIGINT) AS dup_2gram_frac_micros,
+           CAST(coalesce(floor(s3.top3 * 1000000.0 / s3.n3), 0) AS BIGINT) AS top_3gram_frac_micros
+    FROM t LEFT JOIN s2 ON s2.doc_id = t.doc_id
+           LEFT JOIN s3 ON s3.doc_id = t.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
+    document, the fraction of word-2-grams taken by the single most
+    frequent 2-gram, the fraction of 2-gram positions whose 2-gram
+    occurs ≥2× in the doc, and the top-3-gram fraction — the signals
+    that catch boilerplate/looping text. Shape: two keyed explodes +
+    groupBy(doc, gram) with map-side combine, re-aggregated per doc;
+    every shuffle key carries doc_id so the work partitions with the
+    corpus. Integer micros outputs (reference: the quality-filter tier
+    a curation pipeline runs before training)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def gram_stats(n: int, with_dup: bool):
+        idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        gram = F.concat_ws(
+            " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
+        )
+        counts = (
+            d.select("doc_id", F.explode(idx).alias("i"), toks.alias("tk"))
+            .select("doc_id", gram.alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        aggs = [
+            F.max("c").alias(f"top{n}"),
+            F.sum("c").cast("bigint").alias(f"n{n}"),
+        ]
+        if with_dup:
+            aggs.append(
+                F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+                .cast("bigint")
+                .alias(f"dup{n}")
+            )
+        return counts.groupBy("doc_id").agg(*aggs)
+
+    s2 = gram_stats(2, with_dup=True)
+    s3 = gram_stats(3, with_dup=False)
+    micros = lambda num, den: F.coalesce(  # noqa: E731
+        F.floor(num * 1000000.0 / den), F.lit(0)
+    ).cast("bigint")
+    return (
+        d.join(s2, "doc_id", "left")
+        .join(s3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_2grams"),
+            micros(F.col("top2"), F.col("n2")).alias("top_2gram_frac_micros"),
+            micros(F.col("dup2"), F.col("n2")).alias("dup_2gram_frac_micros"),
+            micros(F.col("top3"), F.col("n3")).alias("top_3gram_frac_micros"),
+        )
+    )
+
+
+@register(
+    "text_rare_token_stats",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' rareword' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS corpus_n FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                                  AS n_tokens,
+           CAST(min(v.corpus_n) AS BIGINT)                           AS min_corpus_count,
+           CAST(coalesce(count(*) FILTER (WHERE v.corpus_n = 1), 0) AS BIGINT) AS n_hapax,
+           CAST(floor(sum(v.corpus_n) * 1000000.0 / count(*)) AS BIGINT) AS mean_corpus_count_micros
+    FROM tok t JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signals (the integer-exact stand-in
+    for unigram-LM perplexity): per document, the rarest token's
+    corpus count, the hapax-token count, and the mean corpus frequency
+    — low values flag OOV-dense / garbled docs, high values flag
+    stopword soup. Two-pass shape: explode → groupBy(token) builds the
+    corpus vocabulary (map-side combinable; Zipf bounds the distinct
+    count, so at 100 TB the vocab is a broadcastable dim even when the
+    token stream is not), then the frequency join back is
+    broadcast-hash, and the per-doc re-aggregation shuffles on doc_id
+    only. All-integer outputs. A doc-unique token is planted on
+    doc_id % 11 = 0 so the hapax signal is non-trivial on the
+    synthetic corpus (whose organic vocabulary is fully shared)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat("text", F.lit(" rareword"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.min("corpus_n").cast("bigint").alias("min_corpus_count"),
+            F.coalesce(F.sum(F.when(F.col("corpus_n") == 1, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.floor(F.sum("corpus_n") * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_corpus_count_micros"),
+        )
+    )

@@ -212,3 +212,70 @@ def t_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("first_click") > F.col("first_view"))
         & (F.col("first_purchase") > F.col("first_click"))
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+
+
+INCIDENT_NS = 600 * NS_PER_S  # each error opens a 10-minute window
+BIN_NS = 300 * NS_PER_S       # 5-minute join bins
+
+
+@register(
+    "t_interval_join_binned",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns FROM events),
+    inc AS (
+        SELECT event_id AS incident_id, tns AS start_ns,
+               tns + {INCIDENT_NS} AS end_ns
+        FROM ev WHERE event_type = 'error'
+    )
+    SELECT i.incident_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE e.event_type = 'error') AS BIGINT) AS n_errors
+    FROM inc i JOIN ev e ON e.tns >= i.start_ns AND e.tns < i.end_ns
+    GROUP BY i.incident_id
+    """,
+)
+def t_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equi key, made shuffle-joinable by
+    time binning: every error event opens a 10-minute incident
+    window; count the events (and distinct users / errors) falling in
+    each window. A naive plan is a BroadcastNestedLoopJoin over the
+    pure range predicate — O(n·m) and the classic 100 TB killer.
+    Binning restores an equi key: each interval explodes into the
+    5-minute bins it overlaps (≤ ceil(10/5)+1 = 3 rows), each event
+    maps to exactly ONE bin, and the join runs as a hash join on
+    bin_id with the range check as a residual. Because the event's
+    bin is unique, no (event, incident) pair can match twice — no
+    dedup pass. Shuffle is O(events + 3·intervals), partitioned by
+    time bin; skewed bins (incident storms) split under AQE. The
+    binned-range-join strategy Databricks ships as a hint, expressed
+    in open DataFrame ops."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("tns")
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("tns").alias("start_ns"),
+        (F.col("tns") + F.lit(INCIDENT_NS)).alias("end_ns"),
+    )
+    # intervals → every overlapped bin; events → their single bin
+    inc_b = inc.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_ns") / BIN_NS),
+                F.floor((F.col("end_ns") - 1) / BIN_NS),
+            )
+        ).alias("bin_id"),
+    )
+    ev_b = ev.withColumn("bin_id", F.floor(F.col("tns") / BIN_NS))
+    joined = ev_b.join(inc_b, "bin_id").filter(
+        (F.col("tns") >= F.col("start_ns")) & (F.col("tns") < F.col("end_ns"))
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
