@@ -126,3 +126,39 @@ def test_whole_stage_codegen_covers_q1(spark):
     assert "*(" in plan, "no whole-stage-codegen span in Q1"
     assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_join_binned_is_hash_join(spark):
+    """t_interval_join_binned: the bin key must carry the join as a
+    hash/merge equi-join with the range check as a residual — never a
+    BroadcastNestedLoopJoin over the raw range predicate (the O(n·m)
+    shape binning exists to kill)."""
+    _, plan = _executed(spark, "t_interval_join_binned")
+    assert "NestedLoop" not in plan, f"interval join degraded to nested loop\n{plan[:2000]}"
+    assert "Join" in plan
+    assert "bin_id" in plan, "join does not run on the bin key"
+
+
+def test_rare_token_vocab_is_broadcast(spark):
+    """text_rare_token_stats: the corpus-vocabulary join back to the
+    token stream must broadcast the vocab dim (Zipf-bounded), not
+    shuffle the token stream on the token key a second time."""
+    _, plan = _executed(spark, "text_rare_token_stats")
+    assert "BroadcastHashJoin" in plan, f"vocab join not broadcast\n{plan[:2000]}"
+
+
+def test_span_dedup_joins_on_hash_key(spark):
+    """dedup_span_exact: occurrence counts join back on the fixed-
+    width window hash (md5), with partial aggregation below the
+    exchange for the count pass."""
+    _, plan = _executed(spark, "dedup_span_exact")
+    assert "wh" in plan
+    assert plan.count("HashAggregate") >= 2, "window-count pass lost map-side combine"
+
+
+def test_semdedup_pairs_join_on_cell(spark):
+    """semantic_dedup_semdedup: candidate pairs come from an equi-join
+    on the k-means cell id — no cross product anywhere."""
+    _, plan = _executed(spark, "semantic_dedup_semdedup")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+    assert "cell" in plan
