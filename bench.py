@@ -42,6 +42,10 @@ def main() -> None:
         "ann_ivf_kmeans_topk",
         "text_quality_scores",
         "mm_image_decode_stub",
+        "dedup_span_exact",
+        "text_repetition_signals",
+        "t_interval_join_binned",
+        "semantic_dedup_semdedup",
     ) if n in specs]
 
     # Warm the JVM/codegen path once so timings measure the plan, not startup.

@@ -1,0 +1,104 @@
+"""10×-scale-up timings for the round-5 operators (SCALE.md
+methodology: every new operator family gets a measured answer to
+"what happens at 10× volume" — quadratics must show up here, not on
+the cluster).
+
+Builds a local 10× tile of documents / embeddings / events under
+/tmp (a benchmark artifact, never an oracle input: ids shifted,
+document texts prefix-shifted so copies aren't pure exact dups,
+event times shifted ~115 days per tile so incident windows don't
+overlap across tiles), then times each round-5 operator at sf0.1 and
+at the 10× tile, best-of-N.
+
+Usage: python scripts/bench_round5_ops.py [sf_dir] [repeats]
+Prints one JSON line per (scale, op).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pids_drg_esoa_spark.plans.catalog import all_specs  # noqa: E402
+from pids_drg_esoa_spark.session import get_spark  # noqa: E402
+from pids_drg_esoa_spark.sources.tables import table  # noqa: E402
+
+OPS = (
+    "text_repetition_signals",
+    "text_rare_token_stats",
+    "dedup_span_exact",
+    "semantic_dedup_semdedup",
+    "t_interval_join_binned",
+)
+
+TILE_DIR = "/tmp/bench_r5_10x"
+
+
+def build_tile(spark, sf_dir: str) -> str:
+    if os.path.isdir(TILE_DIR):
+        shutil.rmtree(TILE_DIR)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = table(spark, sf_dir, "events")  # ts normalized to int64 ns
+    d_parts, e_parts, v_parts = [docs], [emb], [ev]
+    for i in range(1, 10):
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.lit(f"v{i} "), F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+        v_parts.append(
+            ev.select(
+                (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                (F.col("ts") + F.lit(i * 10_000_000_000_000_000)).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+        )
+    out = {"documents": d_parts, "embeddings": e_parts, "events": v_parts}
+    for name, parts in out.items():
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{TILE_DIR}/{name}.parquet")
+    return TILE_DIR
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark(app_name="bench-r5-ops")
+    specs = all_specs()
+    tile = build_tile(spark, sf_dir)
+    for scale, d in (("sf0.1", sf_dir), ("10x", tile)):
+        for op in OPS:
+            best, rows = None, None
+            for _ in range(repeats):
+                t0 = time.time()
+                rows = specs[op].fn(spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(
+                json.dumps({"scale": scale, "op": op, "sec": round(best, 2), "rows": rows}),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
