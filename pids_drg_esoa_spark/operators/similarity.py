@@ -169,7 +169,32 @@ def _kmeans_cell_expr(cents: list[list[int]]) -> Column:
     return (-F.array_max(F.array(*structs))["nj"]).alias("cell")
 
 
-def kmeans_assign(v: DataFrame, iters: int = 1) -> DataFrame:
+def _kmeans_cell_join(v: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast centroid dim —
+    the LARGE-k path. The literal-centroid expression compiles k×d
+    literals into one projection; past ~64 centroids that expression
+    tree becomes its own plan-size problem (SCALE.md lesson #3), so
+    production-scale k (SemDeDup's k ∝ corpus size) enumerates
+    vector×centroid candidates through a broadcast cross join and
+    takes the per-vector argmax with a partial-aggregated max(struct)
+    — shuffle O(n), map work O(n·k), identical assignments
+    (differential-pinned by test_kmeans_assign_join_path_parity)."""
+    spark = v.sparkSession
+    cent_df = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)], "cid long, c array<long>"
+    )
+    scored = v.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", "qe",
+        F.struct(int_dot(F.col("qe"), F.col("c")).alias("dot"), (-F.col("cid")).alias("nj")).alias("s"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("qe").alias("qe"), (-F.max("s")["nj"]).alias("cell")
+    )
+
+
+def kmeans_assign(
+    v: DataFrame, iters: int = 1, k: int = K_MEANS_K, assign: str = "literal"
+) -> DataFrame:
     """Deterministic integer k-means over (vec_id, qe): init = the
     first K vectors' quantized embeddings ×SCALE, then ``iters``
     Lloyd update+reassign rounds. All arithmetic is integer (sums,
@@ -180,14 +205,24 @@ def kmeans_assign(v: DataFrame, iters: int = 1) -> DataFrame:
     codegen — no join, no shuffle); the update aggregates k×d
     sufficient statistics (posexplode → groupBy(cell, pos) sum), a
     512-row result collected to the driver exactly like MLlib's
-    aggregate-then-update step. Rounds are O(scan) each."""
+    aggregate-then-update step. Rounds are O(scan) each.
+
+    ``assign='join'`` switches nearest-centroid assignment to the
+    broadcast-centroid-dim argmax (``_kmeans_cell_join``) — required
+    when ``k`` outgrows what a literal projection should carry
+    (SemDeDup-style k ∝ n); assignments are identical."""
+    assigner = (
+        (lambda df, cs: df.withColumn("cell", _kmeans_cell_expr(cs)))
+        if assign == "literal"
+        else _kmeans_cell_join
+    )
     # init = the K smallest vec_ids (== vec_id 0..K-1 on the catalog
     # tables, which is what the SQL oracle hard-codes; robust to
     # non-contiguous ids on arbitrary input)
-    init_rows = v.select("vec_id", "qe").orderBy("vec_id").limit(K_MEANS_K).collect()
+    init_rows = v.select("vec_id", "qe").orderBy("vec_id").limit(k).collect()
     cents = [[int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows]
     for _ in range(iters):
-        assigned = v.withColumn("cell", _kmeans_cell_expr(cents))
+        assigned = assigner(v, cents)
         stats = (
             assigned.select("cell", F.posexplode("qe"))
             .groupBy("cell", "pos")
@@ -209,7 +244,7 @@ def kmeans_assign(v: DataFrame, iters: int = 1) -> DataFrame:
                 [(K_MEANS_SCALE * dims[p][0]) // dims[p][1] for p in range(len(old))]
             )
         cents = new_cents
-    return v.withColumn("cell", _kmeans_cell_expr(cents))
+    return assigner(v, cents)
 
 
 _SQL_KMEANS_CELLS = """

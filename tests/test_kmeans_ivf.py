@@ -80,3 +80,23 @@ def test_scale_constant_matches_oracle_contract():
 
     assert K_MEANS_SCALE == 16 and K_MEANS_K == 8
     assert "x * 16" in _SQL_KMEANS_CELLS and "vec_id < 8" in _SQL_KMEANS_CELLS
+
+
+def test_kmeans_assign_join_path_parity(spark, sf_dir):
+    """The broadcast-join assignment (large-k path) produces EXACTLY
+    the literal-centroid expression's assignments — same init, same
+    Lloyd updates, same argmax tie-break — at k=8 and at a k the
+    literal projection should not carry (k=40)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    for k in (8, 40):
+        lit = {
+            r["vec_id"]: r["cell"]
+            for r in kmeans_assign(v, iters=1, k=k).collect()
+        }
+        jn = {
+            r["vec_id"]: r["cell"]
+            for r in kmeans_assign(v, iters=1, k=k, assign="join").collect()
+        }
+        assert lit == jn
+        assert len({c for c in jn.values()}) > 1  # non-degenerate
