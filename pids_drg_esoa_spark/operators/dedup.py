@@ -70,15 +70,21 @@ def minhash_signature(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature (r=2), self-join on (band_idx, band_key)."""
-    banded = sig.select(
+def band_signature(sig: DataFrame) -> DataFrame:
+    """Signature → (doc, band_idx, band_key) band rows (r=2). Shared
+    by the batch self-join and the streaming batch-vs-index join."""
+    return sig.select(
         "doc",
         F.expr(
             "stack(4, 0, concat(m0,m1), 1, concat(m2,m3), "
             "2, concat(m4,m5), 3, concat(m6,m7)) as (band_idx, band_key)"
         ),
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (r=2), self-join on (band_idx, band_key)."""
+    banded = band_signature(sig)
     a = banded.select(
         F.col("doc").alias("doc_a"), "band_idx", "band_key"
     )

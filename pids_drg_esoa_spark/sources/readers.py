@@ -142,3 +142,27 @@ def resolve_text_column(df: DataFrame, candidates: tuple[str, ...] = TEXT_COLUMN
         if c in df.columns:
             return c
     raise ValueError(f"none of {candidates} present; have {df.columns}")
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-Lines scan — the interchange format of large-scale text
+    corpora (one document object per line). Always pass an explicit
+    ``schema`` in production: without one Spark runs a full inference
+    scan (a second read of 100 TB). PERMISSIVE mode (default) routes
+    malformed lines into ``_corrupt_record`` instead of failing the
+    job — corpus crawls always contain breakage; count the column and
+    quarantine, don't die at file 97,000 of 100,000. FAILFAST is the
+    right mode for trusted curated inputs (the S1 CSV contract)."""
+    r = spark.read.option("mode", mode)
+    if schema is not None:
+        if mode == "PERMISSIVE" and "_corrupt_record" not in schema.fieldNames():
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+            )
+        r = r.schema(schema)
+    return r.json(path)

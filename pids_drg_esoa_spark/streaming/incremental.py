@@ -97,3 +97,74 @@ def stream_tag_esoa_parts(
                 out.unpersist()
 
     return stream_esoa_parts(spark, directory, process, checkpoint_dir)
+
+
+def stream_neardup_against_index(
+    spark: SparkSession,
+    directory: str,
+    index_docs: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "DESCRIPTION",
+    id_col: str = "ITEM_NUMBER",
+):
+    """Incremental near-duplicate detection: each arriving part is
+    MinHash-banded and joined against a PRE-BUILT static corpus index
+    — the production dedup mode at 100 TB, where re-running all-pairs
+    LSH over the full corpus per ingest batch is impossible. The
+    index (shingles + banded signature, from operators/dedup's exact
+    batch functions) is computed ONCE and persisted; per trigger the
+    cost is O(new docs): shingle the batch, 8 min-hashes in one agg,
+    equi-join its band rows against the index bands, then exact-
+    Jaccard-verify candidates only (3·common ≥ 2·union — the batch
+    threshold, so streaming and batch dedup can never disagree on a
+    pair). Matches are appended to ``output_path`` as
+    (new_doc, index_doc, n_common, n_union) rows."""
+    from ..operators.dedup import (
+        band_signature,
+        minhash_signature,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    idx_sh = word_shingles(index_docs, text_col, id_col).persist()
+    idx_sig = minhash_signature(idx_sh).persist()
+    idx_bands = band_signature(idx_sig).persist()
+    idx_sizes = idx_sig.select("doc", F.col("n_sh").alias("nb"))
+
+    def process(batch_df, batch_id: int) -> None:
+        new_sh = word_shingles(batch_df, text_col, id_col)
+        new_sig = minhash_signature(new_sh)
+        cand = (
+            band_signature(new_sig)
+            .withColumnRenamed("doc", "new_doc")
+            .join(idx_bands.withColumnRenamed("doc", "index_doc"),
+                  ["band_idx", "band_key"])
+            .select("new_doc", "index_doc")
+            .distinct()
+        )
+        common = (
+            cand.join(new_sh.withColumnRenamed("doc", "new_doc"), "new_doc")
+            .join(
+                idx_sh.withColumnRenamed("doc", "index_doc"),
+                ["index_doc", "sh"],
+            )
+            .groupBy("new_doc", "index_doc")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        verified = (
+            common.join(new_sig.select(F.col("doc").alias("new_doc"),
+                                       F.col("n_sh").alias("na")), "new_doc")
+            .join(idx_sizes.withColumnRenamed("doc", "index_doc"), "index_doc")
+            .select(
+                "new_doc", "index_doc",
+                F.col("n_common").cast("bigint").alias("n_common"),
+                (F.col("na") + F.col("nb") - F.col("n_common"))
+                .cast("bigint")
+                .alias("n_union"),
+            )
+            .filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
+        )
+        verified.write.mode("append").parquet(output_path)
+
+    return stream_esoa_parts(spark, directory, process, checkpoint_dir)

@@ -105,3 +105,33 @@ def test_bucketed_join_skips_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_read_jsonl_permissive_and_failfast(spark, tmp_path):
+    """JSONL scan: explicit schema, malformed lines quarantined into
+    _corrupt_record under PERMISSIVE; FAILFAST raises."""
+    from pyspark.sql import types as T
+
+    from pids_drg_esoa_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "NOT JSON AT ALL\n"
+        '{"doc_id": 2, "text": "second doc"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    ok = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert {r.doc_id for r in ok.collect()} == {1, 2}
+    assert bad.count() == 1
+    df.unpersist()
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Py4JJavaError):
+        read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()

@@ -206,3 +206,36 @@ def test_streaming_tagger_per_trigger(spark, tmp_path):
     q2.awaitTermination()
     assert [n for _, n in batches] == [1]
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_streaming_neardup_against_static_index(spark, tmp_path):
+    """Incremental dedup: per trigger, only the new part is minhashed
+    and banded against the static index; near-dups of indexed docs are
+    detected with the batch operator's exact-Jaccard threshold."""
+    from pids_drg_esoa_spark.streaming.incremental import stream_neardup_against_index
+
+    index_docs = spark.createDataFrame(
+        [
+            ("I1", "the quick brown fox jumps over the lazy dog near the river bank"),
+            ("I2", "completely different content about spark structured streaming state"),
+        ],
+        "ITEM_NUMBER string, DESCRIPTION string",
+    )
+    src = tmp_path / "parts"
+    src.mkdir()
+    # part 1: a near-dup of I1 (one word changed); part 2: novel text
+    (src / "esoa_pt_1.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "N1,X,the quick brown fox jumps over the lazy dog near the river shore\n"
+    )
+    (src / "esoa_pt_2.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "N2,X,unrelated words that match nothing in the index whatsoever today\n"
+    )
+    out, ckpt = str(tmp_path / "dups"), str(tmp_path / "ckpt")
+    q = stream_neardup_against_index(spark, str(src), index_docs, out, ckpt)
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert {(r.new_doc, r.index_doc) for r in rows} == {("N1", "I1")}
+    r = rows[0]
+    assert 3 * r.n_common >= 2 * r.n_union
