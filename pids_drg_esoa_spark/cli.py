@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from pyspark.sql.functions import col as F_col
+
 from .pipelines.base import PipelineContext, get_pipeline, slugify_item_ref_code
 from .session import get_spark
 from .sources.readers import read_table_prefer_parquet
@@ -28,7 +30,77 @@ PIPELINE_INPUTS: dict[str, tuple[str, ...]] = {
 }
 
 
+# curation artifacts the `curate` subcommand can emit; each is an
+# already-oracle-gated catalog operator run over <inputs>/documents
+CURATION_ARTIFACTS = (
+    "keeplist", "quality", "repetition", "rare_tokens", "span_dup", "pii"
+)
+
+
+def curate_main(argv: list[str]) -> int:
+    """`python -m pids_drg_esoa_spark.cli curate --inputs-dir D
+    --output-dir O [--artifacts keeplist,quality,...]` — run the
+    corpus-curation battery over D/documents.parquet (or
+    D/documents.jsonl, converted with the explicit corpus schema and
+    corrupt lines quarantined) and write one parquet artifact per
+    requested operator. The user-facing form of the training-data
+    operators: the catalog entries prove them hash-exact; this wires
+    them to real input/output paths."""
+    from .operators.curation import corpus_curation_keeplist, text_pii_redact, text_quality_filter
+    from .operators.dedup import dedup_span_exact
+    from .operators.textstats import text_rare_token_stats, text_repetition_signals
+    from .sources.readers import read_jsonl
+    from .sources.tables import SCHEMAS
+
+    fns = {
+        "keeplist": corpus_curation_keeplist,
+        "quality": text_quality_filter,
+        "repetition": text_repetition_signals,
+        "rare_tokens": text_rare_token_stats,
+        "span_dup": dedup_span_exact,
+        "pii": text_pii_redact,
+    }
+    ap = argparse.ArgumentParser(prog="curate", description=curate_main.__doc__)
+    ap.add_argument("--inputs-dir", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--artifacts", default=",".join(CURATION_ARTIFACTS))
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    wanted = [a.strip() for a in args.artifacts.split(",") if a.strip()]
+    unknown = set(wanted) - set(fns)
+    if unknown:
+        raise SystemExit(f"unknown artifacts: {sorted(unknown)}; choose from {CURATION_ARTIFACTS}")
+
+    spark = get_spark(app_name="pids-drg-esoa-curate", cpus=args.cpus)
+    sf_dir = args.inputs_dir
+    jsonl = os.path.join(args.inputs_dir, "documents.jsonl")
+    if not os.path.exists(os.path.join(args.inputs_dir, "documents.parquet")) and os.path.exists(jsonl):
+        # cache before touching _corrupt_record: Spark disallows
+        # corrupt-column-only queries on a raw JSON scan
+        docs = read_jsonl(spark, jsonl, SCHEMAS["documents"]).cache()
+        bad = docs.filter(F_col("_corrupt_record").isNotNull()).count()
+        if bad:
+            print(f"quarantined {bad} malformed jsonl lines")
+        sf_dir = os.path.join(args.output_dir, "_ingest")
+        docs.filter(F_col("_corrupt_record").isNull()).drop("_corrupt_record").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs.unpersist()
+    written = []
+    for name in wanted:
+        out = os.path.join(args.output_dir, name)
+        write_parquet(fns[name](spark, sf_dir), out)
+        written.append(name)
+    print(f"wrote {written} to {args.output_dir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--item-ref-code", required=True)
     ap.add_argument("--inputs-dir", required=True)

@@ -183,3 +183,35 @@ def test_reference_shaped_synonyms_input(spark, flow_inputs):
     res = run_drugs_all(spark, inputs)
     row = res.esoa_with_atc.collect()[0]
     assert row["generic_name"] == "PARACETAMOL"
+
+
+def test_cli_curate_from_jsonl(spark, tmp_path):
+    """`cli curate`: JSONL corpus in (one malformed line quarantined),
+    per-operator parquet artifacts out."""
+    import json
+    import os
+
+    from pids_drg_esoa_spark import cli
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    lines = [
+        json.dumps(
+            {"doc_id": i, "text": f"alpha beta gamma delta doc {i} text body here",
+             "lang": "en", "source": "s", "n_chars": 40}
+        )
+        for i in range(8)
+    ]
+    lines.insert(3, "THIS IS NOT JSON")
+    (src / "documents.jsonl").write_text("\n".join(lines) + "\n")
+
+    rc = cli.main(
+        ["curate", "--inputs-dir", str(src), "--output-dir", str(tmp_path / "out"),
+         "--artifacts", "quality,repetition,span_dup"]
+    )
+    assert rc == 0
+    for name in ("quality", "repetition", "span_dup"):
+        df = spark.read.parquet(os.path.join(str(tmp_path / "out"), name))
+        assert df.count() == 8, name
+    rep = spark.read.parquet(os.path.join(str(tmp_path / "out"), "repetition"))
+    assert "top_2gram_frac_micros" in rep.columns
