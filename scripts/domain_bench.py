@@ -43,8 +43,12 @@ def synth_inputs(rng: random.Random, n_rows: int):
     )[:N_GENERICS]
     brands = [f"BRAND{i:03d}" for i in range(N_BRANDS)]
     brand_map = [(b, rng.choice(generics)) for b in brands]
+    # plain-text descriptions — the real Annex F shape (the pipe dose
+    # format is Part 2's own intermediate, and feeding it here left
+    # every annex row without a parsed dose key: esoa_drug_code was 0
+    # and the bridge's matched path went unexercised at volume)
     annex = [
-        (f"D{i:05d}", f"{g} {rng.choice(DOSES)}|MG|{rng.choice(['TABLET','CAPSULE','SUSPENSION'])}")
+        (f"D{i:05d}", f"{g} {rng.choice(DOSES)} MG {rng.choice(['TABLET','CAPSULE','SUSPENSION'])}")
         for i, g in enumerate(generics)
     ]
     esoa = []
