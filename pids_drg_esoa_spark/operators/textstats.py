@@ -359,3 +359,86 @@ def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_corpus_count_micros"),
         )
     )
+
+
+WINNOW_W = 4  # fingerprint window: positions per selection window
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, i,
+               md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h
+        FROM t, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, i, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+        FROM grams
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_selected,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_fingerprints,
+               min(h) AS min_fingerprint
+        FROM sel WHERE h = wmin
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(fp.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(fp.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+           fp.min_fingerprint
+    FROM t LEFT JOIN fp ON fp.doc_id = t.doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS primitive): hash every word 3-gram, slide a
+    {WINNOW_W}-position window, and select a position iff its hash is
+    the minimum of the window ending there — a deterministic, locally
+    guaranteed sample of the k-gram stream whose density is bounded by
+    the window width. Per doc: selected-position count, distinct
+    fingerprint count, minimum fingerprint (the MinHash coordinate —
+    text_fingerprints' min_shingle_md5 is this operator's w→∞ limit).
+    Shape: one keyed explode + a doc-partitioned running-window min
+    (sort within doc partitions only) + per-doc re-agg; everything
+    shuffles on doc_id, so the work partitions with the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    from pyspark.sql import Window as W
+
+    grams = d.select("doc_id", F.explode(idx).alias("i"), toks.alias("tk")).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("tk", F.col("i")),
+                F.element_at("tk", F.col("i") + 1),
+                F.element_at("tk", F.col("i") + 2),
+            )
+        ).alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), W.currentRow)
+    )
+    sel = grams.withColumn("wmin", F.min("h").over(w)).filter(F.col("h") == F.col("wmin"))
+    fp = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.countDistinct("h").cast("bigint").alias("n_fingerprints"),
+        F.min("h").alias("min_fingerprint"),
+    )
+    return d.join(fp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("n_fingerprints", F.lit(0)).cast("bigint").alias("n_fingerprints"),
+        "min_fingerprint",
+    )
