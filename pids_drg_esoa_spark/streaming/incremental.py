@@ -119,7 +119,13 @@ def stream_neardup_against_index(
     Jaccard-verify candidates only (3·common ≥ 2·union — the batch
     threshold, so streaming and batch dedup can never disagree on a
     pair). Matches are appended to ``output_path`` as
-    (new_doc, index_doc, n_common, n_union) rows."""
+    (new_doc, index_doc, n_common, n_union) rows.
+
+    The three persisted index relations intentionally outlive the
+    returned query (a rebuilt index per trigger would defeat the
+    point); they are exposed as ``query.neardup_index`` so a caller
+    that rebuilds the index can ``.unpersist()`` the old one instead
+    of leaking it into executor storage."""
     from ..operators.dedup import (
         band_signature,
         minhash_signature,
@@ -167,4 +173,6 @@ def stream_neardup_against_index(
         )
         verified.write.mode("append").parquet(output_path)
 
-    return stream_esoa_parts(spark, directory, process, checkpoint_dir)
+    q = stream_esoa_parts(spark, directory, process, checkpoint_dir)
+    q.neardup_index = (idx_sh, idx_sig, idx_bands)
+    return q
