@@ -223,6 +223,13 @@ GARBAGE_TOKENS: frozenset[str] = frozenset({
 # DrugBank chemical-component → marketed-mixture rewrites applied to
 # the eSOA generic string before Part-4 lookup (runners.py:1157-1162;
 # unified_constants.py:1112-1120).
+# NOTE: insertion order is LOAD-BEARING and intentionally mirrors the
+# reference (unified_constants.py:1112-1118), which applies these as
+# sequential substring replaces (runners.py:1154-1156). That makes the
+# 'GENTAMICIN C1A' entry unreachable — 'GENTAMICIN C1' fires first and
+# the input ends up 'GENTAMICIN C2A'. Quirky, but it is the
+# reference's observable behavior; do not "fix" by reordering or
+# longest-match-first, it would break bridge-key parity.
 DRUGBANK_COMPONENT_SYNONYMS: dict[str, str] = {
     "GENTAMICIN C2": "GENTAMICIN",
     "GENTAMICIN C1": "GENTAMICIN",

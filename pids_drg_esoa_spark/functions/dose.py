@@ -268,7 +268,13 @@ def dose_similarity(
         mg_esoa.isNull() | pnf_strength_mg.isNull(), 0.0
     ).when(_isclose_col(mg_esoa, pnf_strength_mg) | special, 1.0).otherwise(0.0)
 
-    ratio_esoa = mg_esoa / F.coalesce(d["per_val"], F.lit(1.0))
+    # per_val 0.0 must fall back to 1.0 exactly like the twin's
+    # `(d.per_val or 1.0)` — coalesce alone passes 0 through and a
+    # '/0 ml' dose string would DIVIDE_BY_ZERO under ANSI mode
+    per_val_safe = F.when(
+        d["per_val"].isNull() | (d["per_val"] == 0), F.lit(1.0)
+    ).otherwise(d["per_val"])
+    ratio_esoa = mg_esoa / per_val_safe
     ratio_sim = F.when(
         (pnf_dose_kind != "ratio")
         | mg_esoa.isNull()

@@ -72,12 +72,12 @@ _DOC_ENRICH_SCHEMA = T.StructType(
         T.StructField("input_class", T.StringType()),
         T.StructField("details", DETAILS_SCHEMA),
         T.StructField("components", T.ArrayType(T.StringType())),
+        # also the reference's word-granular no_candidates display
+        # list (unknown phrases arrive as one word per token from its
+        # extract; known multiword dim names / pure-salt compounds /
+        # vaccine names stay whole) — the probe set and the display
+        # list are the SAME list since word_expand runs pre-strip
         T.StructField("stripped", T.ArrayType(T.StringType())),
-        # the reference's word-granular stripped list for the
-        # no_candidates generic_name display (unknown phrases arrive
-        # as one word per token from its extract; known multiword dim
-        # names / pure-salt compounds / vaccine names stay whole)
-        T.StructField("stripped_display", T.ArrayType(T.StringType())),
         T.StructField("combo_keys", T.ArrayType(T.StringType())),
         # F20-categorized input tokens for the output's dose/form/route
         # columns (reference tagger.py:937-951,980-982)
@@ -239,7 +239,6 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
-        stripped_display = stripped
         return pd.DataFrame(
             {
                 "vaccine_canon": [vn for vn, _ in vac],
@@ -251,7 +250,6 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 "details": details,
                 "components": merged,
                 "stripped": stripped,
-                "stripped_display": stripped_display,
                 "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
                 "cat_dose": ["|".join(c["dose"]) or None for c in cats],
                 "cat_form": [next(iter(c["form"]), None) for c in cats],
@@ -407,7 +405,6 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         .withColumn("lookup_components", F.col("enrich.components"))
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
         .withColumn("stripped", F.col("enrich.stripped"))
-        .withColumn("stripped_display", F.col("enrich.stripped_display"))
         .withColumn("combo_keys", F.col("enrich.combo_keys"))
         .withColumn("cat_dose", F.col("enrich.cat_dose"))
         .withColumn("cat_form", F.col("enrich.cat_form"))
@@ -435,21 +432,44 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
     return docs.localCheckpoint(eager=True)
 
 
+# Persisted intermediates created while building the CURRENT
+# tag_descriptions plan. A long-lived batch session can leave them
+# cached (they back the returned plan), but per-trigger callers
+# (streaming/incremental.stream_tag_esoa_parts) must release them
+# after each micro-batch or the CacheManager accumulates 3 relations
+# per arriving part. tag_descriptions exposes the list as
+# ``tagged.persisted_intermediates``.
+_ACTIVE_PERSISTS: list[DataFrame] | None = None
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    if _ACTIVE_PERSISTS is not None:
+        _ACTIVE_PERSISTS.append(df)
+    return df
+
+
 def _token_matches(
     keys: DataFrame, generics_dim: DataFrame, synonyms_dim: DataFrame | None,
     brands_dim: DataFrame | None, mixtures_dim: DataFrame | None = None,
 ) -> DataFrame:
-    """Stage 3 for single tokens: exact ⊳ synonym ⊳ singular ⊳ brand ⊳
-    prefix ⊳ fuzzy (the reference's cascade, lookup.py:223-306).
+    """Stage 3 for single tokens (the reference's single IN-list
+    lookup + fallbacks, lookup.py:223-306): exact, synonym, singular
+    and brand hits all share tier_order 0 — the reference resolves
+    them in ONE dictionary probe, so they coexist per key and the
+    eventual winner is decided by match PRIORITY, not tier. Only
+    prefix / multiword / fuzzy / synonym→mixture remain true fallback
+    tiers (higher tier_order, kept by the argmin only when no
+    tier-0 hit exists for the key).
 
-    Spark-first shape: the literal cascade (each tier consuming the
-    previous tier's misses via anti-joins) builds a lineage where the
-    keys subtree re-executes once per tier branch — measured ~5× the
-    whole-tagger cost at 146K rows. Instead every tier probes ``keys``
-    INDEPENDENTLY (all broadcast joins, one pass over the fact side)
-    and a final per-(raw_text, key) argmin over the tier order keeps
-    exactly the rows the sequential cascade would have kept."""
-    keys = keys.persist()  # probed by every tier
+    Spark-first shape: a literal miss-cascade (each fallback consuming
+    the previous tier's misses via anti-joins) builds a lineage where
+    the keys subtree re-executes once per tier branch — measured ~5×
+    the whole-tagger cost at 146K rows. Instead every tier probes
+    ``keys`` INDEPENDENTLY (all broadcast joins, one pass over the
+    fact side) and a final per-(raw_text, key) argmin over tier_order
+    keeps exactly the rows the miss-cascade would have kept."""
+    keys = _persist_tracked(keys)  # probed by every tier
     # reference_text = the dim row's raw text (unified.reference_text)
     # — the W1 details probe targets it alongside the generic name
     # (scoring.py:331-376); dims without the column yield null = the
@@ -672,9 +692,16 @@ def tag_descriptions(
 ) -> DataFrame:
     """Tag each distinct description with (generic_name, drugbank_id,
     atc_codes, match_reason). Returns one row per input text; callers
-    join back on text (A6)."""
+    join back on text (A6). Persisted intermediates built for this
+    plan are exposed as ``result.persisted_intermediates`` so
+    per-trigger callers can unpersist them after consuming the batch
+    (batch sessions may leave them cached - they back the plan)."""
     spark = esoa.sparkSession
     sc = spark.sparkContext
+
+    global _ACTIVE_PERSISTS
+    prev_persists = _ACTIVE_PERSISTS
+    _ACTIVE_PERSISTS = _collected = []
 
     # Materialize the dims ONCE before any tier references them. The
     # unified builders (prepare_pnf's 25-col derivation especially)
@@ -810,9 +837,9 @@ def tag_descriptions(
         .select("raw_text", "key")
         .distinct()
     )
-    token_hits = _token_matches(
+    token_hits = _persist_tracked(_token_matches(
         keys, generics_dim, synonyms_dim, brands_dim, mixtures_dim
-    ).persist()
+    ))
 
     # No synthesized ' + '-joined candidates: the reference never
     # fabricates a combination name from individually-matched tokens —
@@ -899,7 +926,7 @@ def tag_descriptions(
         )
     )
     input_set_udf = _make_input_set(syn_b)
-    doc_inputs = (
+    doc_inputs = _persist_tracked(
         docs.select("raw_text", "stripped")
         .join(fuzzy_pairs, "raw_text", "left")
         .withColumn("gm", input_set_udf("stripped", "fz_keys", "fz_names"))
@@ -917,8 +944,7 @@ def tag_descriptions(
         .withColumn("is_iv", F.col("has_in") & ~F.col("has_plus"))
         .withColumn("is_combination", (F.col("num_input") > 1) & F.col("has_plus"))
         .withColumn("is_single", F.col("num_input") == 1)
-        .persist()  # probed by the gate join and the W1 ranking join
-    )
+    )  # persisted: probed by the gate join and the W1 ranking join
     validate_udf = _make_validate(syn_b)
     priority_expr = F.lit(4)
     for reason, prio in sorted(MATCH_PRIORITY.items()):
@@ -1107,12 +1133,12 @@ def tag_descriptions(
         F.col("is_vaccine") & vac_name.isNotNull() & (vac_name != "")
     )
     unmatched_name = F.when(
-        F.size("stripped_display") > 0, F.upper(F.array_join("stripped_display", "|"))
+        F.size("stripped") > 0, F.upper(F.array_join("stripped", "|"))
     )
     tagged = (
         docs.select(
             "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "is_vaccine",
-            "stripped_display",
+            "stripped",
             F.col("details.generic_name").alias("_details_generic"),
             F.col("cat_dose").alias("dose"),
             F.col("cat_form").alias("form"),
@@ -1145,10 +1171,12 @@ def tag_descriptions(
                 ),
             ),
         )
-        .drop("stripped_display", "_details_generic", "had_candidates")
+        .drop("stripped", "_details_generic", "had_candidates")
     )
     if fda_food_dim is not None:
         tagged = _apply_fda_food(tagged, fda_food_dim)
+    _ACTIVE_PERSISTS = prev_persists
+    tagged.persisted_intermediates = _collected
     return tagged
 
 

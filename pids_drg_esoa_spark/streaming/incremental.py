@@ -86,15 +86,22 @@ def stream_tag_esoa_parts(
         out = rows.join(tagged, rows["DESCRIPTION"] == tagged["raw_text"], "left").drop(
             "raw_text"
         )
-        if on_batch is None:
-            out.write.mode("append").parquet(output_path)
-        else:
-            out.persist()
-            try:
+        try:
+            if on_batch is None:
                 out.write.mode("append").parquet(output_path)
-                on_batch(batch_id, out.count())
-            finally:
-                out.unpersist()
+            else:
+                out.persist()
+                try:
+                    out.write.mode("append").parquet(output_path)
+                    on_batch(batch_id, out.count())
+                finally:
+                    out.unpersist()
+        finally:
+            # tag_descriptions persists 3 intermediates per plan; a
+            # long-lived stream would accumulate them every trigger —
+            # release them now that the batch is written
+            for r in getattr(tagged, "persisted_intermediates", ()):
+                r.unpersist()
 
     return stream_esoa_parts(spark, directory, process, checkpoint_dir)
 

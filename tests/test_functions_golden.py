@@ -281,3 +281,33 @@ def test_split_with_parentheses_f17():
     assert f("  spaced   out  ") == ["spaced", "out"]
     assert f("") == []
     assert f(None) == []
+
+
+def test_dose_similarity_native_zero_per_val_matches_twin(spark):
+    """'500 mg/0 ml' parses to per_val=0.0; the twin's `(per_val or
+    1.0)` scores 1.0 against a 500 mg/mL PNF ratio row. The native
+    tier must match — and must not DIVIDE_BY_ZERO under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from pids_drg_esoa_spark.functions.dose import (
+        dose_similarity,
+        dose_similarity_pnf_py,
+        parse_dose,
+        parse_dose_py,
+    )
+
+    twin = dose_similarity_pnf_py(
+        parse_dose_py("500 mg/0 ml"), "ratio", 500.0, 500.0, None, "x"
+    )
+    assert twin == 1.0
+    df = spark.createDataFrame([("500 mg/0 ml",)], "t string").select(
+        dose_similarity(
+            parse_dose(F.col("t")),
+            F.lit("ratio"),
+            F.lit(500.0),
+            F.lit(500.0),
+            F.lit(None).cast("double"),
+            F.lit("x"),
+        ).alias("sim")
+    )
+    assert df.collect()[0]["sim"] == 1.0
