@@ -56,6 +56,18 @@ _SQL_DOT = (
 )
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with the oracle-pinned tie-break (dot DESC,
+    neighbor_id ASC) — ONE definition for all three ANN variants so
+    the correctness-critical ordering cannot drift between them."""
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "dot_q")
+    )
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -90,12 +102,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_dot(F.col("q_emb"), F.col("qe")).alias("dot_q"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "dot_q")
-    )
+    return _topk(scored, TOP_K)
 
 
 @register(
@@ -143,12 +150,7 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_dot(F.col("q_emb"), F.col("qe")).alias("dot_q"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "dot_q")
-    )
+    return _topk(scored, 3)
 
 
 K_MEANS_K = 8
@@ -364,12 +366,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_dot(F.col("q_emb"), F.col("qe")).alias("dot_q"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "dot_q")
-    )
+    return _topk(scored, 3)
 
 
 # Cosine near-dup threshold on the quantized integer dot: 0.95·QUANT².
@@ -422,7 +419,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS cell
         FROM embeddings
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT.replace("b.e", "b.e")} AS dot_q
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT} AS dot_q
     FROM v a JOIN v b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {_SQL_DOT} >= {NEAR_DUP_DOT_MIN}
     """,

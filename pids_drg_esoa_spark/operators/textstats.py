@@ -174,24 +174,15 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5, 32-bit prefix, and
     the min-shingle hash (the first MinHash coordinate — the
     winnowing primitive)."""
+    from .dedup import word_shingles
+
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
+    # the min-shingle hash IS the MinHash operator's first coordinate:
+    # share word_shingles so the shingling definition cannot drift
+    # (min over the distinct set == min over all occurrences)
     sh = (
-        d.select("doc_id", F.explode(idx).alias("i"), toks.alias("t"))
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at("t", F.col("i")),
-                    F.element_at("t", F.col("i") + 1),
-                    F.element_at("t", F.col("i") + 2),
-                )
-            ).alias("hsh"),
-        )
+        word_shingles(d, "text", "doc_id", 3)
+        .select(F.col("doc").alias("doc_id"), F.md5("sh").alias("hsh"))
         .groupBy("doc_id")
         .agg(F.min("hsh").alias("min_shingle_md5"))
     )

@@ -136,3 +136,39 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     # unknown stratum falls through to keep-all ('zz' threshold).
     other = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
     assert stratified_sample(other, "doc_id", "lang", thr).count() == 2
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """The multi-index banding (agree on >=1 of 4 blocks) must find
+    EVERY hamming<=3 pair — pigeonhole-complete, unlike the earlier
+    leave-one-block-out variant that missed cross-block diffs. Pin by
+    brute-force all-pairs comparison at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from pids_drg_esoa_spark.operators.dedup import (
+        dedup_simhash_hamming_pairs,
+        simhash_fingerprints,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = simhash_fingerprints(d, "text", "doc_id")
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = sum(
+        F.when(F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1).otherwise(0)
+        for i in range(32)
+    )
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", hamming)
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash_hamming_pairs(spark, sf_dir).collect()
+    }
+    assert got == brute
+    assert brute, "corpus should contain at least one hamming<=3 pair"

@@ -40,3 +40,19 @@ def test_two_phase_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == two
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """Replicating the dim side cannot preserve right/full semantics
+    (unmatched replicas would fabricate rows) — reject loudly."""
+    import pytest
+
+    from pids_drg_esoa_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "a")], "k int, v string")
+    d = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="cannot preserve"):
+            salted_join(f, d, "k", how=how)
+    # fact-preserving joins still work
+    assert salted_join(f, d, "k", how="left").count() == 1
