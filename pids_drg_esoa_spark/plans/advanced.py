@@ -46,7 +46,7 @@ def a_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_max_by_unique_key",
     oracle="""
     SELECT c_nationkey,
-           max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+           max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey)
                AS richest_customer,
            round(max(c_acctbal), 2) AS max_balance
     FROM customer
@@ -56,9 +56,15 @@ def a_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a9_max_by_unique_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 max-by (reference pipeline.py:262-273 latest-file selection)
     with a composite unique ordering key so ties cannot make the
-    answer engine-dependent."""
+    answer engine-dependent. The custkey stride is 1e12, not 1e6:
+    TPC-H custkey = 150000*SF, so a 1e6 stride collides past SF~7
+    (a tied-balance pair could out-rank a higher balance); 1e12 holds
+    to SF ~6.6M while round(acctbal*100)*1e12 stays under 2^63."""
     c = table(spark, sf_dir, "customer")
-    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * 1000000 + F.col("c_custkey")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 1_000_000_000_000
+        + F.col("c_custkey")
+    )
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", key).alias("richest_customer"),
         F.round(F.max("c_acctbal"), 2).alias("max_balance"),

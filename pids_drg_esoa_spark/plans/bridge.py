@@ -487,6 +487,18 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     planted oracles) both sides are parsed from raw text."""
     ref_mode = {"dose", "form", "route", "drug_amount_mg"}.issubset(tagged.columns)
     annex_ref_mode = {"generic_name", "dose", "form", "route"}.issubset(annex_f.columns)
+    if ref_mode != annex_ref_mode:
+        # The two modes build INCOMPATIBLE join keys (reference-mode
+        # lookup keys are UPPERCASE, dims-only components lowercase):
+        # a mixed pairing would join zero rows and label every text
+        # generic_not_in_annex with no error. Run both sides through
+        # Part 2/3 tagging, or neither.
+        raise ValueError(
+            "bridge_to_drug_codes: tagged side is "
+            f"{'reference' if ref_mode else 'dims-only'}-mode but annex side is "
+            f"{'reference' if annex_ref_mode else 'dims-only'}-mode; "
+            "tag both relations (runner.run_drugs_all does) or pass both raw"
+        )
     if ref_mode:
         esoa = _esoa_side_ref(tagged).localCheckpoint(eager=True)
     else:

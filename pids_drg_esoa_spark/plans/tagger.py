@@ -695,13 +695,42 @@ def tag_descriptions(
     join back on text (A6). Persisted intermediates built for this
     plan are exposed as ``result.persisted_intermediates`` so
     per-trigger callers can unpersist them after consuming the batch
-    (batch sessions may leave them cached - they back the plan)."""
-    spark = esoa.sparkSession
-    sc = spark.sparkContext
+    (batch sessions may leave them cached - they back the plan).
 
+    try/finally discipline: the tracking global is ALWAYS restored
+    (a failing build would otherwise corrupt the next call's list —
+    and, per-trigger, leak 3 cached relations per retry), and a
+    failing build unpersists whatever it had already cached."""
     global _ACTIVE_PERSISTS
     prev_persists = _ACTIVE_PERSISTS
     _ACTIVE_PERSISTS = _collected = []
+    try:
+        tagged = _tag_descriptions_impl(
+            esoa, generics_dim, atc_dim, synonyms_dim, brands_dim,
+            mixtures_dim, fda_food_dim, text_col,
+        )
+    except BaseException:
+        for r in _collected:
+            r.unpersist()
+        raise
+    finally:
+        _ACTIVE_PERSISTS = prev_persists
+    tagged.persisted_intermediates = _collected
+    return tagged
+
+
+def _tag_descriptions_impl(
+    esoa: DataFrame,
+    generics_dim: DataFrame,
+    atc_dim: DataFrame,
+    synonyms_dim: DataFrame | None,
+    brands_dim: DataFrame | None,
+    mixtures_dim: DataFrame | None,
+    fda_food_dim: DataFrame | None,
+    text_col: str,
+) -> DataFrame:
+    spark = esoa.sparkSession
+    sc = spark.sparkContext
 
     # Materialize the dims ONCE before any tier references them. The
     # unified builders (prepare_pnf's 25-col derivation especially)
@@ -1004,7 +1033,14 @@ def tag_descriptions(
             "match_priority", "match_reason", "gm_reason",
         )
         .agg(
-            F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|").alias("atc_codes"),
+            # nullif: a matched generic with NO atc rows must emit NULL
+            # (the reference's tagger sets atc_code=None — tagger.py:799,
+            # 862 — and its Part-3 coverage excludes '' explicitly,
+            # runners.py:249); array_join alone would emit '' which
+            # isNotNull and silently inflates ATC coverage
+            F.nullif(
+                F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|"), F.lit("")
+            ).alias("atc_codes"),
             # the W2-preferred (first) ATC's combination flag drives
             # the W1 atc_priority key
             (F.element_at(atc_structs, 1)["combo"] == 1).alias("primary_is_combo"),
@@ -1175,8 +1211,6 @@ def tag_descriptions(
     )
     if fda_food_dim is not None:
         tagged = _apply_fda_food(tagged, fda_food_dim)
-    _ACTIVE_PERSISTS = prev_persists
-    tagged.persisted_intermediates = _collected
     return tagged
 
 
@@ -1192,11 +1226,13 @@ def _apply_fda_food(tagged: DataFrame, fda_food_dim: DataFrame) -> DataFrame:
             F.col("food_type"),
         ).filter((F.col("food_key") != "") & (F.col("food_key") != "-"))
     )
-    direct = food.select("food_key", F.col("food_type").alias("direct_type")).dropDuplicates(
-        ["food_key"]
-    )
+    # deterministic survivor per food name (registries carry the same
+    # name under several categories): min(food_type), NOT
+    # dropDuplicates, whose per-partition survivor would flip the
+    # emitted reason between runs
+    direct = food.groupBy("food_key").agg(F.min("food_type").alias("direct_type"))
     with_direct = tagged.join(
-        direct, F.upper(F.trim(tagged.raw_text)) == direct.food_key, "left"
+        F.broadcast(direct), F.upper(F.trim(tagged.raw_text)) == direct.food_key, "left"
     ).drop("food_key")
 
     unmatched = with_direct.filter(~F.col("matched") & F.col("direct_type").isNull())
