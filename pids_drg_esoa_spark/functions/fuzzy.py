@@ -34,7 +34,6 @@ def indel_distance_py(a: str, b: str) -> int:
     prev = [0] * (lb + 1)
     for ca in a:
         cur = [0]
-        best = 0
         for j, cb in enumerate(b):
             if ca == cb:
                 v = prev[j] + 1

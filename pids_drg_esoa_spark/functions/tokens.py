@@ -316,8 +316,13 @@ def normalize_generic_combination_native(col):
     # multiword-generic protection — same patterns as the Python twin
     for rx, repl in _MULTIWORD_PROTECT:
         s = F.regexp_replace(s, rx.pattern, repl)
-    for pat in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE):
-        s = F.regexp_replace(s, pat, " ")
+    # ONE alternation pass exactly like the twin's _DOSE_ALL_RE.sub —
+    # four sequential passes are NOT equivalent: in
+    # '10 X 500 MG/5 ML' the twin's leftmost-wins alternation lets the
+    # PACK arm consume '10 X 500 MG' before the RATIO arm ever runs,
+    # while a ratio-first sequential pass eats 'MG/5 ML' out of the
+    # middle and leaves a stray 'X' token (differential-caught)
+    s = F.regexp_replace(s, _DOSE_ALL_RE.pattern, " ")
 
     # isin over a big literal list compiles to a hashed InSet —
     # O(1) per token, vs O(|vocab|) for array_contains (the full
@@ -391,7 +396,12 @@ def categorize_tokens_py(tokens: list[str]) -> dict[str, dict[str, int]]:
         elif low in ROUTE_CANON:
             bump("route", ROUTE_CANON[low].upper())
         elif low in SALT_TOKENS:
-            # element drugs are the GENERIC when they lead the name
+            # element drugs are the GENERIC when they lead the name.
+            # .index(low) == 0 (first OCCURRENCE, not this position) is
+            # deliberate reference parity — tokenizer.py:1079 does
+            # `tokens.index(tok)`, so a repeated element token later in
+            # the list ('CALCIUM CARBONATE + CALCIUM LACTATE') is also
+            # counted as generic there; do not "fix" to `i == 0`
             if low in ELEMENT_DRUGS and lowers.index(low) == 0:
                 bump("generic", up)
             else:

@@ -329,7 +329,13 @@ def get_vaccine_acronym_py(components: list[str]) -> str | None:
 def match_vaccine_text_py(text: str | None) -> tuple[str | None, list[str] | None]:
     """Reference match_vaccine_text (:1678-1707): word-bounded acronym
     scan (longest acronym first), else component extraction + reverse
-    acronym lookup."""
+    acronym lookup.
+
+    The short acronyms ('MR', 'DT', 'D'…) DO false-positive on
+    ordinary drug texts ('35 MG MR TABLET' → MEASLES/RUBELLA) — that
+    is the reference's own behavior, reproduced verbatim and pinned
+    by the row-level differential (DIFF_REFERENCE.md's documented
+    FLU/MR quirks); tightening the scan here would break parity."""
     if not text:
         return None, None
     up = text.upper()

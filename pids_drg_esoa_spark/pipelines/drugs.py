@@ -36,26 +36,57 @@ def build_unified_generics(
     """unified_generics (build_unified_reference.py:163-288): DrugBank
     spine; WHO then PNF names added only when their name_key is new
     (left_anti), each row tagged with its source."""
-    db = drugbank.select(
-        "drugbank_id",
-        F.upper("generic_name").alias("generic_name"),
-        F.lower(F.trim("generic_name")).alias("name_key"),
-        F.lit("drugbank").alias("source"),
-    ).dropDuplicates(["name_key"])
+    # deterministic survivor per name_key: real DrugBank ids beat
+    # null, then lexicographic — plain dropDuplicates keeps whichever
+    # partition wins, so the id carried into every downstream tag
+    # could flip between runs (the module contract is explicit
+    # orderings for every keep=first dedupe)
+    def spine(df: DataFrame, source: str) -> DataFrame:
+        return (
+            df.groupBy("name_key")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce("drugbank_id", F.lit("~")).alias("id_rank"),
+                        F.col("drugbank_id").alias("drugbank_id"),
+                        F.col("generic_name").alias("generic_name"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("s.drugbank_id").alias("drugbank_id"),
+                F.col("s.generic_name").alias("generic_name"),
+                "name_key",
+                F.lit(source).alias("source"),
+            )
+        )
 
-    who = who_atc.select(
-        F.lit(None).cast("string").alias("drugbank_id"),
-        F.upper("atc_name").alias("generic_name"),
-        F.lower(F.trim("atc_name")).alias("name_key"),
-        F.lit("who").alias("source"),
-    ).dropDuplicates(["name_key"])
+    db = spine(
+        drugbank.select(
+            "drugbank_id",
+            F.upper("generic_name").alias("generic_name"),
+            F.lower(F.trim("generic_name")).alias("name_key"),
+        ),
+        "drugbank",
+    )
 
-    pnf_g = pnf.select(
-        F.lit(None).cast("string").alias("drugbank_id"),
-        F.upper("generic_name").alias("generic_name"),
-        F.lower(F.trim("generic_name")).alias("name_key"),
-        F.lit("pnf").alias("source"),
-    ).dropDuplicates(["name_key"])
+    who = spine(
+        who_atc.select(
+            F.lit(None).cast("string").alias("drugbank_id"),
+            F.upper("atc_name").alias("generic_name"),
+            F.lower(F.trim("atc_name")).alias("name_key"),
+        ),
+        "who",
+    )
+
+    pnf_g = spine(
+        pnf.select(
+            F.lit(None).cast("string").alias("drugbank_id"),
+            F.upper("generic_name").alias("generic_name"),
+            F.lower(F.trim("generic_name")).alias("name_key"),
+        ),
+        "pnf",
+    )
 
     out = db
     for extra in (who, pnf_g):
@@ -237,8 +268,12 @@ class DrugsPipeline(BasePipeline):
             ctx.inputs["drugbank_generics"], ctx.inputs["who_atc"],
             ctx.artifacts["pnf_prepared"],
         )
+        # pnf_prepared feeds the ATC build here exactly as in
+        # runner.run_drugs_all — omitting it dropped every PNF-only
+        # ATC row from this entry point while the runner kept them
         ctx.artifacts["unified_atc"] = build_unified_atc(
-            ctx.inputs["drugbank_atc"], ctx.inputs["who_atc"]
+            ctx.inputs["drugbank_atc"], ctx.inputs["who_atc"],
+            ctx.artifacts["pnf_prepared"],
         )
         ctx.artifacts["unified_brands"] = build_unified_brands(
             ctx.inputs["fda_brands"], ctx.inputs["drugbank_brands"]

@@ -35,7 +35,12 @@ def prepare_labs(esoa: DataFrame) -> DataFrame:
     lo, hi = EXCLUDED_ITEM_RANGE
     return (
         esoa.filter(F.col("ITEM_REF_CODE") == "LaboratoryAndDiagnostic")
-        .filter(~F.col("ITEM_NUMBER").cast("long").between(lo, hi))
+        # coalesce(False): a non-numeric/null ITEM_NUMBER casts to
+        # NULL, and ~NULL-between would silently DROP the row — the
+        # reference's pd.to_numeric(errors='coerce') mask KEEPS
+        # non-numeric ids (prepare_labs.py:42-44); only the numbered
+        # range is excluded
+        .filter(~F.coalesce(F.col("ITEM_NUMBER").cast("long").between(lo, hi), F.lit(False)))
         .filter(F.col("DESCRIPTION").isNotNull() & (F.trim("DESCRIPTION") != ""))
         .dropDuplicates(["ITEM_NUMBER", "DESCRIPTION"])
     )

@@ -151,7 +151,10 @@ def ts_micros(col: str = "ts"):
     """events.ts (int64 ns) → TimestampType, microsecond-truncated."""
     from pyspark.sql import functions as F
 
-    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    # integer division: ts ~1.7e18 ns exceeds 2^53, so double /1000
+    # rounds to a multiple of ~256 ns before the cast and can land on
+    # the wrong microsecond — `div` stays exact in long arithmetic
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -207,9 +207,23 @@ def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
     width = 0
     if rows_el is not None:
         for row in rows_el.findall(f"{_NS}row"):
+            # the r attributes are OPTIONAL in the OOXML spec: a row
+            # without one is the next row, and skipped r values are
+            # empty rows (a sparse sheet must not shift data up
+            # against the header)
+            r_attr = row.get("r")
+            if r_attr and r_attr.isdigit():
+                while len(grid) < int(r_attr) - 1:
+                    grid.append([])
             cells: list[str | None] = []
             for c in row.findall(f"{_NS}c"):
-                ci = _col_index(c.get("r", ""))
+                ref = c.get("r")
+                if ref and _CELL_REF_RE.match(ref):
+                    ci = _col_index(ref)
+                else:
+                    # missing cell ref ⇒ position is implied: the
+                    # column after the previous cell in this row
+                    ci = len(cells)
                 while len(cells) < ci:
                     cells.append(None)
                 val = _cell_value(c, shared)

@@ -220,6 +220,23 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+
+    # Same single-batch contract as stream_dedup_events: the update-
+    # mode memory sink APPENDS rows per trigger, so a session crossing
+    # a micro-batch boundary would emit duplicate (user_id, session_id)
+    # rows with partial counts. Fail loudly rather than diverge from
+    # the batch sessionization oracle.
+    def _n_rows(p) -> int:
+        v = p.get("numInputRows", 0) if isinstance(p, dict) else getattr(p, "numInputRows", 0)
+        return int(v or 0)
+
+    data_batches = sum(1 for p in q.recentProgress if p is not None and _n_rows(p) > 0)
+    if data_batches > 1:
+        raise RuntimeError(
+            f"stream_stateful_sessionize processed {data_batches} data micro-batches; "
+            "the memory-sink comparison requires a single batch — write to an "
+            "upserting sink (foreachBatch merge) for multi-batch sources"
+        )
     return spark.table(name)
 
 

@@ -120,3 +120,30 @@ def test_write_excel_report_spark(spark, tmp_path):
     h, r = read_xlsx(p)
     assert h == ["item", "n"]
     assert sorted(r) == [["001", "5"], ["002", "7"]]
+
+
+def test_read_xlsx_optional_refs_and_sparse_rows(tmp_path):
+    """OOXML r attributes are optional: unref'd cells take the next
+    implied column, and a skipped row r leaves an empty row instead of
+    shifting data up against the header."""
+    import zipfile
+
+    from pids_drg_esoa_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "sparse.xlsx")
+    write_xlsx(path, ["a", "b"], [("x", "y"), ("p", "q")])
+    # rewrite sheet1: strip cell refs from row 2, jump row 3 -> r=4
+    with zipfile.ZipFile(path) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace('<c r="A2" t="inlineStr">', '<c t="inlineStr">')
+    sheet = sheet.replace('<c r="B2" t="inlineStr">', '<c t="inlineStr">')
+    sheet = sheet.replace('<row r="3">', '<row r="4">')
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in names.items():
+            zf.writestr(n, data)
+
+    header, rows = read_xlsx(path)
+    assert header == ["a", "b"]
+    assert rows == [["x", "y"], [None, None], ["p", "q"]]
