@@ -114,6 +114,7 @@ def stream_neardup_against_index(
     checkpoint_dir: str,
     text_col: str = "DESCRIPTION",
     id_col: str = "ITEM_NUMBER",
+    grow_index_dir: str | None = None,
 ):
     """Incremental near-duplicate detection: each arriving part is
     MinHash-banded and joined against a PRE-BUILT static corpus index
@@ -132,7 +133,17 @@ def stream_neardup_against_index(
     returned query (a rebuilt index per trigger would defeat the
     point); they are exposed as ``query.neardup_index`` so a caller
     that rebuilds the index can ``.unpersist()`` the old one instead
-    of leaking it into executor storage."""
+    of leaking it into executor storage.
+
+    ``grow_index_dir`` closes the production loop: after each trigger
+    the NEW batch's shingles + band rows + sizes are appended there
+    (parquet), and subsequent triggers probe the static index UNION
+    the grown tail — a near-dup of a document that arrived three
+    parts ago is caught, not just dups of the original corpus. Append
+    is idempotent under micro-batch retry (the probe side reads with
+    distinct()); the grown tail stays on storage, exactly how a
+    100 TB index is maintained (the in-memory static part is the
+    bulk; the tail compacts into it offline)."""
     from ..operators.dedup import (
         band_signature,
         minhash_signature,
@@ -140,18 +151,38 @@ def stream_neardup_against_index(
     )
     from pyspark.sql import functions as F
 
+    import os
+
     idx_sh = word_shingles(index_docs, text_col, id_col).persist()
     idx_sig = minhash_signature(idx_sh).persist()
     idx_bands = band_signature(idx_sig).persist()
     idx_sizes = idx_sig.select("doc", F.col("n_sh").alias("nb"))
 
+    def _grown(name: str, static: DataFrame) -> DataFrame:
+        if grow_index_dir is None:
+            return static
+        path = os.path.join(grow_index_dir, name)
+        try:
+            tail = spark.read.parquet(path).distinct()
+        except Exception:  # first trigger: nothing appended yet
+            return static
+        return static.unionByName(tail)
+
     def process(batch_df, batch_id: int) -> None:
         new_sh = word_shingles(batch_df, text_col, id_col)
         new_sig = minhash_signature(new_sh)
+        if grow_index_dir is not None:
+            # materialize the batch derivations once: probed by the
+            # candidate join, the verify join, AND the index append
+            new_sh = new_sh.localCheckpoint(eager=True)
+            new_sig = new_sig.localCheckpoint(eager=True)
+        bands_all = _grown("bands", idx_bands)
+        sh_all = _grown("shingles", idx_sh)
+        sizes_all = _grown("sizes", idx_sizes)
         cand = (
             band_signature(new_sig)
             .withColumnRenamed("doc", "new_doc")
-            .join(idx_bands.withColumnRenamed("doc", "index_doc"),
+            .join(bands_all.withColumnRenamed("doc", "index_doc"),
                   ["band_idx", "band_key"])
             .select("new_doc", "index_doc")
             .distinct()
@@ -159,7 +190,7 @@ def stream_neardup_against_index(
         common = (
             cand.join(new_sh.withColumnRenamed("doc", "new_doc"), "new_doc")
             .join(
-                idx_sh.withColumnRenamed("doc", "index_doc"),
+                sh_all.withColumnRenamed("doc", "index_doc"),
                 ["index_doc", "sh"],
             )
             .groupBy("new_doc", "index_doc")
@@ -168,7 +199,7 @@ def stream_neardup_against_index(
         verified = (
             common.join(new_sig.select(F.col("doc").alias("new_doc"),
                                        F.col("n_sh").alias("na")), "new_doc")
-            .join(idx_sizes.withColumnRenamed("doc", "index_doc"), "index_doc")
+            .join(sizes_all.withColumnRenamed("doc", "index_doc"), "index_doc")
             .select(
                 "new_doc", "index_doc",
                 F.col("n_common").cast("bigint").alias("n_common"),
@@ -179,6 +210,14 @@ def stream_neardup_against_index(
             .filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
         )
         verified.write.mode("append").parquet(output_path)
+        if grow_index_dir is not None:
+            band_signature(new_sig).write.mode("append").parquet(
+                os.path.join(grow_index_dir, "bands")
+            )
+            new_sh.write.mode("append").parquet(os.path.join(grow_index_dir, "shingles"))
+            new_sig.select("doc", F.col("n_sh").alias("nb")).write.mode("append").parquet(
+                os.path.join(grow_index_dir, "sizes")
+            )
 
     q = stream_esoa_parts(spark, directory, process, checkpoint_dir)
     q.neardup_index = (idx_sh, idx_sig, idx_bands)

@@ -239,3 +239,34 @@ def test_streaming_neardup_against_static_index(spark, tmp_path):
     assert {(r.new_doc, r.index_doc) for r in rows} == {("N1", "I1")}
     r = rows[0]
     assert 3 * r.n_common >= 2 * r.n_union
+
+
+def test_streaming_neardup_growing_index(spark, tmp_path):
+    """grow_index_dir: part 2's near-dup of a PART-1 document (absent
+    from the static index) is detected because part 1 was appended to
+    the grown index tail after its trigger."""
+    from pids_drg_esoa_spark.streaming.incremental import stream_neardup_against_index
+
+    index_docs = spark.createDataFrame(
+        [("I1", "completely different content about spark structured streaming state")],
+        "ITEM_NUMBER string, DESCRIPTION string",
+    )
+    src = tmp_path / "parts"
+    src.mkdir()
+    (src / "esoa_pt_1.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "N1,X,the quick brown fox jumps over the lazy dog near the river bank\n"
+    )
+    (src / "esoa_pt_2.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "N2,X,the quick brown fox jumps over the lazy dog near the river shore\n"
+    )
+    out, ckpt = str(tmp_path / "dups"), str(tmp_path / "ckpt")
+    q = stream_neardup_against_index(
+        spark, str(src), index_docs, out, ckpt,
+        grow_index_dir=str(tmp_path / "grown"),
+    )
+    q.awaitTermination()
+    pairs = {(r.new_doc, r.index_doc) for r in spark.read.parquet(out).collect()}
+    # N2 ~ N1 across parts — only the grown tail can see it
+    assert pairs == {("N2", "N1")}
