@@ -40,7 +40,12 @@ def prepare_labs(esoa: DataFrame) -> DataFrame:
         # reference's pd.to_numeric(errors='coerce') mask KEEPS
         # non-numeric ids (prepare_labs.py:42-44); only the numbered
         # range is excluded
-        .filter(~F.coalesce(F.col("ITEM_NUMBER").cast("long").between(lo, hi), F.lit(False)))
+        # try_cast: ANSI mode makes a plain cast THROW on 'LAB-001'
+        .filter(
+            ~F.coalesce(
+                F.col("ITEM_NUMBER").try_cast("long").between(lo, hi), F.lit(False)
+            )
+        )
         .filter(F.col("DESCRIPTION").isNotNull() & (F.trim("DESCRIPTION") != ""))
         .dropDuplicates(["ITEM_NUMBER", "DESCRIPTION"])
     )
@@ -80,9 +85,19 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
         "desc_norm",
         "diag_code",
     )
+    out = e.join(F.broadcast(m), "desc_norm", "left").join(
+        F.broadcast(d), "desc_norm", "left"
+    )
+    # reference contract (match_labs.py:86-108 — an `elif`): the
+    # diagnostics fields are populated ONLY when the master did NOT
+    # match; a name present in both catalogs reports master fields
+    # with NULL diagnostics fields, not both (labs differential)
+    for c in ["diag_code", "diag_description", *[f"diag_{x}" for x in diag_extra]]:
+        out = out.withColumn(
+            c, F.when(F.col("master_description").isNull(), F.col(c))
+        )
     return (
-        e.join(F.broadcast(m), "desc_norm", "left")
-        .join(F.broadcast(d), "desc_norm", "left")
+        out
         .withColumn(
             "matched_description",
             F.coalesce("master_description", "diag_description"),
@@ -100,7 +115,7 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
             .when(F.col("diag_description").isNotNull(), "diagnostics")
             .otherwise("unmatched"),
         )
-        .orderBy(F.col("ITEM_NUMBER").cast("long"))
+        .orderBy(F.col("ITEM_NUMBER").try_cast("long"), F.col("ITEM_NUMBER"))
     )
 
 

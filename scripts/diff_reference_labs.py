@@ -1,0 +1,217 @@
+"""Row-by-row differential for the LABS pipeline: the reference's
+prepare_labs + match_labs (pandas, run in-place from /root/reference,
+with ``pd.read_excel`` shimmed onto this repo's stdlib OOXML codec)
+vs this repo's ``pipelines.labs`` on the same synthesized corpus.
+
+Extends the drugs differential (scripts/diff_reference.py) to the
+second pipeline: per (ITEM_NUMBER, DESCRIPTION) row, compare
+match_source / standard_description / lab_item_number /
+diagnostics_code.
+
+Representation mapping (documented, applied before compare):
+- match_source: reference 'Labs'/'Diagnostics'/'Unmatched' ↔ engine
+  'labs_master'/'diagnostics'/'unmatched'.
+- survivor rule on normalized-key collisions: the reference keeps the
+  FIRST FILE ROW (dict setdefault); the engine keeps the min
+  item_number/code (a file-order column is not a distributed
+  concept). The corpus writes master/diagnostics sorted by that key,
+  making the two rules coincide; the divergence is exercised and
+  adjudicated by test_pipeline_labs instead.
+
+Usage: python scripts/diff_reference_labs.py [--rows 4000] [--out -]
+Exit 0 iff zero mismatching cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+from pathlib import Path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, "/root/reference")
+
+import pandas as pd
+
+SCRATCH = "/tmp/diffref_labs"
+
+WORDS = [
+    "urinalysis", "complete blood count", "chest x-ray", "fasting blood sugar",
+    "lipid profile", "creatinine", "sgpt", "sgot", "tsh", "hba1c", "ecg",
+    "2d echo", "ultrasound whole abdomen", "ct scan head", "mri brain",
+    "potassium", "sodium", "urine culture", "blood typing", "platelet count",
+]
+DECOR = ["", " (STAT)", " - follow up", ", repeat", "  ", " [routine]", "!!"]
+
+
+def build_corpus(n_rows: int):
+    rng = random.Random(7)
+    master_rows = [
+        (f"L{i:04d}", w.upper() if i % 3 == 0 else w.title(), "Y" if i % 2 == 0 else "N")
+        for i, w in enumerate(WORDS[:14])
+    ]
+    diag_rows = [
+        (f"D{i:04d}", w, f"cat{i % 4}", f"spec{i % 3}", "", f"m{i}")
+        for i, w in enumerate(WORDS[10:])  # overlaps master on 4 names
+    ]
+    esoa = []
+    for i in range(n_rows):
+        w = rng.choice(WORDS + ["unknown procedure zz", "misc charge"])
+        text = (w.upper() if rng.random() < 0.5 else w.title()) + rng.choice(DECOR)
+        # mix numeric ids (some in the excluded 1540-1896 range) and
+        # non-numeric ids (the coerce-keep path)
+        r = rng.random()
+        if r < 0.1:
+            item = str(rng.randint(1540, 1896))
+        elif r < 0.2:
+            item = f"LAB-{i:05d}"
+        else:
+            item = str(rng.randint(1, 1500))
+        esoa.append((item, "LaboratoryAndDiagnostic", text))
+    # a sprinkle of other categories that must be filtered out
+    esoa += [(str(i), "DrugsAndMedicine", "PARACETAMOL 500MG TAB") for i in range(40)]
+    return master_rows, diag_rows, esoa
+
+
+def run_reference(master_rows, diag_rows, esoa) -> pd.DataFrame:
+    from pipelines.labs.scripts import match_labs as ref_match
+    from pipelines.labs.scripts import prepare_labs as ref_prep
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    esoa_csv = Path(SCRATCH, "esoa.csv")
+    pd.DataFrame(esoa, columns=["ITEM_NUMBER", "ITEM_REF_CODE", "DESCRIPTION"]).to_csv(
+        esoa_csv, index=False
+    )
+    # reference prepare path: category filter + range exclusion + dedupe
+    loaded = ref_prep._load_esoa_file(esoa_csv, sep=",")
+    prepared = ref_prep._filter_category(loaded)
+    prepared = prepared.drop_duplicates(subset=["ITEM_NUMBER", "DESCRIPTION"])
+    prepared = prepared.sort_values(by=["ITEM_NUMBER", "DESCRIPTION"])
+    prepared_csv = Path(SCRATCH, "prepared.csv")
+    prepared.to_csv(prepared_csv, index=False)
+
+    master_csv = Path(SCRATCH, "labs_master.csv")
+    pd.DataFrame(master_rows, columns=["ITEM_NUMBER", "DESCRIPTION", "IS_OFFICIAL"]).to_csv(
+        master_csv, index=False
+    )
+    # diagnostics arrives as XLSX — written by the repo's stdlib codec,
+    # read back through a pd.read_excel shim over the same codec
+    # (openpyxl is not installed here; this also differentials the
+    # codec round-trip)
+    from pids_drg_esoa_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    diag_xlsx = Path(SCRATCH, "diagnostics.xlsx")
+    write_xlsx(
+        str(diag_xlsx), ["code", "desc", "cat", "spec", "etc", "misc"], diag_rows
+    )
+    orig_read_excel = pd.read_excel
+    pd.read_excel = lambda path, dtype=None: (
+        lambda hdr_rows: pd.DataFrame(hdr_rows[1], columns=hdr_rows[0], dtype=dtype)
+    )(read_xlsx(str(path)))
+    try:
+        out_csv = Path(SCRATCH, "matched.csv")
+        ref_match.match_labs_records(
+            prepared_csv, master_csv, diag_xlsx, out_csv, skip_excel=True
+        )
+    finally:
+        pd.read_excel = orig_read_excel
+    return pd.read_csv(out_csv, dtype=str)
+
+
+def run_engine(master_rows, diag_rows, esoa) -> pd.DataFrame:
+    from pids_drg_esoa_spark.pipelines.labs import match_labs, prepare_labs
+    from pids_drg_esoa_spark.session import get_spark
+
+    spark = get_spark(app_name="diffref_labs")
+    esoa_df = spark.createDataFrame(
+        esoa, "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string"
+    )
+    master = spark.createDataFrame(
+        master_rows, "ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string"
+    )
+    diag = spark.createDataFrame(
+        diag_rows, "code string, desc string, cat string, spec string, etc string, misc string"
+    )
+    return match_labs(prepare_labs(esoa_df), master, diag).toPandas()
+
+
+SOURCE_MAP = {"Labs": "labs_master", "Diagnostics": "diagnostics", "Unmatched": "unmatched"}
+
+
+def norm(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)) or pd.isna(v):
+        return None
+    s = str(v).strip()
+    return s if s else None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4000)
+    ap.add_argument("--out", default="-")
+    args = ap.parse_args()
+    master_rows, diag_rows, esoa = build_corpus(args.rows)
+
+    import time
+
+    t0 = time.time()
+    ref = run_reference(master_rows, diag_rows, esoa)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    eng = run_engine(master_rows, diag_rows, esoa)
+    t_eng = time.time() - t0
+
+    ref_idx = {
+        (norm(r.ITEM_NUMBER), norm(r.DESCRIPTION)): r for r in ref.itertuples()
+    }
+    eng_idx = {
+        (norm(r.ITEM_NUMBER), norm(r.DESCRIPTION)): r for r in eng.itertuples()
+    }
+    assert set(ref_idx) == set(eng_idx), (
+        f"row-set mismatch: ref-only={list(set(ref_idx)-set(eng_idx))[:5]} "
+        f"eng-only={list(set(eng_idx)-set(ref_idx))[:5]}"
+    )
+
+    cols = [
+        ("match_source", "match_source", lambda v: SOURCE_MAP.get(v, v)),
+        ("standard_description", "standard_description", None),
+        ("lab_item_number", "master_item_number", None),
+        ("lab_is_official", "master_is_official", None),
+        ("diagnostics_code", "diag_code", None),
+        ("diagnostics_cat", "diag_cat", None),
+    ]
+    mismatch = 0
+    per_col = {rc: 0 for rc, _, _ in cols}
+    examples = []
+    for key, rr in ref_idx.items():
+        ee = eng_idx[key]
+        for rc, ec, mapper in cols:
+            rv = norm(getattr(rr, rc, None))
+            if mapper and rv is not None:
+                rv = mapper(rv)
+            ev = norm(getattr(ee, ec, None))
+            if rv != ev:
+                mismatch += 1
+                per_col[rc] += 1
+                if len(examples) < 10:
+                    examples.append((key, rc, rv, ev))
+
+    report = (
+        f"# DIFF labs: {len(ref_idx)} prepared rows compared on {len(cols)} columns\n"
+        f"reference wall {t_ref:.1f}s / engine wall {t_eng:.1f}s\n"
+        f"mismatching cells: {mismatch}  per-column: {per_col}\n"
+        + "".join(f"  example {e}\n" for e in examples)
+    )
+    if args.out == "-":
+        print(report)
+    else:
+        Path(args.out).write_text(report)
+        print(report)
+    return 0 if mismatch == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
