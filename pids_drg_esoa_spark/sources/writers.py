@@ -102,3 +102,57 @@ def pd_isna(v: object) -> bool:
         return bool(pd.isna(v))
     except (TypeError, ValueError):
         return False
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    dedupe: bool = False,
+) -> int:
+    """Small-files compaction — the maintenance op every append-mode
+    parquet dataset (metrics log, streaming sinks, grown index tails)
+    needs at scale: a file-per-trigger layout turns scans into
+    open-file storms. Reads the dataset, repartitions to
+    ceil(bytes/target), and atomically swaps the rewrite in
+    (write to ``path+'.compact.tmp'`` → move old → move new → drop
+    old), so a concurrent reader sees either the old or the new
+    layout, never a half-written one. Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if dedupe:
+        df = df.distinct()
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+    )
+    n_parts = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def compact_grown_index(spark: SparkSession, grow_index_dir: str) -> dict[str, int]:
+    """Compact a streaming near-dup grown-index tail
+    (streaming/incremental.stream_neardup_against_index): each
+    per-trigger append adds a file set; this dedupes (micro-batch
+    retries append twice — the probe side reads distinct(), the
+    storage should too) and rewrites each relation into few files.
+    Run offline between ingest sessions, exactly like the 100 TB
+    index-maintenance job the docstring promises."""
+    import os
+
+    out = {}
+    for name in ("bands", "shingles", "sizes"):
+        p = os.path.join(grow_index_dir, name)
+        if os.path.isdir(p):
+            out[name] = compact_parquet(spark, p, dedupe=True)
+    return out

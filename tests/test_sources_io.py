@@ -135,3 +135,28 @@ def test_read_jsonl_permissive_and_failfast(spark, tmp_path):
 
     with _pytest.raises(Py4JJavaError):
         read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_compact_parquet_and_grown_index(spark, tmp_path):
+    """Append-mode small files → one atomic rewrite; the grown-index
+    compactor also dedupes retry-duplicated appends."""
+    import os
+
+    from pids_drg_esoa_spark.sources.writers import compact_grown_index, compact_parquet
+
+    p = str(tmp_path / "metrics")
+    for i in range(5):
+        spark.createDataFrame([(i, "x")], "id int, v string").write.mode("append").parquet(p)
+    n_before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_before >= 5
+    n_after = compact_parquet(spark, p, target_mb=256)
+    assert n_after == 1
+    assert spark.read.parquet(p).count() == 5
+
+    grow = tmp_path / "grown"
+    bands = spark.createDataFrame([("d1", 0, "k")], "doc string, band_idx int, band_key string")
+    for _ in range(2):  # simulate a retried append
+        bands.write.mode("append").parquet(str(grow / "bands"))
+    counts = compact_grown_index(spark, str(grow))
+    assert counts == {"bands": 1}
+    assert spark.read.parquet(str(grow / "bands")).count() == 1  # deduped
