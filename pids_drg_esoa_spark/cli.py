@@ -95,12 +95,64 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def drugs_all_main(argv: list[str]) -> int:
+    """`python -m pids_drg_esoa_spark.cli drugs-all --inputs-dir D
+    --output-dir O [--checkpoint-dir C | --bucketed-dims]` — the
+    reference's run_drugs_all.py entry point: Parts 1-4 over the
+    reference-shaped tables in D (parquet or CSV, one per stem),
+    writing annex_f_with_atc / esoa_with_atc / esoa_with_drug_code
+    parquet plus run_summary.md and the append-only metrics history."""
+    from .pipelines.runner import run_drugs_all
+
+    stems = (
+        "pnf", "drugbank_generics", "drugbank_atc", "drugbank_brands",
+        "fda_brands", "who_atc", "mixtures", "annex_f", "esoa",
+    )
+    optional = ("synonyms", "fda_food")
+    ap = argparse.ArgumentParser(prog="drugs-all", description=drugs_all_main.__doc__)
+    ap.add_argument("--inputs-dir", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--bucketed-dims", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="pids-drg-esoa-drugs-all", cpus=args.cpus)
+    inputs = {
+        stem: read_table_prefer_parquet(spark, os.path.join(args.inputs_dir, stem))
+        for stem in stems
+    }
+    for stem in optional:
+        base = os.path.join(args.inputs_dir, stem)
+        if os.path.exists(base + ".parquet") or os.path.exists(base + ".csv"):
+            inputs[stem] = read_table_prefer_parquet(spark, base)
+    res = run_drugs_all(
+        spark, inputs,
+        metrics_path=os.path.join(args.output_dir, "metrics_history"),
+        checkpoint_dir=args.checkpoint_dir,
+        bucketed_dims=args.bucketed_dims,
+    )
+    for name, df in (
+        ("annex_f_with_atc", res.annex_with_atc),
+        ("esoa_with_atc", res.esoa_with_atc),
+        ("esoa_with_drug_code", res.esoa_with_drug_code),
+    ):
+        write_parquet(df, os.path.join(args.output_dir, name))
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "run_summary.md"), "w") as f:
+        f.write(res.summary_md + "\n")
+    print(res.summary_md)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
     argv = list(_sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
+    if argv and argv[0] == "drugs-all":
+        return drugs_all_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--item-ref-code", required=True)
     ap.add_argument("--inputs-dir", required=True)

@@ -215,3 +215,30 @@ def test_cli_curate_from_jsonl(spark, tmp_path):
         assert df.count() == 8, name
     rep = spark.read.parquet(os.path.join(str(tmp_path / "out"), "repetition"))
     assert "top_2gram_frac_micros" in rep.columns
+
+
+def test_cli_drugs_all(spark, tmp_path, flow_inputs):
+    """`cli drugs-all`: the reference's run_drugs_all.py entry point —
+    Parts 1-4 from a table directory to parquet artifacts + summary."""
+    import os
+
+    from pids_drg_esoa_spark import cli
+
+    src = tmp_path / "tables"
+    src.mkdir()
+    for stem, df in flow_inputs.items():
+        df.write.parquet(str(src / f"{stem}.parquet"))
+
+    rc = cli.main(
+        ["drugs-all", "--inputs-dir", str(src), "--output-dir", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    bridged = {
+        r.raw_text: r
+        for r in spark.read.parquet(str(tmp_path / "out" / "esoa_with_drug_code")).collect()
+    }
+    assert bridged["PARACETAMOL 500MG TAB"].drug_code == "D001"
+    summary = (tmp_path / "out" / "run_summary.md").read_text()
+    assert "eSOA → Drug Code: 3" in summary
+    hist = spark.read.parquet(str(tmp_path / "out" / "metrics_history"))
+    assert hist.count() == 1
