@@ -1,0 +1,159 @@
+"""Training-set preparation operators: context-window chunking,
+mixture upsampling, and sharded shuffle ordering.
+
+The last mile of a data pipeline — after dedup/curation — is turning
+a document corpus into a training stream: split long documents into
+model-context-sized chunks, replicate/downsample sources to the
+designed mixture weights (fractional epochs), and assign every
+example a reproducible shuffled position. All three are deterministic
+here (md5-keyed randomness, like operators/curation.py's stratified
+sampler) so reruns, resumes, and the oracle gate all agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import table
+
+CHUNK_W = 32  # context window, tokens
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S tokens of overlap)
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (
+        SELECT doc_id, tk, i
+        FROM t, unnest(generate_series(0, (len(tk) - 1) // {CHUNK_S})) AS u(i)
+        WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(tk, i * {CHUNK_S} + 1, i * {CHUNK_S} + {CHUNK_W}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(tk, i * {CHUNK_S} + 1, i * {CHUNK_S} + {CHUNK_W}),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking: 32-token windows at stride
+    24 (8 tokens of overlap so no span is split across chunk
+    boundaries without a witness). Chunk starts run 0, S, 2S, …
+    up to the last start < n_tokens, so every token lands in ≥1 chunk
+    and the tail chunk may be short. Pure narrow plan — explode of a
+    per-row integer sequence + array slice; no shuffle, scales as the
+    scan."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    t = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    n_chunks_last = F.floor((F.size("tk") - 1) / CHUNK_S).cast("int")
+    c = t.select(
+        "doc_id", "tk", F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("i")
+    )
+    sl = F.slice("tk", F.col("i") * CHUNK_S + 1, CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+# Mixture design: (integer epochs, fractional-epoch keep threshold as
+# a 2-hex-digit md5 prefix bound — '80' == 128/256 == exactly 0.5).
+# Sources not listed train for exactly 1 epoch.
+MIXTURE_WEIGHTS: dict[str, tuple[int, str]] = {
+    "src0": (3, "00"),   # 3.0 epochs
+    "src1": (1, "80"),   # 1.5 epochs
+    "src2": (0, "40"),   # 0.25 epochs (downsample)
+    "src3": (0, "00"),   # 0 epochs (drop)
+}
+
+_WEIGHTS_SQL = ", ".join(
+    f"('{s}', {i}, '{h}')" for s, (i, h) in sorted(MIXTURE_WEIGHTS.items())
+)
+
+
+@register(
+    "corpus_upsample_mixture",
+    oracle=f"""
+    WITH w (source, ipart, fhex) AS (VALUES {_WEIGHTS_SQL}),
+    b AS (
+        SELECT doc_id, d.source,
+               coalesce(w.ipart, 1)
+               + CASE WHEN substring(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                           < coalesce(w.fhex, '00')
+                      THEN 1 ELSE 0 END AS n
+        FROM documents d LEFT JOIN w USING (source)
+    )
+    SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx
+    FROM b, unnest(generate_series(1, n)) AS u(i)
+    WHERE n >= 1
+    """,
+)
+def corpus_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture replication: each document is emitted
+    floor(w) times plus one more with probability frac(w), decided by
+    a deterministic md5 bucket of the doc id — the DoReMi-style
+    mixture-weight materialization. Plan: broadcast join of the tiny
+    weights dim, then an explode of a per-row 1..n sequence — no
+    shuffle; output size is exactly the designed token budget. Reruns
+    reproduce the same copies (md5, not rand()), so a resumed 100 TB
+    materialization is idempotent per partition."""
+    d = table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [(s, i, h) for s, (i, h) in sorted(MIXTURE_WEIGHTS.items())],
+        "source string, ipart int, fhex string",
+    )
+    bucket = F.substring(F.md5(F.concat(F.lit("up:"), F.col("doc_id").cast("string"))), 1, 2)
+    n = F.coalesce("ipart", F.lit(1)) + F.when(bucket < F.coalesce("fhex", F.lit("00")), 1).otherwise(0)
+    b = (
+        d.join(F.broadcast(w), "source", "left")
+        .select("doc_id", "source", n.alias("n"))
+        .filter(F.col("n") >= 1)  # sequence(1, 0) would DESCEND in Spark
+    )
+    return b.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+    ).select("doc_id", "source", F.col("i").cast("bigint").alias("copy_idx"))
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM (
+        SELECT doc_id,
+               md5('shuffle1:' || CAST(doc_id AS VARCHAR)) AS h,
+               substring(md5('shuffle1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents
+    )
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle, sharded: every doc gets
+    an md5 shuffle key; the first hex nibble assigns one of 16 shards
+    and the position within the shard is the rank of the full key.
+    This is how a distributed trainer consumes a shuffled 100 TB
+    corpus — a GLOBAL row_number is a one-partition scale killer, but
+    shard + within-shard order gives the same uniformly-shuffled read
+    order with 16-way (in production 2^k-way) parallel sorts, each a
+    partitioned window. Changing the seed string reshuffles every
+    epoch reproducibly."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string")))
+    base = d.select("doc_id", h.alias("h"), F.substring(h, 1, 1).alias("shard"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

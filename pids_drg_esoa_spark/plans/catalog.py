@@ -63,6 +63,8 @@ _MODULES = (
     "pids_drg_esoa_spark.plans.advanced",
     "pids_drg_esoa_spark.plans.domain",
     "pids_drg_esoa_spark.operators.curation",
+    "pids_drg_esoa_spark.operators.retrieval",
+    "pids_drg_esoa_spark.operators.training_prep",
 )
 
 
