@@ -44,21 +44,32 @@ def curate_main(argv: list[str]) -> int:
     D/documents.jsonl, converted with the explicit corpus schema and
     corrupt lines quarantined) and write one parquet artifact per
     requested operator. The user-facing form of the training-data
-    operators: the catalog entries prove them hash-exact; this wires
-    them to real input/output paths."""
-    from .operators.curation import corpus_curation_keeplist, text_pii_redact, text_quality_filter
-    from .operators.dedup import dedup_span_exact
-    from .operators.textstats import text_rare_token_stats, text_repetition_signals
+    operators: the catalog entries prove the SAME cores hash-exact
+    (over oracle corpora with planted synthetic signal); here the
+    cores run on the user's RAW documents — pii/span_dup/rare_tokens
+    report only what is actually in the data, nothing planted."""
+    from .operators.curation import corpus_curation_keeplist, redact_pii, text_quality_filter
+    from .operators.dedup import span_dup_stats
+    from .operators.textstats import rare_token_stats, text_repetition_signals
     from .sources.readers import read_jsonl
-    from .sources.tables import SCHEMAS
+    from .sources.tables import SCHEMAS, table
+
+    def _docs(spark, d):
+        return table(spark, d, "documents")
 
     fns = {
         "keeplist": corpus_curation_keeplist,
         "quality": text_quality_filter,
         "repetition": text_repetition_signals,
-        "rare_tokens": text_rare_token_stats,
-        "span_dup": dedup_span_exact,
-        "pii": text_pii_redact,
+        # clean cores on the raw corpus (the planted variants are
+        # oracle-only catalog bindings)
+        "rare_tokens": lambda s, d: rare_token_stats(
+            _docs(s, d), n_docs=_docs(s, d).count()
+        ),
+        "span_dup": lambda s, d: span_dup_stats(_docs(s, d)),
+        "pii": lambda s, d: redact_pii(_docs(s, d), "text").select(
+            "doc_id", "n_emails", "n_phones", "n_ips", "redacted"
+        ),
     }
     ap = argparse.ArgumentParser(prog="curate", description=curate_main.__doc__)
     ap.add_argument("--inputs-dir", required=True)

@@ -253,9 +253,11 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """,
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detect + redact over documents with planted deterministic
-    PII (email/phone/IPv4 derived from doc_id, so the oracle verifies
-    non-trivial matches). Counts + md5 of the redacted text."""
+    """Catalog binding of ``redact_pii`` with planted deterministic
+    PII (email/phone/IPv4 derived from doc_id) — ORACLE-ONLY
+    synthetic signal so the gate verifies non-trivial matches; real
+    callers (the curate CLI) invoke ``redact_pii`` on the raw corpus
+    instead. Counts + md5 of the redacted text."""
     d = table(spark, sf_dir, "documents")
     planted = d.select(
         "doc_id",

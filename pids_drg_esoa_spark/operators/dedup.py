@@ -209,7 +209,10 @@ _SQL_VERIFIED = f"""
 
 
 def minhash_verified_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The full generate-and-verify MinHash pipeline: shingle →
     signature → banded candidates → exact Jaccard ≥ 2/3 (integer
@@ -233,12 +236,20 @@ def minhash_verified_pairs(
     counts. At small inputs the saved volume is tiny and the extra
     stages dominate (judge-measured r4: 3.6 s → 7.3 s at 5K docs), so
     below _SEMI_FILTER_MIN_DOCS the verify join reads the unfiltered
-    shingle relation: identical output, fewer stages."""
+    shingle relation: identical output, fewer stages.
+
+    ``n_docs``: pass the corpus size when the caller knows it. The
+    count() fallback is cheap ONLY for a bare parquet-scan input
+    (metadata-only); for a filtered/derived DataFrame it runs a full
+    job at plan-build time, so such callers should supply the count
+    (or an estimate — the gate only picks a physical shape, never
+    changes results)."""
     sh = word_shingles(docs, text_col, id_col, 3).persist()
     sig = minhash_signature(sh).persist()
     caches = [sh, sig]
-    # docs.count() on a parquet scan is metadata-only — no data scan
-    if docs.count() >= _SEMI_FILTER_MIN_DOCS:
+    if n_docs is None:
+        n_docs = docs.count()
+    if n_docs >= _SEMI_FILTER_MIN_DOCS:
         pairs = lsh_candidate_pairs(sig).persist()
         caches.append(pairs)
         cand_docs = pairs.select(F.col("doc_a").alias("doc")).union(
@@ -503,10 +514,30 @@ _BOILERPLATE = (
     """,
 )
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog binding of ``span_dup_stats``. A deterministic
+    boilerplate footer is planted on doc_id % 7 = 0 — ORACLE-ONLY
+    synthetic signal so the dup relation is non-empty on the test
+    corpus; real callers (the curate CLI) invoke ``span_dup_stats``
+    on the raw corpus instead."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _BOILERPLATE)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dup_stats(d)
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_w: int = SPAN_W,
+) -> DataFrame:
     """Exact duplicated-span accounting (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): slide
-    a {SPAN_W}-token window over every document, hash each window, and
-    per document report how many window positions are duplicated
+    a ``span_w``-token window over every document, hash each window,
+    and per document report how many window positions are duplicated
     ANYWHERE in the corpus — the signal used to cut repeated
     boilerplate at span (not document) granularity. Lee et al. build a
     suffix array; the distributed equivalent at fixed window width is
@@ -514,23 +545,16 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine → join counts back → per-doc re-agg. Every
     relation is keyed (window-hash, then doc_id); shuffle volume is
     O(tokens), never O(docs²). Hashing the window to a fixed-width md5
-    keeps shuffle keys bounded regardless of window text length. A
-    deterministic boilerplate footer is planted on doc_id % 7 = 0 so
-    the dup relation is non-empty on the synthetic corpus."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _BOILERPLATE)))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    keeps shuffle keys bounded regardless of window text length."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = F.split("text", " ")
     idx = F.when(
-        F.size(toks) >= SPAN_W, F.sequence(F.lit(1), F.size(toks) - (SPAN_W - 1))
+        F.size(toks) >= span_w, F.sequence(F.lit(1), F.size(toks) - (span_w - 1))
     ).otherwise(F.array().cast("array<int>"))
     win = d.select("doc_id", F.explode(idx).alias("i"), toks.alias("tk")).select(
         "doc_id",
         F.md5(
-            F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(SPAN_W)))
+            F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(span_w)))
         ).alias("wh"),
     )
     occ = win.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))

@@ -249,7 +249,16 @@ def kmeans_assign(
     return assigner(v, cents)
 
 
-_SQL_KMEANS_CELLS = """
+def _sql_kmeans_cells(k: int = 8) -> str:
+    """The ``kmeans_assign(iters=1, k=k)`` oracle CTE chain for any
+    k: init = the first k vec_ids ×SCALE, one exact-integer Lloyd
+    round, reassign. Only the init predicate depends on k — the
+    update/assign algebra is k-independent, so the k=8 demo oracle
+    and the large-k production-path oracle share one definition."""
+    return _SQL_KMEANS_CELLS_TMPL.replace("__K__", str(k))
+
+
+_SQL_KMEANS_CELLS_TMPL = """
     v AS (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
@@ -258,7 +267,7 @@ _SQL_KMEANS_CELLS = """
     ),
     c0 AS (
         SELECT vec_id AS cid, list_transform(qe, x -> x * 16) AS c
-        FROM v WHERE vec_id < 8
+        FROM v WHERE vec_id < __K__
     ),
     d1 AS (
         SELECT v.vec_id, c.cid,
@@ -308,6 +317,8 @@ _SQL_KMEANS_CELLS = """
         ) WHERE rn = 1
     )
 """
+
+_SQL_KMEANS_CELLS = _sql_kmeans_cells(K_MEANS_K)
 
 
 @register(
@@ -496,14 +507,38 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus — whose organic vectors never reach 0.95 cosine
     — exercises a non-empty drop set; each clone lands in its
     original's cell and is dropped as the higher id."""
+    return semdedup_keeplist(
+        _semdedup_planted(spark, sf_dir), k=K_MEANS_K, assign="literal"
+    )
+
+
+def _semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle corpus: embeddings plus an exact clone of every
+    50th vector at vec_id + 1e6 (the synthetic corpus's organic
+    vectors never reach 0.95 cosine, so without the clones the drop
+    set would be empty and the gate trivial)."""
     e0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e = e0.unionAll(
+    return e0.unionAll(
         e0.filter(F.col("vec_id") % 50 == 0).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
     )
-    v = e.select("vec_id", quantize(F.col("embedding")).alias("qe")).persist()
-    cells = kmeans_assign(v, iters=1).localCheckpoint(eager=True)
+
+
+def semdedup_keeplist(
+    embeddings: DataFrame, k: int = K_MEANS_K, assign: str = "literal"
+) -> DataFrame:
+    """The SemDeDup core over any (vec_id, embedding) relation:
+    k-means cells → within-cell near-dup pairs → keep the lowest
+    vec_id of each duplicate group. ``assign='join'`` selects the
+    broadcast-centroid-dim argmax — the production path when k grows
+    with the corpus (the paper's 50K-cluster regime), where a literal
+    k×d projection would blow up the plan. Assignments are identical
+    either way (parity-pinned); both paths are oracle-gated
+    (semantic_dedup_semdedup at k=8 literal,
+    semantic_dedup_semdedup_largek at k=40 join)."""
+    v = embeddings.select("vec_id", quantize(F.col("embedding")).alias("qe")).persist()
+    cells = kmeans_assign(v, iters=1, k=k, assign=assign).localCheckpoint(eager=True)
     v.unpersist()
     a = cells.select(F.col("vec_id").alias("vec_a"), "cell", F.col("qe").alias("ea"))
     b = cells.select(F.col("vec_id").alias("vec_b"), "cell", F.col("qe").alias("eb"))
@@ -521,4 +556,47 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").cast("bigint").alias("cell"),
             F.col("drop_id").isNull().alias("kept"),
         )
+    )
+
+
+SEMDEDUP_LARGE_K = 40
+
+
+@register(
+    "semantic_dedup_semdedup_largek",
+    oracle=f"""
+    WITH emb0 AS (SELECT vec_id, embedding FROM embeddings),
+    embeddings_planted AS (
+        SELECT vec_id, embedding FROM emb0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM emb0 WHERE vec_id % 50 = 0
+    ),
+    {_sql_kmeans_cells(SEMDEDUP_LARGE_K).replace("FROM embeddings", "FROM embeddings_planted")},
+    drops AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM a2 a
+        JOIN a2 b ON b.cell = a.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+                                           i -> va.qe[i] * vb.qe[i])) AS BIGINT)
+              >= {NEAR_DUP_DOT_MIN}
+    )
+    SELECT a2.vec_id,
+           CAST(a2.cell AS BIGINT) AS cell,
+           (d.drop_id IS NULL) AS kept
+    FROM a2 LEFT JOIN drops d ON d.drop_id = a2.vec_id
+    """,
+)
+def semantic_dedup_semdedup_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the PRODUCTION assignment path: k=40
+    centroids via the broadcast-centroid-dim argmax
+    (``assign='join'``) instead of the k=8 literal projection — the
+    shape a corpus-proportional k requires. Hash-gating this entry
+    means the large-k code path, not just the demo path, is proven
+    bit-exact against the oracle (same planted clones, same keep
+    rule)."""
+    return semdedup_keeplist(
+        _semdedup_planted(spark, sf_dir), k=SEMDEDUP_LARGE_K, assign="join"
     )

@@ -313,19 +313,13 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-frequency quality signals (the integer-exact stand-in
-    for unigram-LM perplexity): per document, the rarest token's
-    corpus count, the hapax-token count, and the mean corpus frequency
-    — low values flag OOV-dense / garbled docs, high values flag
-    stopword soup. Two-pass shape: explode → groupBy(token) builds the
-    corpus vocabulary (map-side combinable; Zipf bounds the distinct
-    count, so at 100 TB the vocab is a broadcastable dim even when the
-    token stream is not), then the frequency join back is
-    broadcast-hash, and the per-doc re-aggregation shuffles on doc_id
-    only. All-integer outputs. A doc-unique token is planted on
-    doc_id % 11 = 0 so the hapax signal is non-trivial on the
-    synthetic corpus (whose organic vocabulary is fully shared)."""
-    d = table(spark, sf_dir, "documents").select(
+    """Catalog binding of ``rare_token_stats``. A doc-unique token is
+    planted on doc_id % 11 = 0 — ORACLE-ONLY synthetic signal so the
+    hapax column is non-trivial on the test corpus (whose organic
+    vocabulary is fully shared); real callers (the curate CLI) invoke
+    ``rare_token_stats`` on the raw corpus instead."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 11 == 0,
@@ -334,10 +328,48 @@ def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return rare_token_stats(planted, n_docs=d.count())
+
+
+# Above this corpus size the vocabulary dim loses its broadcast hint:
+# by Heaps' law the distinct-token count of raw space-split text GROWS
+# with the corpus (V(n) ≈ K·n^β, β ≈ 0.5–0.8 — hapaxes, URLs, typos
+# never plateau), so at 100 TB the token→count dim is billions of rows
+# and a forced broadcast OOMs executors instead of degrading. Same
+# gating pattern as dedup._SEMI_FILTER_MIN_DOCS.
+VOCAB_BROADCAST_MAX_DOCS = 100_000
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Corpus-frequency quality signals (the integer-exact stand-in
+    for unigram-LM perplexity): per document, the rarest token's
+    corpus count, the hapax-token count, and the mean corpus frequency
+    — low values flag OOV-dense / garbled docs, high values flag
+    stopword soup. Two-pass shape: explode → groupBy(token) builds the
+    corpus vocabulary (map-side combinable), then the frequency join
+    back, and the per-doc re-aggregation shuffles on doc_id only.
+    All-integer outputs.
+
+    The vocabulary join is broadcast-hinted only when the
+    caller-known corpus size is under VOCAB_BROADCAST_MAX_DOCS; above
+    the gate (or when ``n_docs`` is None) the hint is dropped and AQE
+    promotes the join to broadcast at runtime iff the measured dim is
+    actually small. Pass ``n_docs`` when cheaply known (count() on a
+    bare parquet scan is metadata-only); leave None for derived
+    inputs rather than forcing an eager count."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok")
+    )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    if n_docs is not None and n_docs <= VOCAB_BROADCAST_MAX_DOCS:
+        vocab = F.broadcast(vocab)
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

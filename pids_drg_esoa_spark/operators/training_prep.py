@@ -41,21 +41,32 @@ CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S tokens of overlap)
     """,
 )
 def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window context chunking: 32-token windows at stride
-    24 (8 tokens of overlap so no span is split across chunk
-    boundaries without a witness). Chunk starts run 0, S, 2S, …
-    up to the last start < n_tokens, so every token lands in ≥1 chunk
-    and the tail chunk may be short. Pure narrow plan — explode of a
-    per-row integer sequence + array slice; no shuffle, scales as the
-    scan."""
-    d = table(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
-    t = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
-    n_chunks_last = F.floor((F.size("tk") - 1) / CHUNK_S).cast("int")
+    """Catalog binding of ``chunk_sliding`` at the standing demo
+    window/stride (32/24)."""
+    return chunk_sliding(table(spark, sf_dir, "documents"), CHUNK_W, CHUNK_S)
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    window: int = CHUNK_W,
+    stride: int = CHUNK_S,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window context chunking: ``window``-token chunks at
+    ``stride`` (window - stride tokens of overlap so no span is split
+    across chunk boundaries without a witness). Chunk starts run 0,
+    S, 2S, … up to the last start < n_tokens, so every token lands in
+    ≥1 chunk and the tail chunk may be short. Pure narrow plan —
+    explode of a per-row integer sequence + array slice; no shuffle,
+    scales as the scan."""
+    tk = F.split(text_col, " ")
+    t = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk")).filter(F.size("tk") > 0)
+    n_chunks_last = F.floor((F.size("tk") - 1) / stride).cast("int")
     c = t.select(
         "doc_id", "tk", F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("i")
     )
-    sl = F.slice("tk", F.col("i") * CHUNK_S + 1, CHUNK_W)
+    sl = F.slice("tk", F.col("i") * stride + 1, window)
     return c.select(
         "doc_id",
         F.col("i").cast("bigint").alias("chunk_idx"),
@@ -97,20 +108,38 @@ _WEIGHTS_SQL = ", ".join(
     """,
 )
 def corpus_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog binding of ``upsample_mixture`` at the standing demo
+    mixture weights."""
+    return upsample_mixture(table(spark, sf_dir, "documents"), MIXTURE_WEIGHTS)
+
+
+def upsample_mixture(
+    docs: DataFrame,
+    weights: dict[str, tuple[int, str]],
+    seed: str = "up",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Fractional-epoch mixture replication: each document is emitted
     floor(w) times plus one more with probability frac(w), decided by
     a deterministic md5 bucket of the doc id — the DoReMi-style
-    mixture-weight materialization. Plan: broadcast join of the tiny
-    weights dim, then an explode of a per-row 1..n sequence — no
-    shuffle; output size is exactly the designed token budget. Reruns
-    reproduce the same copies (md5, not rand()), so a resumed 100 TB
-    materialization is idempotent per partition."""
-    d = table(spark, sf_dir, "documents")
+    mixture-weight materialization. ``weights`` maps source →
+    (integer epochs, fractional-epoch keep threshold as a 2-hex-digit
+    md5 prefix bound); unlisted sources train for exactly 1 epoch.
+    Plan: broadcast join of the tiny weights dim, then an explode of
+    a per-row 1..n sequence — no shuffle; output size is exactly the
+    designed token budget. Reruns reproduce the same copies (md5, not
+    rand()), so a resumed 100 TB materialization is idempotent per
+    partition."""
+    spark = docs.sparkSession
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
     w = spark.createDataFrame(
-        [(s, i, h) for s, (i, h) in sorted(MIXTURE_WEIGHTS.items())],
+        [(s, i, h) for s, (i, h) in sorted(weights.items())],
         "source string, ipart int, fhex string",
     )
-    bucket = F.substring(F.md5(F.concat(F.lit("up:"), F.col("doc_id").cast("string"))), 1, 2)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))), 1, 2
+    )
     n = F.coalesce("ipart", F.lit(1)) + F.when(bucket < F.coalesce("fhex", F.lit("00")), 1).otherwise(0)
     b = (
         d.join(F.broadcast(w), "source", "left")
@@ -137,20 +166,34 @@ def corpus_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog binding of ``shard_shuffle`` at the standing demo
+    epoch seed."""
+    return shard_shuffle(table(spark, sf_dir, "documents"), seed="shuffle1")
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    seed: str = "shuffle1",
+    shard_hex_digits: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Deterministic global training shuffle, sharded: every doc gets
-    an md5 shuffle key; the first hex nibble assigns one of 16 shards
-    and the position within the shard is the rank of the full key.
-    This is how a distributed trainer consumes a shuffled 100 TB
-    corpus — a GLOBAL row_number is a one-partition scale killer, but
-    shard + within-shard order gives the same uniformly-shuffled read
-    order with 16-way (in production 2^k-way) parallel sorts, each a
-    partitioned window. Changing the seed string reshuffles every
-    epoch reproducibly."""
+    an md5 shuffle key; the first ``shard_hex_digits`` hex digits
+    assign one of 16^digits shards and the position within the shard
+    is the rank of the full key. This is how a distributed trainer
+    consumes a shuffled 100 TB corpus — a GLOBAL row_number is a
+    one-partition scale killer, but shard + within-shard order gives
+    the same uniformly-shuffled read order with 2^k-way parallel
+    sorts, each a partitioned window. Changing the seed string
+    reshuffles every epoch reproducibly."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit("shuffle1:"), F.col("doc_id").cast("string")))
-    base = d.select("doc_id", h.alias("h"), F.substring(h, 1, 1).alias("shard"))
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.substring(h, 1, shard_hex_digits).alias("shard"),
+    )
     w = W.partitionBy("shard").orderBy("h", "doc_id")
     return base.select(
         "doc_id",

@@ -114,15 +114,39 @@ def compact_parquet(
     parquet dataset (metrics log, streaming sinks, grown index tails)
     needs at scale: a file-per-trigger layout turns scans into
     open-file storms. Reads the dataset, repartitions to
-    ceil(bytes/target), and atomically swaps the rewrite in
-    (write to ``path+'.compact.tmp'`` → move old → move new → drop
-    old), so a concurrent reader sees either the old or the new
-    layout, never a half-written one. Returns the new file count."""
+    ceil(bytes/target), and swaps the rewrite in (write to
+    ``path+'.compact.tmp'`` → move old aside → move new in → drop
+    old).
+
+    OFFLINE-ONLY: between the two renames the dataset path briefly
+    does not exist, so run this with no concurrent readers or writers
+    (stop the stream first) — it is the between-ingest-sessions
+    maintenance job, not an online operation. Crash recovery is
+    explicit and self-healing: a crash in the swap window strands the
+    data at ``path+'.compact.old'``; the next call (or any caller
+    invoking this function on the same path) restores it before
+    compacting. Returns the new file count.
+
+    ``batch_id=N`` partition layouts (the streaming sinks' idempotent
+    per-batch subdirs) are preserved as partitioned datasets: the
+    compacted rewrite lands in a single reserved ``batch_id=-1``
+    partition — safe because stream batch ids only count upward, so
+    no retry can ever target -1 — and later triggers keep adding
+    their own partitions beside it."""
     import math
     import os
     import shutil
 
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale attempt
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)  # recover a crash mid-swap
+    partitioned = os.path.isdir(path) and any(
+        d.startswith("batch_id=") for d in os.listdir(path)
+    )
     df = spark.read.parquet(path)
+    if partitioned:
+        df = df.drop("batch_id")
     if dedupe:
         df = df.distinct()
     size = sum(
@@ -131,23 +155,27 @@ def compact_parquet(
         for f in fs
     )
     n_parts = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
-    tmp, old = path + ".compact.tmp", path + ".compact.old"
-    df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+    dest = os.path.join(tmp, "batch_id=-1") if partitioned else tmp
+    df.repartition(n_parts).write.mode("overwrite").parquet(dest)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    leaf = os.path.join(path, "batch_id=-1") if partitioned else path
+    return sum(1 for f in os.listdir(leaf) if f.endswith(".parquet"))
 
 
 def compact_grown_index(spark: SparkSession, grow_index_dir: str) -> dict[str, int]:
     """Compact a streaming near-dup grown-index tail
     (streaming/incremental.stream_neardup_against_index): each
-    per-trigger append adds a file set; this dedupes (micro-batch
-    retries append twice — the probe side reads distinct(), the
-    storage should too) and rewrites each relation into few files.
-    Run offline between ingest sessions, exactly like the 100 TB
-    index-maintenance job the docstring promises."""
+    per-trigger ``batch_id=N`` partition adds a file set; this
+    rewrites each relation into few files under the reserved
+    ``batch_id=-1`` partition (dedupe=True also collapses any rows a
+    crashed-then-retried batch may have left — belt and braces; the
+    batch-owned-partition overwrite already prevents duplicates). Run
+    offline between ingest sessions (stream stopped — see
+    compact_parquet's offline-only contract), exactly like the 100 TB
+    index-maintenance job the streaming docstring promises."""
     import os
 
     out = {}

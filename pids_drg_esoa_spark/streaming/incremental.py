@@ -63,16 +63,23 @@ def stream_tag_esoa_parts(
     """The incremental form of the reference's Part-3 eSOA tagging
     (run_drugs_all.py:312-382 re-reads and re-tags every part per
     run): watch the part directory, run the SAME batch tagger plan
-    (plans/tagger.tag_descriptions) on each new part only, append the
-    tagged rows to ``output_path``. Exactly-once per part via the
-    stream checkpoint; tagging cost is O(new rows) per trigger — the
-    100 TB ingestion path.
+    (plans/tagger.tag_descriptions) on each new part only, write the
+    tagged rows under ``output_path``. foreachBatch is AT-LEAST-once
+    (a retry re-runs the batch after a crash mid-commit), so each
+    batch OVERWRITES its own ``batch_id=N`` partition subdirectory —
+    a retried batch replaces its previous attempt instead of
+    appending a duplicate, making the visible output effectively
+    exactly-once. Readers ``spark.read.parquet(output_path)`` as
+    usual (partition discovery adds a ``batch_id`` column). Tagging
+    cost is O(new rows) per trigger — the 100 TB ingestion path.
 
     ``dims`` carries tag_descriptions' dim kwargs (generics_dim,
     atc_dim, ...). They are materialized to plan leaves ONCE here, not
     per micro-batch, so each trigger pays only the probe-side plan.
     ``on_batch(batch_id, n_tagged)`` is an optional metrics hook (S8:
     pair with sources.writers.append_metrics)."""
+    import os
+
     from ..plans.tagger import _materialize_dims, tag_descriptions
 
     keys = list(dims)
@@ -86,13 +93,16 @@ def stream_tag_esoa_parts(
         out = rows.join(tagged, rows["DESCRIPTION"] == tagged["raw_text"], "left").drop(
             "raw_text"
         )
+        # idempotent under at-least-once retry: the batch owns its
+        # partition subdir and a re-run overwrites it in place
+        batch_dir = os.path.join(output_path, f"batch_id={batch_id}")
         try:
             if on_batch is None:
-                out.write.mode("append").parquet(output_path)
+                out.write.mode("overwrite").parquet(batch_dir)
             else:
                 out.persist()
                 try:
-                    out.write.mode("append").parquet(output_path)
+                    out.write.mode("overwrite").parquet(batch_dir)
                     on_batch(batch_id, out.count())
                 finally:
                     out.unpersist()
@@ -135,15 +145,23 @@ def stream_neardup_against_index(
     that rebuilds the index can ``.unpersist()`` the old one instead
     of leaking it into executor storage.
 
+    All writes are idempotent under foreachBatch's AT-LEAST-once
+    retry semantics: match output and grown-index rows land in
+    ``batch_id=N`` partition subdirectories that a retried batch
+    OVERWRITES (never a plain append that would duplicate), and the
+    probe side excludes the current batch's own partition — so a
+    retry after a crash mid-commit neither duplicates output nor
+    self-matches against its previous attempt's just-appended index
+    rows. The visible result is effectively exactly-once.
+
     ``grow_index_dir`` closes the production loop: after each trigger
-    the NEW batch's shingles + band rows + sizes are appended there
-    (parquet), and subsequent triggers probe the static index UNION
-    the grown tail — a near-dup of a document that arrived three
-    parts ago is caught, not just dups of the original corpus. Append
-    is idempotent under micro-batch retry (the probe side reads with
-    distinct()); the grown tail stays on storage, exactly how a
-    100 TB index is maintained (the in-memory static part is the
-    bulk; the tail compacts into it offline)."""
+    the NEW batch's shingles + band rows + sizes land there (parquet,
+    batch_id-partitioned), and subsequent triggers probe the static
+    index UNION the grown tail — a near-dup of a document that
+    arrived three parts ago is caught, not just dups of the original
+    corpus. The grown tail stays on storage, exactly how a 100 TB
+    index is maintained (the in-memory static part is the bulk; the
+    tail compacts into it offline via writers.compact_grown_index)."""
     from ..operators.dedup import (
         band_signature,
         minhash_signature,
@@ -158,12 +176,19 @@ def stream_neardup_against_index(
     idx_bands = band_signature(idx_sig).persist()
     idx_sizes = idx_sig.select("doc", F.col("n_sh").alias("nb"))
 
-    def _grown(name: str, static: DataFrame) -> DataFrame:
+    def _grown(name: str, static: DataFrame, batch_id: int) -> DataFrame:
         if grow_index_dir is None:
             return static
         path = os.path.join(grow_index_dir, name)
         try:
-            tail = spark.read.parquet(path).distinct()
+            # exclude the CURRENT batch's partition: a retried batch
+            # must not probe its own previous attempt's rows (spurious
+            # self-matches); the filter is partition-pruned
+            tail = (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+            )
         except Exception:  # first trigger: nothing appended yet
             return static
         return static.unionByName(tail)
@@ -176,9 +201,9 @@ def stream_neardup_against_index(
             # candidate join, the verify join, AND the index append
             new_sh = new_sh.localCheckpoint(eager=True)
             new_sig = new_sig.localCheckpoint(eager=True)
-        bands_all = _grown("bands", idx_bands)
-        sh_all = _grown("shingles", idx_sh)
-        sizes_all = _grown("sizes", idx_sizes)
+        bands_all = _grown("bands", idx_bands, batch_id)
+        sh_all = _grown("shingles", idx_sh, batch_id)
+        sizes_all = _grown("sizes", idx_sizes, batch_id)
         cand = (
             band_signature(new_sig)
             .withColumnRenamed("doc", "new_doc")
@@ -209,15 +234,18 @@ def stream_neardup_against_index(
             )
             .filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
         )
-        verified.write.mode("append").parquet(output_path)
+        part = f"batch_id={batch_id}"
+        verified.write.mode("overwrite").parquet(os.path.join(output_path, part))
         if grow_index_dir is not None:
-            band_signature(new_sig).write.mode("append").parquet(
-                os.path.join(grow_index_dir, "bands")
+            band_signature(new_sig).write.mode("overwrite").parquet(
+                os.path.join(grow_index_dir, "bands", part)
             )
-            new_sh.write.mode("append").parquet(os.path.join(grow_index_dir, "shingles"))
-            new_sig.select("doc", F.col("n_sh").alias("nb")).write.mode("append").parquet(
-                os.path.join(grow_index_dir, "sizes")
+            new_sh.write.mode("overwrite").parquet(
+                os.path.join(grow_index_dir, "shingles", part)
             )
+            new_sig.select("doc", F.col("n_sh").alias("nb")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(grow_index_dir, "sizes", part))
 
     q = stream_esoa_parts(spark, directory, process, checkpoint_dir)
     q.neardup_index = (idx_sh, idx_sig, idx_bands)

@@ -172,3 +172,114 @@ def test_retrieval_prep_plan_shapes(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning(shard" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round 6: parameterized library cores + vocabulary-broadcast gating
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_parameterized_matches_generated_oracle(spark, sf_dir):
+    """bm25_search with NON-default (terms, k, k1, b) must hash-match
+    the oracle generated from the same parameters — proving the
+    bit-exactness contract holds for any user parameters, not just
+    the catalog's standing constants."""
+    from oracle_compare import compare, duckdb_connection
+
+    from pids_drg_esoa_spark.operators.retrieval import _bm25_oracle_sql, bm25_search
+
+    terms, top_k, k1, b = ("data", "stream", "the", "merge"), 10, 0.9, 0.4
+    docs = table(spark, sf_dir, "documents")
+    sdf = bm25_search(docs, terms, top_k, k1, b)
+    con = duckdb_connection(sf_dir)
+    res = compare("bm25_custom", sdf, con, _bm25_oracle_sql(terms, top_k, k1, b))
+    assert res.ok and res.exact, res.detail
+
+
+def test_vocab_broadcast_gate_drops_hint_above_threshold(spark, sf_dir):
+    """Above VOCAB_BROADCAST_MAX_DOCS (or with unknown size) the
+    vocabulary join must NOT carry a forced broadcast hint — the
+    static (initial) plan degrades to sort-merge and only AQE may
+    promote it at runtime from the measured dim size. Results are
+    identical either way."""
+    from pids_drg_esoa_spark.operators.retrieval import tfidf_top_terms
+    from pids_drg_esoa_spark.operators.textstats import rare_token_stats
+
+    docs = table(spark, sf_dir, "documents")
+    # On tiny test data Catalyst's COST-BASED choice is broadcast too;
+    # to observe the HINT in isolation, turn the size-based promotion
+    # off — then only a forced hint can produce a broadcast join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (rare_token_stats, tfidf_top_terms):
+            hinted = fn(docs, n_docs=100)          # far below the gate
+            unhinted = fn(docs, n_docs=10_000_000)  # far above the gate
+            unknown = fn(docs)                      # size unknown -> no hint
+
+            for df, label in ((unhinted, "above-gate"), (unknown, "unknown-size")):
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "BroadcastHashJoin" not in plan, (
+                    f"{fn.__name__} [{label}]: forced broadcast survived the gate\n"
+                    f"{plan[:1500]}"
+                )
+                assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                    f"{fn.__name__} [{label}]: vocab join missing\n{plan[:1500]}"
+                )
+
+            hinted.collect()
+            hplan = hinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in hplan, (
+                f"{fn.__name__}: small-corpus hint lost"
+            )
+
+            rows = lambda df: sorted(map(tuple, df.collect()))
+            assert rows(hinted) == rows(unhinted) == rows(unknown), (
+                f"{fn.__name__}: gate changed results"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_training_prep_cores_parameterized(spark, sf_dir):
+    """chunk_sliding / upsample_mixture / shard_shuffle accept user
+    parameters: custom window/stride still covers every token, custom
+    weights produce the designed copy counts, a different epoch seed
+    permutes shard order while keeping the corpus identical."""
+    from pids_drg_esoa_spark.operators.training_prep import (
+        chunk_sliding,
+        shard_shuffle,
+        upsample_mixture,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+
+    ch = chunk_sliding(docs, window=5, stride=3)
+    per_doc = ch.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last"), F.sum("n_chunk_tokens").alias("tok_sum")
+    )
+    nd = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    j = per_doc.join(nd, "doc_id").collect()
+    for r in j:
+        # last chunk start 3*last < n; full cover: starts reach past n-5
+        assert 3 * r["last"] < r["n"] and 3 * (r["last"] + 1) >= r["n"] - 4
+
+    w = {"src0": (2, "00"), "src1": (0, "00")}  # 2 epochs / dropped
+    up = upsample_mixture(docs, w, seed="epoch2")
+    cnt = {r["source"]: r["c"] for r in up.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    n_src = {r["source"]: r["c"] for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert cnt.get("src0", 0) == 2 * n_src.get("src0", 0)
+    assert "src1" not in cnt
+    for s, n in n_src.items():  # unlisted sources: exactly 1 epoch
+        if s not in w:
+            assert cnt[s] == n
+
+    s1 = shard_shuffle(docs, seed="e1")
+    s2 = shard_shuffle(docs, seed="e2")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2  # same corpus either epoch
+    ord1 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in s1.collect()}
+    ord2 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in s2.collect()}
+    assert ord1 != ord2  # but a different permutation

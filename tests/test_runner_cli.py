@@ -207,14 +207,26 @@ def test_cli_curate_from_jsonl(spark, tmp_path):
 
     rc = cli.main(
         ["curate", "--inputs-dir", str(src), "--output-dir", str(tmp_path / "out"),
-         "--artifacts", "quality,repetition,span_dup"]
+         "--artifacts", "quality,repetition,span_dup,pii,rare_tokens"]
     )
     assert rc == 0
-    for name in ("quality", "repetition", "span_dup"):
+    for name in ("quality", "repetition", "span_dup", "pii", "rare_tokens"):
         df = spark.read.parquet(os.path.join(str(tmp_path / "out"), name))
         assert df.count() == 8, name
     rep = spark.read.parquet(os.path.join(str(tmp_path / "out"), "repetition"))
     assert "top_2gram_frac_micros" in rep.columns
+
+    # the CLI runs the CLEAN cores on the raw corpus — none of the
+    # oracle-only planted signal (synthetic PII, boilerplate footer,
+    # rareword tokens) may leak into the user's artifacts
+    pii = spark.read.parquet(os.path.join(str(tmp_path / "out"), "pii")).collect()
+    assert all(r["n_emails"] == 0 and r["n_phones"] == 0 and r["n_ips"] == 0 for r in pii)
+    assert all("example.com" not in r["redacted"] for r in pii)
+    span = spark.read.parquet(os.path.join(str(tmp_path / "out"), "span_dup")).collect()
+    assert all(r["n_dup_windows"] == 0 for r in span)  # corpus has no real dup spans
+    rare = spark.read.parquet(os.path.join(str(tmp_path / "out"), "rare_tokens")).collect()
+    # every doc: 9 organic tokens, exactly one hapax (its doc number)
+    assert all(r["n_tokens"] == 9 and r["n_hapax"] == 1 for r in rare)
 
 
 def test_cli_drugs_all(spark, tmp_path, flow_inputs):
