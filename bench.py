@@ -66,8 +66,13 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).count()
         timings_warm[name] = round(time.time() - t0, 3)
 
+    # best-of-2 (min of the two runs) — the flakiness guard: cold
+    # numbers whipsaw ±30% on page-cache state, so round-over-round
+    # comparisons should read cold/best/warm together.
+    timings_best = {n: min(timings[n], timings_warm[n]) for n in timings}
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(timings_warm.values()), 3)
+    total_best = round(sum(timings_best.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -78,6 +83,8 @@ def main() -> None:
                 "queries": timings,
                 "value_warm": total_warm,
                 "queries_warm": timings_warm,
+                "value_best": total_best,
+                "queries_best": timings_best,
                 "sf": float(sf) if sf else None,
             }
         )

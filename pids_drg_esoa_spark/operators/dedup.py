@@ -36,6 +36,13 @@ N_BANDS = 4  # rows-per-band r=2 → P(candidate) = 1-(1-j^2)^4
 # non-candidate shingles dominates. Local-bench corpora sit far below.
 _SEMI_FILTER_MIN_DOCS = 100_000
 
+# Below this doc count the minhash pipeline skips persisting its
+# shingle/signature intermediates: cache first-touch materialization
+# costs more than recomputing the explode/agg subtrees (r6 best-of-2
+# measurements — 5K docs: 3.3 s none vs 4.0 s both; 15K: 4.3 vs 5.3;
+# 25K: ~tie; 50K: 13.0 none vs 7.9 both). Crossover ≈ 20-25K.
+_PERSIST_MIN_DOCS = 20_000
+
 
 # ---------------------------------------------------------------------------
 # Reusable operator functions (DataFrame in → DataFrame out)
@@ -220,14 +227,18 @@ def minhash_verified_pairs(
     curation's cluster assignment both call it, so the banding scheme,
     the threshold, and the scale gating can never drift between them.
 
-    Persist strategy: the shingle relation feeds three consumers
-    (signature agg, both sides of the verify join) and the signature
-    three more (two banded self-join branches, sizes) — persist both
-    or the explode/agg subtrees re-execute per consumer
-    (MEMORY_AND_DISK default; at cluster scale shingles spill, still
-    far cheaper than recomputing the scan+explode 3×). Returns
+    Persist strategy, gated by input size: the shingle relation feeds
+    three consumers (signature agg, both sides of the verify join) and
+    the signature three more (two banded self-join branches, sizes).
+    Persisting both (MEMORY_AND_DISK) stops the explode/agg subtrees
+    re-executing per consumer — but cache materialization has its own
+    first-touch cost that exceeds the recompute at SMALL inputs
+    (r6-measured best-of-2: 5K docs 3.3 s no-persist vs 4.0 s persist;
+    crossover ≈ 20-25K; 50K docs 7.9 s persist vs 13.0 s no-persist),
+    so persisting only engages at ≥ _PERSIST_MIN_DOCS. Returns
     (verified_pairs, caches); callers that fully consume the result in
-    one action should unpersist the caches.
+    one action should unpersist the caches (the list is empty below
+    the gate).
 
     Candidate-doc semi-filter, gated by input size: the semi-join
     (persist pairs + union-distinct ids + leftsemi) adds ~3 fixed
@@ -244,11 +255,17 @@ def minhash_verified_pairs(
     job at plan-build time, so such callers should supply the count
     (or an estimate — the gate only picks a physical shape, never
     changes results)."""
-    sh = word_shingles(docs, text_col, id_col, 3).persist()
-    sig = minhash_signature(sh).persist()
-    caches = [sh, sig]
     if n_docs is None:
         n_docs = docs.count()
+    sh = word_shingles(docs, text_col, id_col, 3)
+    caches: list[DataFrame] = []
+    if n_docs >= _PERSIST_MIN_DOCS:
+        sh = sh.persist()
+        caches.append(sh)
+    sig = minhash_signature(sh)
+    if n_docs >= _PERSIST_MIN_DOCS:
+        sig = sig.persist()
+        caches.append(sig)
     if n_docs >= _SEMI_FILTER_MIN_DOCS:
         pairs = lsh_candidate_pairs(sig).persist()
         caches.append(pairs)
