@@ -423,6 +423,80 @@ def categorize_tokens_py(tokens: list[str]) -> dict[str, dict[str, int]]:
 
 
 # ---------------------------------------------------------------------------
+# F19: normalize_tokens (reference tokenizer.py:957-1034) — the step
+# between split_with_parentheses and categorize_tokens in the
+# reference's token chain: extract known multiword generics as single
+# tokens (skipping '( as ...)' salt-pattern content and trailing
+# DRUG+SALT suffixes), then split the remainder, strip punctuation,
+# and DROP STOPWORDS. The stopword drop is load-bearing for the
+# form/route output columns: the reference's STOPWORDS contain the
+# full form words (TABLET, CAPSULE, VIAL, SUSPENSION, ...) but not
+# their abbreviations (TAB, CAPS, SUSP), so 'X 1 g VIAL' categorizes
+# with form=None while 'X 500MG TAB' gets form=TABLET — and Part 4's
+# form gate inherits exactly that asymmetry (diff-adjudicated: the
+# dense-annex differential caught the engine blocking VIAL-row
+# bridges the reference allows because its annex form is None).
+# ---------------------------------------------------------------------------
+_TRAILING_SALT_WORDS = {
+    "SODIUM PHOSPHATE", "DISODIUM PHOSPHATE", "SODIUM SUCCINATE",
+    "SODIUM SULFATE", "POTASSIUM PHOSPHATE", "CALCIUM PHOSPHATE",
+    "MAGNESIUM SULFATE", "SODIUM CHLORIDE",
+}
+_SALT_AS_RE = re.compile(r"\(\s*as\s+([^)]+)\)", re.IGNORECASE)
+_NORM_STRIP_CHARS = ".,;:!?\"'()[]{}"
+
+
+def normalize_tokens_py(
+    tokens: list[str],
+    drop_stopwords: bool = True,
+    multiword_generics: frozenset[str] | tuple[str, ...] = (),
+    original_text: str | None = None,
+) -> list[str]:
+    """Reference tokenizer.py:957-1034 twin (see block comment)."""
+    result: list[str] = []
+    text = " ".join(tokens).upper()
+    salt_pattern_content: set[str] = set()
+    if original_text:
+        for m in _SALT_AS_RE.finditer(original_text):
+            salt_pattern_content.add(m.group(1).strip().upper())
+
+    def is_trailing_salt(mwg: str) -> bool:
+        if not original_text or mwg not in _TRAILING_SALT_WORDS:
+            return False
+        orig = original_text.upper()
+        pos = orig.find(mwg)
+        if pos < 0:
+            return False
+        before = orig[:pos].strip()
+        if before and len(before.split()) >= 1:
+            if before.split()[-1] not in {
+                "SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM"
+            }:
+                return True
+        return False
+
+    for mwg in sorted(multiword_generics, key=len, reverse=True):
+        if mwg in text:
+            if any(mwg in sc or sc in mwg for sc in salt_pattern_content):
+                continue
+            if is_trailing_salt(mwg):
+                continue
+            result.append(mwg)
+            text = text.replace(mwg, " ")
+
+    for tok in re.split(r"[\s,;]+", text):
+        if not tok:
+            continue
+        tok = tok.strip(_NORM_STRIP_CHARS).upper()
+        if not tok:
+            continue
+        if drop_stopwords and tok.lower() in STOPWORDS:
+            continue
+        result.append(tok)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # F17: tokenize preserving parenthesized spans (reference
 # tokenizer.py:897-926). Standalone twin — the combination extractors
 # above strip parentheticals instead; this is the general tokenizer

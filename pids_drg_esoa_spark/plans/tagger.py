@@ -150,7 +150,12 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
-        from ..functions.tokens import categorize_tokens_py, split_with_parentheses_py
+        from ..functions.tokens import (
+            categorize_tokens_py,
+            detect_compound_salts_py,
+            normalize_tokens_py,
+            split_with_parentheses_py,
+        )
 
         from ..functions.vaccines import match_vaccine_text_py
 
@@ -176,12 +181,27 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     d["type_details"] = (
                         f"{d['type_details']}; {vdet}" if d.get("type_details") else vdet
                     )
-        # dose/form/route output columns: F20 categories over the raw
-        # token stream, paren spans preserved (the reference feeds
-        # categorize from normalize_tokens over the raw text,
-        # tokenizer.py:957-1034; output shape per tagger.py:937-951)
+        # dose/form/route output columns: F20 categories over the
+        # reference's FULL token chain — split_with_parentheses →
+        # detect_compound_salts → normalize_tokens(drop_stopwords,
+        # multiword, original_text) → categorize (tokenizer.py:
+        # 1113-1200 via tagger.py:606/837/937-951). The stopword drop
+        # matters: full form words (TABLET/VIAL/CAPSULE/...) are
+        # reference STOPWORDS and never categorize as forms — only
+        # abbreviations (TAB/CAPS/SUSP) do — and Part 4's form/route
+        # gates consume these columns, so skipping normalize_tokens
+        # diverges on e.g. 'X 1 g VIAL' annex rows (r6 dense-annex
+        # differential finding).
+        mw_upper = frozenset(m.upper() for m in multiword)
         cats = [
-            categorize_tokens_py(split_with_parentheses_py(t.upper())) for t in text
+            categorize_tokens_py(
+                normalize_tokens_py(
+                    detect_compound_salts_py(split_with_parentheses_py(t)),
+                    multiword_generics=mw_upper,
+                    original_text=t,
+                )
+            )
+            for t in text
         ]
         merged = [
             merge_clean(t, d, list(c) if c is not None else [])

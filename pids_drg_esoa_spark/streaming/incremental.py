@@ -181,16 +181,16 @@ def stream_neardup_against_index(
             return static
         path = os.path.join(grow_index_dir, name)
         try:
+            tail = spark.read.parquet(path)
+        except Exception:  # first trigger: nothing appended yet
+            return static
+        if "batch_id" in tail.columns:
             # exclude the CURRENT batch's partition: a retried batch
             # must not probe its own previous attempt's rows (spurious
             # self-matches); the filter is partition-pruned
-            tail = (
-                spark.read.parquet(path)
-                .filter(F.col("batch_id") != batch_id)
-                .drop("batch_id")
-            )
-        except Exception:  # first trigger: nothing appended yet
-            return static
+            tail = tail.filter(F.col("batch_id") != batch_id).drop("batch_id")
+        # (a pre-partitioning flat legacy tail has no batch_id column
+        # and is probed as-is)
         return static.unionByName(tail)
 
     def process(batch_df, batch_id: int) -> None:

@@ -119,9 +119,18 @@ def build_dims() -> dict[str, pd.DataFrame]:
     return dims
 
 
-def build_corpus(scale: int) -> tuple[list[str], list[tuple[str, str]]]:
+def build_corpus(
+    scale: int, annex_density: int = 1
+) -> tuple[list[str], list[tuple[str, str]]]:
     """eSOA texts + Annex rows. `scale` multiplies the per-generic
-    dose variants (scale=3 → ~6K distinct texts)."""
+    dose variants (scale=3 → ~6K distinct texts). `annex_density=1`
+    is the legacy 71-row Annex; higher values build a DENSE Annex
+    (~2.4K rows at 16 — the reference's own production density,
+    run_summary.md:508's 2,427 rows): many dose/form variants per
+    generic plus deliberate exact-key collisions (same generic, dose,
+    and form under two drug codes), so Part 4's candidate index (J9,
+    reference runners.py:1012-1094) and the W3 details tie-break run
+    at realistic collision density instead of ~3% of it."""
     from pids_drg_esoa_spark.pipelines.parity_corpus import ESOA_CASES
 
     names = synth_names()
@@ -186,14 +195,39 @@ def build_corpus(scale: int) -> tuple[list[str], list[tuple[str, str]]]:
     for i in range(150):
         texts.append(f"ZZGIBBER{chr(65 + i % 26)}{chr(65 + (i // 26) % 26)} {10 + i}MG TAB")
 
-    # Annex rows: half the generics present (even i), with the BASE
-    # dose only — so base-dose texts bridge and others dose-mismatch;
-    # odd i stays generic_not_in_annex.
-    for i, name in enumerate(names):
-        if i % 2 == 0:
-            dose = 50 * (1 + i % 10)
-            form = "TABLET" if i % 4 == 0 else "CAPSULE"
-            annex.append((f"DS{i:04d}", f"{name} {dose} mg {form}"))
+    # Annex rows: half the generics present (even i); odd i stays
+    # generic_not_in_annex either way.
+    if annex_density <= 1:
+        # legacy corpus: BASE dose only — base-dose texts bridge and
+        # others dose-mismatch
+        for i, name in enumerate(names):
+            if i % 2 == 0:
+                dose = 50 * (1 + i % 10)
+                form = "TABLET" if i % 4 == 0 else "CAPSULE"
+                annex.append((f"DS{i:04d}", f"{name} {dose} mg {form}"))
+    else:
+        # dense corpus: `annex_density` dose variants x two solid
+        # forms per present generic (the first `scale` doses are also
+        # eSOA texts, so multiple candidates compete per bridge key),
+        # ratio-dose suspensions, a vial row, and an exact-key
+        # COLLISION row every 8th generic (same description, second
+        # drug code) — the index-collision tie-break regime
+        for i, name in enumerate(names):
+            if i % 2 != 0:
+                continue
+            base_dose = 50 * (1 + i % 10)
+            for v in range(annex_density):
+                dose = base_dose + 25 * v
+                annex.append((f"DS{i:04d}V{v:02d}T", f"{name} {dose} mg TABLET"))
+                annex.append((f"DS{i:04d}V{v:02d}C", f"{name} {dose} mg CAPSULE"))
+            for v in range(3):
+                dose = base_dose + 25 * v
+                annex.append(
+                    (f"DS{i:04d}R{v:02d}", f"{name} {dose} mg/5 mL SUSPENSION")
+                )
+            annex.append((f"DS{i:04d}VI", f"{name} 1 g VIAL"))
+            if i % 8 == 0:
+                annex.append((f"DS{i:04d}DUP", f"{name} {base_dose} mg TABLET"))
 
     # de-dup preserving order (tagger dedups by text anyway)
     seen: set[str] = set()
@@ -378,6 +412,9 @@ def diff_frames(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=3)
+    ap.add_argument("--annex-density", type=int, default=1,
+                    help="dose variants per present generic; 16 ~= the "
+                         "reference's 2,427-row production Annex density")
     ap.add_argument("--out", default="DIFF_REFERENCE.md")
     ap.add_argument("--keep-scratch", action="store_true")
     args = ap.parse_args()
@@ -387,7 +424,7 @@ def main() -> int:
     os.makedirs(SCRATCH, exist_ok=True)
 
     dims = build_dims()
-    esoa, annex = build_corpus(args.scale)
+    esoa, annex = build_corpus(args.scale, args.annex_density)
     print(f"corpus: {len(esoa)} distinct eSOA texts, {len(annex)} annex rows")
 
     write_unified_csvs(dims, f"{SCRATCH}/outputs")

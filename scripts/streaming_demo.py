@@ -1,0 +1,238 @@
+"""End-to-end streaming demo at volume (VERDICT r5 next-round #6):
+compose the three streaming pieces into the documented ingest flow
+and measure that per-trigger cost stays O(new data):
+
+1. ``stream_tag_esoa_parts``      — 12 eSOA part files x 2,500 rows
+   tagged incrementally against a 128-generic dim set;
+2. ``stream_neardup_against_index`` in GROWING mode — 12 document
+   parts x 2,000 docs probed against a 5,000-doc static MinHash index
+   PLUS the grown tail (near-dups of earlier PARTS are caught, not
+   just dups of the original corpus);
+3. ``writers.compact_grown_index`` — the offline maintenance op that
+   collapses the per-trigger index partitions.
+
+Per-trigger wall/rows come from the StreamingQuery's own progress
+events (batchId / numInputRows / triggerExecution ms), not ad-hoc
+timers. Prints a markdown table (for SCALE.md) plus one JSON line.
+
+Usage: python scripts/streaming_demo.py [--parts 12] [--rows 2500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.diff_reference import synth_atc, synth_names  # noqa: E402
+
+WORK = "/tmp/streaming_demo"
+
+# sentence vocabulary for the document stream (12-word sentences so
+# 3-word shingles are plentiful)
+_W = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu"
+).split()
+
+
+def _sentence(seed: int) -> str:
+    return " ".join(_W[(seed * 7 + j * 3 + (seed % 5)) % len(_W)] for j in range(12))
+
+
+def _near_dup(s: str, seed: int) -> str:
+    toks = s.split()
+    toks[seed % len(toks)] = "changed"
+    return " ".join(toks)
+
+
+def build_parts(parts: int, rows: int, docs_per_part: int):
+    tag_dir, doc_dir = f"{WORK}/parts_tag", f"{WORK}/parts_doc"
+    os.makedirs(tag_dir), os.makedirs(doc_dir)
+    names = synth_names()
+    static_n = 5000
+    part_sentences: dict[int, list[str]] = {}
+    for p in range(parts):
+        lines = ["ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION"]
+        for r in range(rows):
+            name = names[(p * rows + r) % len(names)]
+            dose = 50 * (1 + (p + r) % 10)
+            lines.append(f"T{p:02d}{r:05d},DrugsAndMedicine,{name} {dose}MG TAB")
+        with open(f"{tag_dir}/esoa_pt_{p:02d}.csv", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        sents = []
+        dlines = ["ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION"]
+        for r in range(docs_per_part):
+            seed = 10_000_000 + p * docs_per_part + r
+            if r % 20 == 0:  # 5%: near-dup of a STATIC index doc
+                s = _near_dup(_sentence(seed % static_n), seed)
+            elif r % 20 == 1 and p > 0:  # 5%: near-dup of an EARLIER part
+                prev = part_sentences[p - 1]
+                s = _near_dup(prev[seed % len(prev)], seed)
+            else:  # novel
+                s = _sentence(seed)
+            sents.append(s)
+            dlines.append(f"D{p:02d}{r:05d},Document,{s}")
+        part_sentences[p] = sents
+        with open(f"{doc_dir}/docs_pt_{p:02d}.csv", "w") as f:
+            f.write("\n".join(dlines) + "\n")
+    return tag_dir, doc_dir, static_n
+
+
+def progress_rows(q) -> list[dict]:
+    out = []
+    for pr in q.recentProgress:
+        p = json.loads(pr.json) if hasattr(pr, "json") else pr
+        if p.get("numInputRows", 0) > 0:
+            out.append(
+                {
+                    "batch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                }
+            )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", type=int, default=12)
+    ap.add_argument("--rows", type=int, default=2500)
+    ap.add_argument("--docs", type=int, default=2000)
+    args = ap.parse_args()
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    from pids_drg_esoa_spark.session import get_spark
+    from pids_drg_esoa_spark.sources.writers import compact_grown_index
+    from pids_drg_esoa_spark.streaming.incremental import (
+        stream_neardup_against_index,
+        stream_tag_esoa_parts,
+    )
+
+    spark = get_spark(app_name="streaming-demo")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    tag_dir, doc_dir, static_n = build_parts(args.parts, args.rows, args.docs)
+
+    names = synth_names()
+    dims = {
+        "generics_dim": spark.createDataFrame(
+            [(n, f"DBS{i:04d}") for i, n in enumerate(names)],
+            "generic_name string, drugbank_id string",
+        ),
+        "atc_dim": spark.createDataFrame(
+            [(n, synth_atc(i), False) for i, n in enumerate(names)],
+            "generic_name string, atc_code string, is_combination_atc boolean",
+        ),
+    }
+
+    # --- 1. incremental tagging ---
+    t0 = time.time()
+    q1 = stream_tag_esoa_parts(
+        spark, tag_dir, dims, f"{WORK}/tagged", f"{WORK}/ckpt_tag"
+    )
+    q1.awaitTermination()
+    tag_wall = time.time() - t0
+    tag_prog = progress_rows(q1)
+    n_tagged = spark.read.parquet(f"{WORK}/tagged").count()
+
+    # --- 2. near-dup vs static + growing index ---
+    index_docs = spark.createDataFrame(
+        [(f"S{i:05d}", _sentence(i)) for i in range(static_n)],
+        "ITEM_NUMBER string, DESCRIPTION string",
+    )
+    grow = f"{WORK}/grown"
+    t0 = time.time()
+    q2 = stream_neardup_against_index(
+        spark, doc_dir, index_docs, f"{WORK}/dups", f"{WORK}/ckpt_dup",
+        grow_index_dir=grow,
+    )
+    q2.awaitTermination()
+    dup_wall = time.time() - t0
+    dup_prog = progress_rows(q2)
+    for r in q2.neardup_index:
+        r.unpersist()
+
+    dups = spark.read.parquet(f"{WORK}/dups")
+    n_pairs = dups.count()
+    # cross-part hits = index_doc written by a PART (grown tail), not the static index
+    n_cross_part = dups.filter(~F.col("index_doc").startswith("S")).count()
+
+    # grown index growth per trigger (bytes per batch partition)
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    shingle_parts = sorted(
+        (d, _dir_bytes(os.path.join(grow, "shingles", d)))
+        for d in os.listdir(os.path.join(grow, "shingles"))
+        if d.startswith("batch_id=")
+    )
+
+    files_before = sum(
+        1
+        for name in ("bands", "shingles", "sizes")
+        for dp, _, fs in os.walk(os.path.join(grow, name))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    t0 = time.time()
+    compact_counts = compact_grown_index(spark, grow)
+    compact_wall = time.time() - t0
+
+    # --- report ---
+    def table(rows):
+        out = ["| trigger | rows | sec |", "|---|---|---|"]
+        out += [f"| {r['batch']} | {r['rows']} | {r['sec']} |" for r in rows]
+        return "\n".join(out)
+
+    print("\n### Incremental tagging (per trigger)\n")
+    print(table(tag_prog))
+    print(f"\ntagged rows: {n_tagged}; wall {tag_wall:.1f}s")
+    print("\n### Near-dup vs static+growing index (per trigger)\n")
+    print(table(dup_prog))
+    print(
+        f"\npairs: {n_pairs} ({n_cross_part} cross-part via the grown tail); "
+        f"wall {dup_wall:.1f}s"
+    )
+    print("\ngrown shingle partition bytes per trigger:")
+    for d, b in shingle_parts:
+        print(f"  {d}: {b}")
+    print(
+        f"\ncompaction: {files_before} files -> {compact_counts} "
+        f"({compact_wall:.1f}s)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_demo",
+                "parts": args.parts,
+                "tag_rows": n_tagged,
+                "tag_trigger_sec": [r["sec"] for r in tag_prog],
+                "dup_pairs": n_pairs,
+                "dup_cross_part_pairs": n_cross_part,
+                "dup_trigger_sec": [r["sec"] for r in dup_prog],
+                "compact_files_before": files_before,
+                "compact_files_after": compact_counts,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
