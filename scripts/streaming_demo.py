@@ -46,12 +46,24 @@ _W = (
 
 
 def _sentence(seed: int) -> str:
-    return " ".join(_W[(seed * 7 + j * 3 + (seed % 5)) % len(_W)] for j in range(12))
+    """Deterministic, seed-unique 12-word sentence: 11 spread-hashed
+    vocabulary words plus a seed-unique token, so organic sentence
+    pairs stay far below the Jaccard threshold and only the PLANTED
+    near-dups match (a short-period generator here makes every doc a
+    near-dup of hundreds of others and the pair count quadratic)."""
+    words = [_W[(seed * 2654435761 + j * 40503 + j * j * 97) % len(_W)] for j in range(11)]
+    words.insert(5, f"id{seed}")
+    return " ".join(words)
 
 
 def _near_dup(s: str, seed: int) -> str:
+    """Replace the LAST token: a 12-token doc has 10 word-3-shingles
+    and an edge change kills exactly 2 of them (8 common / 12 union =
+    2/3 — right AT the batch threshold), so every planted near-dup is
+    a guaranteed detection; an interior change would kill 3 shingles
+    (7/13 < 2/3) and silently plant non-detections."""
     toks = s.split()
-    toks[seed % len(toks)] = "changed"
+    toks[-1] = f"changed{seed % 7}"
     return " ".join(toks)
 
 
@@ -97,6 +109,9 @@ def progress_rows(q) -> list[dict]:
             out.append(
                 {
                     "batch": p["batchId"],
+                    # numInputRows over-counts by the number of actions
+                    # foreachBatch runs over the batch (each re-scans
+                    # the file source); durations are trustworthy
                     "rows": p["numInputRows"],
                     "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
                 }
