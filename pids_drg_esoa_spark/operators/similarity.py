@@ -600,3 +600,81 @@ def semantic_dedup_semdedup_largek(spark: SparkSession, sf_dir: str) -> DataFram
     return semdedup_keeplist(
         _semdedup_planted(spark, sf_dir), k=SEMDEDUP_LARGE_K, assign="join"
     )
+
+
+@register(
+    "ann_ivf_recall_report",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CELLS},
+    kq AS (
+        SELECT v.vec_id, v.qe, a2.cell
+        FROM v JOIN a2 USING (vec_id) WHERE v.vec_id < {N_QUERIES}
+    ),
+    kcand AS (
+        SELECT kq.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> kq.qe[i] * bv.qe[i])) AS BIGINT) AS dot_q
+        FROM kq
+        JOIN a2 b ON b.cell = kq.cell AND b.vec_id <> kq.vec_id
+        JOIN v bv ON bv.vec_id = b.vec_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+            FROM kcand
+        ) WHERE rnk <= 3
+    ),
+    bq AS (SELECT vec_id, qe FROM v WHERE vec_id < {N_QUERIES}),
+    bscored AS (
+        SELECT bq.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> bq.qe[i] * b.qe[i])) AS BIGINT) AS dot_q
+        FROM bq, v b WHERE b.vec_id <> bq.vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+            FROM bscored
+        ) WHERE rnk <= 3
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+    FROM brute b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the trained-k-means IVF path against the exact
+    brute-force baseline, per query — recall is a MEASURED quantity
+    here, not a guessed one (the IVF tradeoff SCALE.md documents:
+    probing one coarse cell trades recall for the O(n) shuffle; this
+    operator is how a production deployment would monitor that trade
+    on real data). Composes the two existing oracle-exact rankings
+    and counts the overlap; both rankings are integer-deterministic,
+    so the recall report itself is hash-exact."""
+    brute = ann_cosine_topk(spark, sf_dir).filter(F.col("rank") <= 3).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_ivf_kmeans_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    return (
+        brute.join(
+            ivf,
+            (brute.query_id == ivf.query_id)
+            & (brute.neighbor_id == ivf.ivf_neighbor_id),
+            "left",
+        )
+        .select(brute.query_id.alias("query_id"), "neighbor_id", "ivf_neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+            F.count("ivf_neighbor_id").cast("bigint").alias("n_hits"),
+        )
+    )

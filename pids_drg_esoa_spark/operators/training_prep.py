@@ -200,3 +200,94 @@ def shard_shuffle(
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+TOKEN_BUDGET = 100_000  # demo budget; a parameter of the library core
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               md5('budget1:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, h, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+        FROM b
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog binding of ``token_budget_sample`` at the standing
+    demo budget. The oracle is the NAIVE form (one global running-sum
+    window); the Spark plan is the distributed two-pass prefix-sum —
+    identical output, no single-partition stage."""
+    return token_budget_sample(table(spark, sf_dir, "documents"), TOKEN_BUDGET)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    seed: str = "budget1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budget corpus cut: order documents by an
+    md5 shuffle key and keep the prefix whose cumulative token count
+    fits ``budget_tokens`` — how a training run selects "the first
+    N billion tokens of the (shuffled) corpus" reproducibly.
+
+    The naive plan is a GLOBAL running-sum window — an
+    Exchange SinglePartition that serializes 100 TB through one task.
+    This is instead the textbook distributed prefix-sum, exact and
+    fully parallel:
+
+    1. shard by the first hex nibble of the key (the shard is a
+       PREFIX of the sort key, so global (h, doc_id) order ==
+       (shard, h, doc_id) order);
+    2. within-shard running sums — 16 parallel partitioned windows;
+    3. per-shard totals (16 rows) get cross-shard offsets via a
+       broadcast triangular self-join (strictly-smaller shards'
+       totals summed) — no single-partition exchange anywhere, the
+       16-row dim is the only data that crosses shards;
+    4. keep rows with offset + running ≤ budget.
+
+    Output (doc_id, n_tokens, cum_tokens) where cum_tokens is the
+    EXACT global prefix sum — byte-identical to the naive plan."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    b = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.size(F.split(text_col, " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn("shard", F.substring("h", 1, 1))
+    w = W.partitionBy("shard").orderBy("h", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = b.withColumn("running", F.sum("n_tokens").over(w))
+    totals = b.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    offsets = (
+        totals.alias("t")
+        .join(
+            F.broadcast(totals.alias("p")),
+            F.col("p.shard") < F.col("t.shard"),
+            "left",
+        )
+        .groupBy(F.col("t.shard").alias("shard"))
+        .agg(F.coalesce(F.sum("p.shard_total"), F.lit(0)).alias("offset"))
+    )
+    return (
+        within.join(F.broadcast(offsets), "shard")
+        .withColumn("cum_tokens", (F.col("offset") + F.col("running")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

@@ -311,3 +311,71 @@ def test_dose_similarity_native_zero_per_val_matches_twin(spark):
         ).alias("sim")
     )
     assert df.collect()[0]["sim"] == 1.0
+
+
+def test_normalize_tokens_f19_stopword_form_asymmetry():
+    """F19 (round 6, dense-differential finding): the reference's
+    normalize_tokens drops STOPWORDS — which include the FULL form
+    words (TABLET/VIAL/CAPSULE/SUSPENSION) but not the abbreviations
+    (TAB/CAPS/SUSP) — before categorize_tokens ever runs. So the
+    categorized form is None for written-out forms and set for
+    abbreviations; Part 4's form gate inherits exactly this
+    asymmetry (reference tokenizer.py:957-1034, 1037-1100)."""
+    from pids_drg_esoa_spark.functions.tokens import (
+        categorize_tokens_py,
+        detect_compound_salts_py,
+        normalize_tokens_py,
+        split_with_parentheses_py,
+    )
+
+    def form_of(text):
+        cats = categorize_tokens_py(
+            normalize_tokens_py(
+                detect_compound_salts_py(split_with_parentheses_py(text)),
+                original_text=text,
+            )
+        )
+        return next(iter(cats["form"]), None)
+
+    # full form words are stopwords -> never categorized as forms
+    assert form_of("ALBUMYCIN 1 g VIAL") is None
+    assert form_of("ALBUMYCIN 500 MG TABLET") is None
+    assert form_of("ALBUMYCIN 500MG CAPSULE (OP)") is None
+    # abbreviations survive the stopword drop and canonicalize
+    assert form_of("ALBUMYCIN 500MG TAB") == "TABLET"
+    assert form_of("ALBUMYCIN 500 mg tab") == "TABLET"
+    assert form_of("SALBUTAMOL 1MG SUSP") == "SUSPENSION"
+
+    # multiword generic extraction precedes the split (salt-pattern
+    # content excluded) and stopword-y words inside multiwords survive
+    toks = normalize_tokens_py(
+        ["CLAVULANIC", "ACID", "500MG", "TABLET"],
+        multiword_generics=frozenset({"CLAVULANIC ACID"}),
+        original_text="CLAVULANIC ACID 500MG TABLET",
+    )
+    assert toks[0] == "CLAVULANIC ACID" and "TABLET" not in toks
+
+    # '( as SODIUM SALT)' content never produces a multiword match
+    toks = normalize_tokens_py(
+        ["X", "( as SODIUM CHLORIDE)", "500MG"],
+        multiword_generics=frozenset({"SODIUM CHLORIDE"}),
+        original_text="X ( as SODIUM CHLORIDE) 500MG",
+    )
+    assert "SODIUM CHLORIDE" not in toks
+
+
+def test_diff_reference_dense_annex_corpus_shape():
+    """--annex-density N builds the reference-density Annex: many
+    dose/form variants per present generic plus deliberate exact-key
+    collision rows (same description, second drug code)."""
+    from scripts.diff_reference import build_corpus
+
+    texts_legacy, annex_legacy = build_corpus(3)
+    texts_dense, annex_dense = build_corpus(3, annex_density=16)
+    assert texts_dense == texts_legacy  # density changes ONLY the annex
+    assert len(annex_legacy) < 100
+    assert 2_000 < len(annex_dense) < 3_000
+    descs = [d for _, d in annex_dense]
+    codes = [c for c, _ in annex_dense]
+    assert len(set(codes)) == len(codes)  # codes unique
+    assert len(set(descs)) < len(descs)  # collisions: duplicated descriptions

@@ -283,3 +283,35 @@ def test_training_prep_cores_parameterized(spark, sf_dir):
     ord1 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in s1.collect()}
     ord2 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in s2.collect()}
     assert ord1 != ord2  # but a different permutation
+
+
+def test_token_budget_sample_distributed_prefix_sum(spark, sf_dir):
+    """token_budget_sample: the running sum must come from 16
+    shard-partitioned windows + a broadcast offset dim — never a
+    global (single-partition) window — and must equal the naive
+    global prefix sum exactly."""
+    from pyspark.sql import Window as W
+
+    from pids_drg_esoa_spark.operators.training_prep import token_budget_sample
+
+    docs = table(spark, sf_dir, "documents")
+    df = token_budget_sample(docs, 10_000)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning(shard" in plan
+
+    # naive single-window reference computation
+    h = F.md5(F.concat(F.lit("budget1:"), F.col("doc_id").cast("string")))
+    naive = (
+        docs.select("doc_id", h.alias("h"), F.size(F.split("text", " ")).cast("bigint").alias("n"))
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                W.orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .filter(F.col("cum") <= 10_000)
+        .select("doc_id", F.col("n").alias("n_tokens"), F.col("cum").alias("cum_tokens"))
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, naive.collect()))
