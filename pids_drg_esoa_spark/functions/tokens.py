@@ -475,6 +475,12 @@ def normalize_tokens_py(
                 return True
         return False
 
+    # RAW substring match + replace-ALL + single append is deliberate
+    # reference parity (tokenizer.py:1005-1014 does exactly this):
+    # 'SALICYLIC ACID' DOES match inside 'ACETYLSALICYLIC ACID' and a
+    # repeated multiword is appended once — unlike the tagger's
+    # word-boundary multiword_hits (plans/tagger.py:127), which twins
+    # the DIFFERENT matcher in tokenizer.py:1172. Do not "fix" either.
     for mwg in sorted(multiword_generics, key=len, reverse=True):
         if mwg in text:
             if any(mwg in sc or sc in mwg for sc in salt_pattern_content):

@@ -51,10 +51,9 @@ TOP_K = 20
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-# Above this corpus size the vocabulary dim loses its broadcast hint
-# (Heaps' law — see module docstring). Mirrors dedup's
-# _SEMI_FILTER_MIN_DOCS gating pattern.
-VOCAB_BROADCAST_MAX_DOCS = 100_000
+# ONE broadcast policy for the vocabulary dim (Heaps' law — see
+# module docstring and textstats.py, where the constant lives).
+from .textstats import VOCAB_BROADCAST_MAX_DOCS  # noqa: E402
 
 
 def _bm25_oracle_sql(terms: Sequence[str], top_k: int, k1: float, b: float) -> str:
@@ -62,7 +61,9 @@ def _bm25_oracle_sql(terms: Sequence[str], top_k: int, k1: float, b: float) -> s
     Float literals are emitted with repr() from the exact doubles the
     Spark expression multiplies by, so both engines evaluate the same
     IEEE-754 expression tree."""
-    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    # SQL-escape user terms ('' doubling) — terms are a public
+    # parameter now, and an apostrophe must not break the oracle
+    terms_sql = ", ".join("('{}')".format(t.replace("'", "''")) for t in terms)
     k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -274,7 +274,12 @@ def token_budget_sample(
         W.unboundedPreceding, W.currentRow
     )
     within = b.withColumn("running", F.sum("n_tokens").over(w))
-    totals = b.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    # shard totals from the WINDOWED relation (the shard's last
+    # running value), not from `b` directly: both consumers then share
+    # the same shard-hash exchange subtree, which AQE reuses
+    # (ReusedExchange) — the corpus is scanned and tokenized ONCE, not
+    # once per branch
+    totals = within.groupBy("shard").agg(F.max("running").alias("shard_total"))
     offsets = (
         totals.alias("t")
         .join(

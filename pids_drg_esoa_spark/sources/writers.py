@@ -109,6 +109,7 @@ def compact_parquet(
     path: str,
     target_mb: int = 256,
     dedupe: bool = False,
+    migrate_to_batch_layout: bool = False,
 ) -> int:
     """Small-files compaction — the maintenance op every append-mode
     parquet dataset (metrics log, streaming sinks, grown index tails)
@@ -125,17 +126,29 @@ def compact_parquet(
     explicit and self-healing: a crash in the swap window strands the
     data at ``path+'.compact.old'``; the next call (or any caller
     invoking this function on the same path) restores it before
-    compacting. Returns the new file count.
+    compacting. Returns the new parquet file count.
 
     ``batch_id=N`` partition layouts (the streaming sinks' idempotent
-    per-batch subdirs) are preserved as partitioned datasets: the
-    compacted rewrite lands in a single reserved ``batch_id=-1``
-    partition — safe because stream batch ids only count upward, so
-    no retry can ever target -1 — and later triggers keep adding
-    their own partitions beside it."""
+    per-batch subdirs): every partition EXCEPT the highest batch id
+    is merged into the reserved ``batch_id=-1`` partition; the
+    highest partition is preserved file-for-file. The highest batch
+    is the one the stream checkpoint may not have committed yet — if
+    its rows were merged into -1, a post-crash replay of that batch
+    would overwrite an empty ``batch_id=N`` while its previous
+    attempt's rows survive in -1 (duplicates, and in the grown-index
+    case self-matches, since the probe-side exclusion filters on the
+    batch_id value). Later triggers keep adding partitions beside -1.
+
+    ``migrate_to_batch_layout=True`` rewrites a FLAT (pre-batch-
+    layout) dataset into the ``batch_id=-1`` partitioned form — the
+    one-time migration a stream sink or grown index written by the
+    old append-mode code needs before a new-style trigger may write
+    beside it (a mixed flat+partitioned root is unreadable)."""
     import math
     import os
     import shutil
+
+    from pyspark.sql import functions as SF
 
     tmp, old = path + ".compact.tmp", path + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)  # stale attempt
@@ -145,42 +158,62 @@ def compact_parquet(
         d.startswith("batch_id=") for d in os.listdir(path)
     )
     df = spark.read.parquet(path)
-    if partitioned:
-        df = df.drop("batch_id")
-    if dedupe:
-        df = df.distinct()
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
         for f in fs
     )
     n_parts = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
-    dest = os.path.join(tmp, "batch_id=-1") if partitioned else tmp
-    df.repartition(n_parts).write.mode("overwrite").parquet(dest)
+
+    if partitioned:
+        mx = df.agg(SF.max("batch_id")).first()[0]
+        merged = df.filter(SF.col("batch_id") != mx).drop("batch_id")
+        if dedupe:
+            merged = merged.distinct()
+        os.makedirs(tmp, exist_ok=True)
+        shutil.copytree(
+            os.path.join(path, f"batch_id={mx}"),
+            os.path.join(tmp, f"batch_id={mx}"),
+        )
+        # append: when mx == -1 (already fully compacted) the copied
+        # partition IS the -1 dir and `merged` is empty
+        merged.repartition(n_parts).write.mode("append").parquet(
+            os.path.join(tmp, "batch_id=-1")
+        )
+    else:
+        if dedupe:
+            df = df.distinct()
+        dest = os.path.join(tmp, "batch_id=-1") if migrate_to_batch_layout else tmp
+        df.repartition(n_parts).write.mode("overwrite").parquet(dest)
+
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    leaf = os.path.join(path, "batch_id=-1") if partitioned else path
-    return sum(1 for f in os.listdir(leaf) if f.endswith(".parquet"))
+    return sum(
+        1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
 
 
 def compact_grown_index(spark: SparkSession, grow_index_dir: str) -> dict[str, int]:
     """Compact a streaming near-dup grown-index tail
     (streaming/incremental.stream_neardup_against_index): each
     per-trigger ``batch_id=N`` partition adds a file set; this
-    rewrites each relation into few files under the reserved
-    ``batch_id=-1`` partition (dedupe=True also collapses any rows a
-    crashed-then-retried batch may have left — belt and braces; the
-    batch-owned-partition overwrite already prevents duplicates). Run
-    offline between ingest sessions (stream stopped — see
-    compact_parquet's offline-only contract), exactly like the 100 TB
-    index-maintenance job the streaming docstring promises."""
+    rewrites every relation's committed partitions into the reserved
+    ``batch_id=-1`` partition while PRESERVING the highest batch
+    partition (it may still be uncommitted in the stream checkpoint —
+    see compact_parquet), and migrates pre-batch-layout flat tails
+    into the partitioned form in the same pass. Run offline between
+    ingest sessions (stream stopped — compact_parquet's offline-only
+    contract), exactly like the 100 TB index-maintenance job the
+    streaming docstring promises."""
     import os
 
     out = {}
     for name in ("bands", "shingles", "sizes"):
         p = os.path.join(grow_index_dir, name)
         if os.path.isdir(p):
-            out[name] = compact_parquet(spark, p, dedupe=True)
+            out[name] = compact_parquet(
+                spark, p, dedupe=True, migrate_to_batch_layout=True
+            )
     return out

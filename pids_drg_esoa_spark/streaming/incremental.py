@@ -70,8 +70,12 @@ def stream_tag_esoa_parts(
     a retried batch replaces its previous attempt instead of
     appending a duplicate, making the visible output effectively
     exactly-once. Readers ``spark.read.parquet(output_path)`` as
-    usual (partition discovery adds a ``batch_id`` column). Tagging
-    cost is O(new rows) per trigger — the 100 TB ingestion path.
+    usual (partition discovery adds a ``batch_id`` column). An
+    output dir written by the pre-batch flat-append layout must be
+    migrated once before resuming (``writers.compact_parquet(...,
+    migrate_to_batch_layout=True)``) — a mixed flat+partitioned root
+    is unreadable. Tagging cost is O(new rows) per trigger — the
+    100 TB ingestion path.
 
     ``dims`` carries tag_descriptions' dim kwargs (generics_dim,
     atc_dim, ...). They are materialized to plan leaves ONCE here, not
@@ -180,18 +184,26 @@ def stream_neardup_against_index(
         if grow_index_dir is None:
             return static
         path = os.path.join(grow_index_dir, name)
-        try:
-            tail = spark.read.parquet(path)
-        except Exception:  # first trigger: nothing appended yet
+        if not os.path.isdir(path):  # first trigger: nothing yet
             return static
-        if "batch_id" in tail.columns:
-            # exclude the CURRENT batch's partition: a retried batch
-            # must not probe its own previous attempt's rows (spurious
-            # self-matches); the filter is partition-pruned
-            tail = tail.filter(F.col("batch_id") != batch_id).drop("batch_id")
-        # (a pre-partitioning flat legacy tail has no batch_id column
-        # and is probed as-is)
-        return static.unionByName(tail)
+        tail = spark.read.parquet(path)
+        if "batch_id" not in tail.columns:
+            # a pre-batch-layout flat tail would become an UNREADABLE
+            # mixed root once this trigger writes batch_id=N beside
+            # it, and flat rows can't be excluded on retry — refuse
+            # loudly instead of silently dropping the tail later
+            raise RuntimeError(
+                f"grown index at {path} uses the pre-batch flat layout; "
+                "run sources.writers.compact_grown_index(spark, "
+                f"{grow_index_dir!r}) once (stream stopped) to migrate "
+                "it before resuming"
+            )
+        # exclude the CURRENT batch's partition: a retried batch must
+        # not probe its own previous attempt's rows (spurious
+        # self-matches); the filter is partition-pruned
+        return static.unionByName(
+            tail.filter(F.col("batch_id") != batch_id).drop("batch_id")
+        )
 
     def process(batch_df, batch_id: int) -> None:
         new_sh = word_shingles(batch_df, text_col, id_col)

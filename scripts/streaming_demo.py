@@ -193,9 +193,12 @@ def main() -> int:
         )
 
     shingle_parts = sorted(
-        (d, _dir_bytes(os.path.join(grow, "shingles", d)))
-        for d in os.listdir(os.path.join(grow, "shingles"))
-        if d.startswith("batch_id=")
+        (
+            (d, _dir_bytes(os.path.join(grow, "shingles", d)))
+            for d in os.listdir(os.path.join(grow, "shingles"))
+            if d.startswith("batch_id=")
+        ),
+        key=lambda t: int(t[0].split("=")[1]),  # numeric trigger order
     )
 
     files_before = sum(

@@ -163,11 +163,14 @@ def test_compact_parquet_and_grown_index(spark, tmp_path):
 
 
 def test_compact_parquet_partitioned_layout_and_recovery(spark, tmp_path):
-    """Round 6: (a) a batch_id=N streaming sink compacts into the
-    reserved batch_id=-1 partition and stays a valid partitioned
-    dataset that later triggers can extend; (b) a crash stranded in
-    the swap window (data at .compact.old, nothing at path) is
-    restored on the next call."""
+    """Round 6: (a) a batch_id=N streaming sink compacts its
+    COMMITTED partitions into the reserved batch_id=-1 partition
+    while PRESERVING the highest batch (it may be uncommitted in the
+    stream checkpoint — a replay must still find and overwrite its
+    own partition), staying a valid partitioned dataset later
+    triggers can extend; (b) a crash stranded in the swap window
+    (data at .compact.old, nothing at path) is restored on the next
+    call."""
     import os
     import shutil
 
@@ -182,10 +185,20 @@ def test_compact_parquet_partitioned_layout_and_recovery(spark, tmp_path):
         ).parquet(os.path.join(p, f"batch_id={b}"))
 
     n_files = compact_parquet(spark, p, target_mb=256)
-    assert n_files == 1
+    # one merged -1 file + the preserved batch-3 files (file-for-file,
+    # however many its original write produced)
+    assert (
+        sum(1 for f in os.listdir(os.path.join(p, "batch_id=-1")) if f.endswith(".parquet"))
+        == 1
+    )
+    assert n_files >= 2
     df = spark.read.parquet(p)
     assert df.count() == 4
-    assert set(r["batch_id"] for r in df.select("batch_id").distinct().collect()) == {-1}
+    parts = set(r["batch_id"] for r in df.select("batch_id").distinct().collect())
+    assert parts == {-1, 3}  # 0..2 merged; the LATEST batch kept as-is
+    # the preserved partition still holds exactly its own rows — a
+    # replayed batch 3 would overwrite it without touching -1
+    assert df.filter(F.col("batch_id") == 3).count() == 1
 
     # later trigger appends its own partition beside the compacted one
     spark.createDataFrame([(9, "y")], "id int, v string").write.mode(
@@ -215,3 +228,57 @@ def test_streaming_sink_batch_overwrite_is_idempotent(spark, tmp_path):
     for _attempt in range(2):  # first attempt + retry
         rows.write.mode("overwrite").parquet(os.path.join(p, "batch_id=0"))
     assert spark.read.parquet(p).count() == 2
+
+
+def test_grown_index_flat_legacy_migration(spark, tmp_path):
+    """A pre-batch flat grown tail is refused by the stream (loud,
+    with the migration command) and compact_grown_index migrates it
+    into the batch_id layout the stream accepts."""
+    import os
+
+    import pytest as _pytest
+
+    from pids_drg_esoa_spark.sources.writers import compact_grown_index
+    from pids_drg_esoa_spark.streaming.incremental import stream_neardup_against_index
+
+    grow = tmp_path / "grown"
+    bands = spark.createDataFrame(
+        [("d1", 0, "k")], "doc string, band_idx int, band_key string"
+    )
+    bands.write.mode("append").parquet(str(grow / "bands"))  # flat legacy
+
+    index_docs = spark.createDataFrame(
+        [("I1", "one two three four five six seven eight nine ten eleven twelve")],
+        "ITEM_NUMBER string, DESCRIPTION string",
+    )
+    src = tmp_path / "parts"
+    src.mkdir()
+    (src / "esoa_pt_1.csv").write_text(
+        "ITEM_NUMBER,ITEM_REF_CODE,DESCRIPTION\n"
+        "N1,X,one two three four five six seven eight nine ten eleven other\n"
+    )
+    q = stream_neardup_against_index(
+        spark, str(src), index_docs, str(tmp_path / "out"), str(tmp_path / "ck"),
+        grow_index_dir=str(grow),
+    )
+    with _pytest.raises(Exception, match="pre-batch flat layout"):
+        q.awaitTermination()
+        q.processAllAvailable()
+    for r in q.neardup_index:
+        r.unpersist()
+
+    # migrate, then a fresh stream (new checkpoint) runs clean
+    counts = compact_grown_index(spark, str(grow))
+    assert counts["bands"] >= 1
+    migrated = spark.read.parquet(str(grow / "bands"))
+    assert "batch_id" in migrated.columns and migrated.count() == 1
+
+    q2 = stream_neardup_against_index(
+        spark, str(src), index_docs, str(tmp_path / "out2"), str(tmp_path / "ck2"),
+        grow_index_dir=str(grow),
+    )
+    q2.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "out2")).collect()
+    assert {(r.new_doc, r.index_doc) for r in rows} == {("N1", "I1")}
+    for r in q2.neardup_index:
+        r.unpersist()
