@@ -391,13 +391,46 @@ PRIORITY_SYNONYM_MIXTURE_FALLBACK = 98
 PRIORITY_MIXTURE_FALLBACK = 99
 
 
+def _pin_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition to 2× the cluster parallelism so the
+    PYTHON-heavy stage that follows runs wide. AQE's partition
+    coalescing is byte-based and collapses small-byte/high-CPU
+    relations (deduped texts, distinct lookup keys) to one partition,
+    serializing every pandas-UDF stage built on them — it cannot see
+    Python CPU, only shuffle bytes. Measured caveat: Spark treats
+    repartition(numPartitions, col) as AQE-coalescible when
+    numPartitions EQUALS spark.sql.shuffle.partitions, so dodge an
+    accidental collision with the session setting (2× parallelism is
+    also the better width for Python-stage stragglers). Hashing on
+    the given cols keeps row placement deterministic."""
+    spark_ = df.sparkSession
+    n_part = 2 * spark_.sparkContext.defaultParallelism
+    try:
+        if n_part == int(spark_.conf.get("spark.sql.shuffle.partitions")):
+            n_part += 1
+    except (TypeError, ValueError):
+        pass
+    return df.repartition(n_part, *[F.col(c) for c in cols])
+
+
 def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFrame:
     """Stages 1-2: dedupe texts, extract combination components."""
     doc_enrich = _make_doc_enrich(brand_b, mw_b, syn_b)
+    # Explicit repartition after the dedupe shuffle (_pin_parallelism):
+    # AQE's coalescing is BYTE-based (parallelismFirst still coalesces
+    # below minPartitionSize), and 155K distinct short texts compress
+    # under 1 MB — so without this, AQE collapses the stage to ONE
+    # partition and the expensive Python enrichment below runs
+    # single-threaded (r6 measured at 155K texts: the enrich stage
+    # alone 46-49 s on one core vs 4.7 s pinned wide; AQE cannot see
+    # Python CPU, only shuffle bytes).
     docs = (
-        esoa.select(F.col(text_col).alias("raw_text"))
-        .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
-        .distinct()
+        _pin_parallelism(
+            esoa.select(F.col(text_col).alias("raw_text"))
+            .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
+            .distinct(),
+            "raw_text",
+        )
         .withColumn("text_norm", normalize_text(F.col("raw_text")))
         # native (whole-stage-codegen) twin of the Python extractor —
         # equivalence pinned by tests/test_native_combination_parity.py
@@ -562,18 +595,27 @@ def _token_matches(
             )
         )
 
+    # The three fallback tiers below (prefix / multiword-containment /
+    # fuzzy) are the EXPENSIVE probes — and their candidate choice
+    # depends ONLY on the key, never on which text carried it. Probe
+    # per DISTINCT key, then broadcast-join the resolved hits back to
+    # the (raw_text, key) relation — the reference's own shape
+    # (batch_lookup_generics caches per unique token, tagger.py:700).
+    # Without this the fuzzy scorer ran once per (text, candidate):
+    # r6-measured 21.9M pure-Python ratio calls (2,260 CPU-s) at 155K
+    # texts vs ~0.3M per-distinct-key. _pin_parallelism: dkeys is
+    # small-bytes/high-CPU, exactly what AQE would collapse to one
+    # partition.
+    dkeys = _persist_tracked(_pin_parallelism(keys.select("key").distinct(), "key"))
+
     # Prefix tier (lookup.py:287-295): dim name starts with "<token> "
     # — catches salt-suffixed dims ('amoxicillin' → 'AMOXICILLIN
     # TRIHYDRATE', fuzzy ratio ~67 would miss it). Reference keeps
     # LIMIT 3 ordered by length; same top-3 here.
-    pref = keys.join(g, F.col("gkey").startswith(F.concat(keys.key, F.lit(" "))))
-    wp = W.partitionBy("raw_text", "key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
-    tiers.append(
-        tier(
-            pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3),
-            4, PRIORITY_PREFIX, "prefix",
-        )
-    )
+    pref = dkeys.join(g, F.col("gkey").startswith(F.concat(dkeys.key, F.lit(" "))))
+    wp = W.partitionBy("key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
+    pref_hits = pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
+    tiers.append(tier(keys.join(F.broadcast(pref_hits), "key"), 4, PRIORITY_PREFIX, "prefix"))
 
     # Multiword-containment tier (reference extract_generic_tokens'
     # multiword matching, tokenizer.py:1113-1200): a multiword dim
@@ -584,42 +626,35 @@ def _token_matches(
     # name). Bounded like prefix: |distinct keys| × |multiword dim
     # names| broadcast probe; longest (most specific) names first.
     mwg = g.filter(F.col("gkey").contains(" "))
-    cont = keys.join(
+    cont = dkeys.join(
         mwg,
-        (keys.key != F.col("gkey"))
-        & F.concat(F.lit(" "), keys.key, F.lit(" ")).contains(
+        (dkeys.key != F.col("gkey"))
+        & F.concat(F.lit(" "), dkeys.key, F.lit(" ")).contains(
             F.concat(F.lit(" "), F.col("gkey"), F.lit(" "))
         ),
     )
-    wm = W.partitionBy("raw_text", "key").orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
-    tiers.append(
-        tier(
-            cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3),
-            5, PRIORITY_TOKEN, "multiword",
-        )
-    )
+    wm = W.partitionBy("key").orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
+    cont_hits = cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3)
+    tiers.append(tier(keys.join(F.broadcast(cont_hits), "key"), 5, PRIORITY_TOKEN, "multiword"))
 
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
     # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
     # threshold; a first-letter block would drop leading-char typos
     # like 'setirizine'→'cetirizine' @ ratio 90, which the reference's
-    # unblocked rapidfuzz scan keeps). Python scorer only on survivors.
-    blocked = keys.filter(F.length("key") >= 4).join(
+    # unblocked rapidfuzz scan keeps). Python scorer only on the
+    # per-distinct-key survivors.
+    blocked = dkeys.filter(F.length("key") >= 4).join(
         g,
-        length_band_filter(F.length(keys.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+        length_band_filter(F.length(dkeys.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
     )
     scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
         F.col("ratio") >= FUZZY_MIN_RATIO
     )
-    w = W.partitionBy("raw_text", "key").orderBy(
+    w = W.partitionBy("key").orderBy(
         F.desc("ratio"), F.asc(F.length("gkey")), F.asc("gkey")
     )
-    tiers.append(
-        tier(
-            scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1),
-            6, PRIORITY_FUZZY, "fuzzy",
-        )
-    )
+    fuzzy_hits = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    tiers.append(tier(keys.join(F.broadcast(fuzzy_hits), "key"), 6, PRIORITY_FUZZY, "fuzzy"))
 
     if synonyms_dim is not None and mixtures_dim is not None:
         # Mixture-name synonym fallback (reference tagger.py:783-804):
