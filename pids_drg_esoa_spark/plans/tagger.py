@@ -607,6 +607,15 @@ def _token_matches(
     # small-bytes/high-CPU, exactly what AQE would collapse to one
     # partition.
     dkeys = _persist_tracked(_pin_parallelism(keys.select("key").distinct(), "key"))
+    # Scale note: the three *_hits join-backs below carry NO broadcast
+    # hint on purpose. Their size is bounded by |distinct keys| — a
+    # text-derived vocabulary that grows with the corpus (Heaps' law),
+    # the same reason the tf-idf/rare-token vocab broadcasts are gated
+    # (retrieval.py / textstats.py). AQE converts the shuffle join to
+    # a runtime broadcast whenever the hits side is actually small
+    # (always, at test/production-differential volumes), while at
+    # 100 TB a multi-GB hits relation degrades to a sort-merge join
+    # instead of OOMing the driver on a forced hint.
 
     # Prefix tier (lookup.py:287-295): dim name starts with "<token> "
     # — catches salt-suffixed dims ('amoxicillin' → 'AMOXICILLIN
@@ -615,7 +624,7 @@ def _token_matches(
     pref = dkeys.join(g, F.col("gkey").startswith(F.concat(dkeys.key, F.lit(" "))))
     wp = W.partitionBy("key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
     pref_hits = pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
-    tiers.append(tier(keys.join(F.broadcast(pref_hits), "key"), 4, PRIORITY_PREFIX, "prefix"))
+    tiers.append(tier(keys.join(pref_hits, "key"), 4, PRIORITY_PREFIX, "prefix"))
 
     # Multiword-containment tier (reference extract_generic_tokens'
     # multiword matching, tokenizer.py:1113-1200): a multiword dim
@@ -635,7 +644,7 @@ def _token_matches(
     )
     wm = W.partitionBy("key").orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
     cont_hits = cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3)
-    tiers.append(tier(keys.join(F.broadcast(cont_hits), "key"), 5, PRIORITY_TOKEN, "multiword"))
+    tiers.append(tier(keys.join(cont_hits, "key"), 5, PRIORITY_TOKEN, "multiword"))
 
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
     # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
@@ -654,7 +663,7 @@ def _token_matches(
         F.desc("ratio"), F.asc(F.length("gkey")), F.asc("gkey")
     )
     fuzzy_hits = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    tiers.append(tier(keys.join(F.broadcast(fuzzy_hits), "key"), 6, PRIORITY_FUZZY, "fuzzy"))
+    tiers.append(tier(keys.join(fuzzy_hits, "key"), 6, PRIORITY_FUZZY, "fuzzy"))
 
     if synonyms_dim is not None and mixtures_dim is not None:
         # Mixture-name synonym fallback (reference tagger.py:783-804):
