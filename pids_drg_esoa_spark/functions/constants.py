@@ -33,6 +33,33 @@ STOPWORDS: frozenset[str] = frozenset(STOPWORDS_FULL)
 # extract_base_and_salts F6 and strip_salt_suffix F22).
 SALT_TOKENS: frozenset[str] = frozenset(SALT_TOKENS_FULL)
 
+# Cations that are salts ONLY when preceded by 'as' — standalone they
+# are the drug itself (FERROUS SULFATE, CALCIUM CARBONATE). Reference
+# SALT_CATIONS (unified_constants, via text_utils SPECIAL_SALT_TOKENS).
+SALT_CATIONS: frozenset[str] = frozenset(
+    "aluminium aluminum ammonium barium calcium copper ferric ferrous "
+    "iron lithium magnesium manganese potassium silver sodium zinc".split()
+)
+
+# Connectors that END a salt-descriptor tail after 'as' (reference
+# SALT_TAIL_BREAK_TOKENS, lowercased in text_utils.py:68).
+SALT_TAIL_BREAK: frozenset[str] = frozenset({"&", "+", "/", "and", "with"})
+
+
+def _build_salt_token_words() -> frozenset[str]:
+    """Reference SALT_TOKEN_WORDS (text_utils.py:182-195): every salt
+    token lowercased PLUS each word of its normalize_text form PLUS
+    the literal 'salt'/'salts' markers."""
+    from .text import normalize_text_py
+
+    words: set[str] = {"salt", "salts"}
+    for tok in SALT_TOKENS:
+        if not tok:
+            continue
+        words.add(tok.lower())
+        words.update(normalize_text_py(tok).split())
+    return frozenset(words)
+
 # Dosage-form canonicalization: the FULL reference FORM_CANON
 # (lowercased), plus repo aliases the reference resolves elsewhere.
 FORM_CANON: dict[str, str] = dict(FORM_CANON_FULL)

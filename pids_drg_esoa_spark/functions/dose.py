@@ -1,9 +1,12 @@
 """Dose parsing & comparison — native Catalyst tier with Python twins.
 
 Reference parity targets:
-- parse_dose (F9, dose.py:10-100,138-189): regex bank with priority
-  ratio > amount > percent; pack unmasking ("10 x 500 mg" → 500 mg);
-  L→mL ×1000 on the per-side.
+- parse_dose (F9, dose.py:10-100,138-189): the reference collects
+  matches from its full pattern bank and picks ratio-per-mL/L first,
+  then the first bare amount, then percent, then a boundary-free
+  ratio fallback; packs are unmasked first ("10 x 500 mg" → 500 mg);
+  L→mL ×1000 on the per-side. Its per-unit-NOUN patterns are dead
+  code (see parse_dose docstring) — "mg/tab" is an AMOUNT.
 - to_mg (F10, dose.py:103-126): mass-unit factors.
 - safe_ratio_mg_per_ml (F11, dose.py:129-135).
 - dose_similarity (F12, dose.py:200-259): exact-after-conversion
@@ -24,24 +27,28 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .constants import UNIT_TO_MG
 
-NUM = r"([0-9]+(?:\.[0-9]+)?)"
-MASS_UNITS = r"(mcg|ug|mg|g|gm|grams?|kg|iu|units?|meq|mmol)"
-# Longest-first alternation; plural nouns and gtt included because the
-# reference parses both "mg/tab" and "mg per 2 tabs" (dose.py:10-100).
-PER_UNITS = (
-    r"(ml|l|tablets|tablet|tabs|tab|capsules|capsule|caps|cap|sachets|sachet"
-    r"|drops|drop|gtt|actuations|actuation|sprays|spray|puffs|puff|doses|dose)"
-)
-# Ratio separator: '/' or the word 'per' ("5 mg per 5 ml" ≡ "5 mg/5 ml").
-_RATIO_SEP = r"(?:/|\bper\b)"
+# Reference regex bank, verbatim semantics (dose.py:10-26). The
+# reference also defines per-unit-NOUN ratio patterns (mg/tab,
+# mg per 2 caps) but they are unreachable: any noun-ratio text also
+# contains a bare-amount match, and the ratio branch only accepts
+# per_unit ml/l — so "500 mg/tab" parses as AMOUNT 500 mg
+# (dose.py:60-88). Units are exactly mg|g|mcg|ug|iu; decimals accept
+# ',' and are normalized to '.' (dose.py:58).
+_NUM = r"(\d+(?:[.,]\d+)?)"
+_PACK_PAT = rf"\b(\d+)\s*(?:x|×)\s*{_NUM}\s*(mg|g|mcg|ug|iu)\b"
+_AMOUNT_PAT = rf"{_NUM}\s?(mg|g|mcg|ug|iu)\b"
+_RATIO_PAT = rf"{_NUM}\s?(mg|g|mcg|ug|iu)\s?(?:/| per )\s?(?:{_NUM}\s*)?(ml|l)\b"
+_PCT_PAT = rf"{_NUM}\s?%(?:\s?(?:w/v|w/w))?"
+# Fallback ratio with no trailing word boundary (dose.py:11) — catches
+# "5mg/5mls" where the main ratio pattern's (ml|l)\b fails.
+_EXTRA_PAT = rf"{_NUM}\s?(mg|g|mcg|ug)\s*/\s?{_NUM}\s?(ml|l)"
 
-# Pack pattern first: "10 x 500 mg" — the trailing amount is the dose.
-_PACK_RE = rf"[0-9]+\s*x\s*{NUM}\s*{MASS_UNITS}\b"
-_RATIO_RE = rf"{NUM}\s*{MASS_UNITS}\s*{_RATIO_SEP}\s*{NUM}?\s*{PER_UNITS}\b"
-_AMOUNT_RE = rf"{NUM}\s*{MASS_UNITS}\b"
-_PCT_RE = rf"{NUM}\s*%"
+_PACK_SUB = re.compile(_PACK_PAT, re.I)
+_AMOUNT_SEARCH = re.compile(_AMOUNT_PAT, re.I)
+_RATIO_SEARCH = re.compile(_RATIO_PAT, re.I)
+_PCT_SEARCH = re.compile(_PCT_PAT, re.I)
+_EXTRA_SEARCH = re.compile(_EXTRA_PAT, re.I)
 
 DOSE_STRUCT_FIELDS = "kind string, strength double, unit string, per_val double, per_unit string, pct double"
 
@@ -56,138 +63,151 @@ class Dose:
     pct: float | None = None
 
 
-def _canon_unit(u: str | None) -> str | None:
-    if u is None:
-        return None
-    u = u.lower()
-    return {"gm": "g", "gram": "g", "grams": "g", "ug": "mcg", "unit": "iu", "units": "iu"}.get(u, u)
-
-
-_PER_UNIT_CANON = {
-    "tablets": "tab", "tablet": "tab", "tabs": "tab",
-    "capsules": "cap", "capsule": "cap", "caps": "cap",
-    "sachets": "sachet", "drops": "drop", "gtt": "drop",
-    "actuations": "actuation", "sprays": "spray", "puffs": "puff",
-    "doses": "dose",
-}
-
-
-def _canon_per_unit(u: str | None) -> str | None:
-    if u is None:
-        return None
-    return _PER_UNIT_CANON.get(u, u)
-
-
 def parse_dose_py(text: str | None) -> Dose:
-    """Python twin: priority ratio > amount > percent; pack unmasking;
-    L→mL on the per-side (×1000 into per_val)."""
-    if not text:
+    """Python twin of parse_dose — the reference's
+    parse_dose_struct_from_text exactly (dose.py:49-100): unmask packs
+    ("10 x 500 mg" → "500mg"), then ratio-per-mL/L (first match) >
+    amount (first match) > percent > the boundary-free extra-ratio
+    fallback. Units kept as written (lowercased, no canon); L → mL
+    (×1000 into per_val). One deliberate improvement: the extra-ratio
+    branch converts ',' decimals where the reference raises
+    ValueError (dose.py:94, unreachable in its pipeline)."""
+    if not isinstance(text, str) or not text:
         return Dose()
-    s = text.lower()
-    m = re.search(_RATIO_RE, s)
+    s = _PACK_SUB.sub(lambda m: f"{m.group(2)}{m.group(3)}", text)
+    m = _RATIO_SEARCH.search(s)
     if m:
-        strength, unit = float(m.group(1)), _canon_unit(m.group(2))
-        per_val = float(m.group(3)) if m.group(3) else 1.0
-        per_unit = _canon_per_unit(m.group(4))
+        strength = float(m.group(1).replace(",", "."))
+        per_val = float(m.group(3).replace(",", ".")) if m.group(3) else 1.0
+        per_unit = m.group(4).lower()
         if per_unit == "l":
             per_val, per_unit = per_val * 1000.0, "ml"
-        return Dose("ratio", strength, unit, per_val, per_unit, None)
-    m = re.search(_PACK_RE, s)
+        return Dose("ratio", strength, m.group(2).lower(), per_val, per_unit, None)
+    m = _AMOUNT_SEARCH.search(s)
     if m:
-        return Dose("amount", float(m.group(1)), _canon_unit(m.group(2)), None, None, None)
-    m = re.search(_AMOUNT_RE, s)
+        return Dose(
+            "amount", float(m.group(1).replace(",", ".")), m.group(2).lower(), None, None, None
+        )
+    m = _PCT_SEARCH.search(s)
     if m:
-        return Dose("amount", float(m.group(1)), _canon_unit(m.group(2)), None, None, None)
-    m = re.search(_PCT_RE, s)
+        return Dose("percent", None, None, None, None, float(m.group(1).replace(",", ".")))
+    m = _EXTRA_SEARCH.search(s)
     if m:
-        return Dose("percent", None, None, None, None, float(m.group(1)))
+        den = float(m.group(3).replace(",", "."))
+        if m.group(4).lower() == "l":
+            den *= 1000.0
+        return Dose(
+            "ratio", float(m.group(1).replace(",", ".")), m.group(2).lower(), den, "ml", None
+        )
     return Dose()
 
 
-def _canon_unit_col(u: Column) -> Column:
-    return (
-        F.when(u.isin("gm", "gram", "grams"), "g")
-        .when(u == "ug", "mcg")
-        .when(u.isin("unit", "units"), "iu")
-        .otherwise(u)
+def _num(col: Column) -> Column:
+    """Comma-decimal string → double ('' → NULL)."""
+    return F.when(col == "", F.lit(None).cast("double")).otherwise(
+        F.regexp_replace(col, ",", ".").cast("double")
     )
-
-
-def _canon_per_unit_col(u: Column) -> Column:
-    expr = u
-    for raw, canon in _PER_UNIT_CANON.items():
-        expr = F.when(u == raw, canon).otherwise(expr)
-    return expr
 
 
 def parse_dose(col: Column | str) -> Column:
     """Native dose parser → struct(kind, strength, unit, per_val,
-    per_unit, pct). Same regex bank and priority as the Python twin;
-    all whole-stage-codegen."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    per_unit, pct). Same regex bank and priority as the Python twin
+    (reference dose.py:49-100); all whole-stage-codegen. Patterns run
+    case-insensitively ('(?i)') and units are lowercased on output,
+    exactly like the reference's re.I + .lower()."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, "(?i)" + _PACK_PAT, "$2$3")
 
-    r_str = F.regexp_extract(c, _RATIO_RE, 1)
-    r_unit = F.regexp_extract(c, _RATIO_RE, 2)
-    r_pval = F.regexp_extract(c, _RATIO_RE, 3)
-    r_punit = F.regexp_extract(c, _RATIO_RE, 4)
-    pk_str = F.regexp_extract(c, _PACK_RE, 1)
-    pk_unit = F.regexp_extract(c, _PACK_RE, 2)
-    a_str = F.regexp_extract(c, _AMOUNT_RE, 1)
-    a_unit = F.regexp_extract(c, _AMOUNT_RE, 2)
-    p_str = F.regexp_extract(c, _PCT_RE, 1)
-
-    per_val_raw = F.when(r_pval == "", F.lit(1.0)).otherwise(r_pval.cast("double"))
-    per_val = F.when(r_punit == "l", per_val_raw * 1000.0).otherwise(per_val_raw)
-    per_unit = F.when(r_punit == "l", F.lit("ml")).otherwise(_canon_per_unit_col(r_punit))
+    r_str = F.regexp_extract(s, "(?i)" + _RATIO_PAT, 1)
+    r_unit = F.lower(F.regexp_extract(s, "(?i)" + _RATIO_PAT, 2))
+    r_pval = F.regexp_extract(s, "(?i)" + _RATIO_PAT, 3)
+    r_punit = F.lower(F.regexp_extract(s, "(?i)" + _RATIO_PAT, 4))
+    a_str = F.regexp_extract(s, "(?i)" + _AMOUNT_PAT, 1)
+    a_unit = F.lower(F.regexp_extract(s, "(?i)" + _AMOUNT_PAT, 2))
+    p_str = F.regexp_extract(s, "(?i)" + _PCT_PAT, 1)
+    e_str = F.regexp_extract(s, "(?i)" + _EXTRA_PAT, 1)
+    e_unit = F.lower(F.regexp_extract(s, "(?i)" + _EXTRA_PAT, 2))
+    e_den = F.regexp_extract(s, "(?i)" + _EXTRA_PAT, 3)
+    e_dunit = F.lower(F.regexp_extract(s, "(?i)" + _EXTRA_PAT, 4))
 
     has_ratio = r_str != ""
-    has_pack = pk_str != ""
     has_amount = a_str != ""
     has_pct = p_str != ""
+    has_extra = e_str != ""
+
+    r_per_val_raw = F.coalesce(_num(r_pval), F.lit(1.0))
+    r_per_val = F.when(r_punit == "l", r_per_val_raw * 1000.0).otherwise(r_per_val_raw)
+    e_per_val = F.when(e_dunit == "l", _num(e_den) * 1000.0).otherwise(_num(e_den))
 
     kind = (
         F.when(has_ratio, "ratio")
-        .when(has_pack | has_amount, "amount")
+        .when(has_amount, "amount")
         .when(has_pct, "percent")
+        .when(has_extra, "ratio")
         .otherwise(F.lit(None).cast("string"))
     )
     strength = (
-        F.when(has_ratio, r_str.cast("double"))
-        .when(has_pack, pk_str.cast("double"))
-        .when(has_amount, a_str.cast("double"))
+        F.when(has_ratio, _num(r_str))
+        .when(has_amount, _num(a_str))
+        .when(has_pct, F.lit(None).cast("double"))
+        .when(has_extra, _num(e_str))
         .otherwise(F.lit(None).cast("double"))
     )
     unit = (
-        F.when(has_ratio, _canon_unit_col(r_unit))
-        .when(has_pack, _canon_unit_col(pk_unit))
-        .when(has_amount, _canon_unit_col(a_unit))
+        F.when(has_ratio, r_unit)
+        .when(has_amount, a_unit)
+        .when(has_pct, F.lit(None).cast("string"))
+        .when(has_extra, e_unit)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    per_val = (
+        F.when(has_ratio, r_per_val)
+        .when(has_amount | has_pct, F.lit(None).cast("double"))
+        .when(has_extra, e_per_val)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    per_unit = (
+        F.when(has_ratio | (~has_amount & ~has_pct & has_extra), F.lit("ml"))
         .otherwise(F.lit(None).cast("string"))
     )
     return F.struct(
         kind.alias("kind"),
         strength.alias("strength"),
         unit.alias("unit"),
-        F.when(has_ratio, per_val).otherwise(F.lit(None).cast("double")).alias("per_val"),
-        F.when(has_ratio, per_unit).otherwise(F.lit(None).cast("string")).alias("per_unit"),
-        F.when(~has_ratio & ~has_pack & ~has_amount & has_pct, p_str.cast("double"))
+        per_val.alias("per_val"),
+        per_unit.alias("per_unit"),
+        F.when(~has_ratio & ~has_amount & has_pct, _num(p_str))
         .otherwise(F.lit(None).cast("double"))
         .alias("pct"),
     )
 
 
 def to_mg(strength: Column, unit: Column) -> Column:
-    """F10: mass → mg via the factor map; NULL for non-mass units."""
-    expr = F.lit(None).cast("double")
-    for u, factor in UNIT_TO_MG.items():
-        expr = F.when(unit == u, strength * factor).otherwise(expr)
-    return expr
+    """F10 (reference dose.py:103-114): mg passthrough, g ×1000,
+    mcg/ug ÷1000 — NULL for everything else (iu, kg, meq… are NOT
+    convertible in the reference). Division for mcg/ug mirrors the
+    reference's float op so values hash-match bit-for-bit."""
+    u = F.lower(unit)
+    return (
+        F.when(u == "mg", strength.cast("double"))
+        .when(u == "g", strength * 1000.0)
+        .when(u.isin("mcg", "ug"), strength / 1000.0)
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 def to_mg_py(strength: float | None, unit: str | None) -> float | None:
-    if strength is None or unit is None:
+    """Python twin of to_mg (reference dose.py:103-114)."""
+    if strength is None or not isinstance(unit, str):
         return None
-    f = UNIT_TO_MG.get(unit)
-    return strength * f if f is not None else None
+    u = unit.lower()
+    if u == "mg":
+        return strength
+    if u == "g":
+        return strength * 1000.0
+    if u in ("mcg", "ug"):
+        return strength / 1000.0
+    return None
 
 
 def ratio_mg_per_ml(strength_mg: Column, per_val: Column) -> Column:
@@ -195,6 +215,23 @@ def ratio_mg_per_ml(strength_mg: Column, per_val: Column) -> Column:
     return F.when(
         strength_mg.isNull() | per_val.isNull() | (per_val == 0), F.lit(None).cast("double")
     ).otherwise(strength_mg / per_val)
+
+
+def safe_ratio_mg_per_ml_py(strength, unit, per_val) -> float | None:
+    """Python twin of the reference's safe_ratio_mg_per_ml
+    (dose.py:129-135): to_mg on (strength, unit), comma-tolerant float
+    on per_val, None on null/zero denominators."""
+    mg = to_mg_py(strength, unit)
+    try:
+        if per_val is None:
+            pv = None
+        else:
+            pv = float(str(per_val).replace(",", ".").strip()) if isinstance(per_val, str) else float(per_val)
+    except (TypeError, ValueError):
+        pv = None
+    if mg is None or pv in (None, 0):
+        return None
+    return mg / pv
 
 
 def _isclose(a: float, b: float) -> bool:
@@ -246,9 +283,12 @@ def dose_similarity(
     eSOA dose ``d`` (parse_dose struct) equals the PNF row's dose after
     unit conversion, else 0.0.
 
-    - amounts compare in mg vs ``strength_mg``; the trimetazidine MR
-      band (PNF 35 mg base ∧ eSOA 55-90 mg ∧ amount-kind PNF row)
-      also scores 1.0;
+    - amounts compare in mg vs ``strength_mg`` with NO pnf dose_kind
+      gate (the reference compares strength_mg even when the PNF row
+      parsed to no kind or another kind — dose.py:209-219,
+      fuzz-pinned); the
+      trimetazidine MR band (PNF 35 mg base ∧ eSOA 55-90 mg ∧
+      amount-kind PNF row) also scores 1.0;
     - ratios require PNF dose_kind='ratio' and equal mg/mL;
     - percents require PNF dose_kind='percent' and exact pct.
     All comparisons via isclose(rel 1e-12, abs 1e-9); whole-stage
@@ -276,7 +316,8 @@ def dose_similarity(
     ).otherwise(d["per_val"])
     ratio_esoa = mg_esoa / per_val_safe
     ratio_sim = F.when(
-        (pnf_dose_kind != "ratio")
+        pnf_dose_kind.isNull()
+        | (pnf_dose_kind != "ratio")
         | mg_esoa.isNull()
         | pnf_ratio_mg_per_ml.isNull()
         | (pnf_ratio_mg_per_ml == 0),
@@ -284,11 +325,15 @@ def dose_similarity(
     ).when(_isclose_col(ratio_esoa, pnf_ratio_mg_per_ml), 1.0).otherwise(0.0)
 
     pct_sim = F.when(
-        (pnf_dose_kind != "percent") | d["pct"].isNull() | pnf_pct.isNull(), 0.0
+        pnf_dose_kind.isNull()
+        | (pnf_dose_kind != "percent")
+        | d["pct"].isNull()
+        | pnf_pct.isNull(),
+        0.0,
     ).when(_isclose_col(d["pct"], pnf_pct), 1.0).otherwise(0.0)
 
     return (
-        F.when(d["kind"].isNull() | pnf_dose_kind.isNull(), 0.0)
+        F.when(d["kind"].isNull(), 0.0)
         .when(d["kind"] == "amount", amount_sim)
         .when(d["kind"] == "ratio", ratio_sim)
         .when(d["kind"] == "percent", pct_sim)
@@ -305,8 +350,10 @@ def dose_similarity_pnf_py(
     pnf_generic_id: str | None,
 ) -> float:
     """Python twin of dose_similarity (the reference's actual
-    signature: parsed eSOA dose vs a PNF row)."""
-    if d.kind is None or pnf_dose_kind is None:
+    signature: parsed eSOA dose vs a PNF row). The amount branch has
+    NO pnf_dose_kind gate — reference dose.py:209-219 compares
+    strength_mg unconditionally (fuzz_dose_vs_reference.py pins it)."""
+    if d.kind is None:
         return 0.0
     if d.kind == "amount":
         mg = to_mg_py(d.strength, d.unit)

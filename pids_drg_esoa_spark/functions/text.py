@@ -23,11 +23,6 @@ import unicodedata
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .constants import TEXT_CANON_REPLACEMENTS
-
-_KEEP_CHARS = "a-z0-9%/+.\\- "
-
-
 def _strip_accents_py(s: str) -> str:
     return "".join(
         c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c)
@@ -43,25 +38,54 @@ _ACCENTED_UPPER = _ACCENTED.upper()
 _PLAIN_UPPER = _PLAIN.upper()
 
 
+# F1 rewrite bank, in the reference's exact order (text_utils.py:49-65).
+# Each entry is (is_regex, pattern, replacement): the reference mixes
+# word-bounded regex rewrites with bare substring str.replace calls
+# ("microgram" → "mcg" turns "micrograms" into "mcgs"; that quirk is
+# parity, fuzz_dose_vs_reference.py pins it). "(?U)" makes Java regex
+# classes unicode-aware like Python's (\w keeps μ/_ etc.).
+_NORM_STEPS: tuple[tuple[bool, str, str], ...] = (
+    (True, r"\biv\b", "intravenous"),
+    (True, r"[^\w%/+.\- ]+", " "),
+    (False, "microgram", "mcg"),
+    (False, "μg", "mcg"),
+    (False, "µg", "mcg"),
+    (True, r"(?<![a-z])cc(?![a-z])", "ml"),
+    (False, "milli litre", "ml"),
+    (False, "milliliter", "ml"),
+    (True, r"(?<![a-z])gms?(?![a-z])", "g"),
+    (False, "milligram", "mg"),
+    (False, "polymixin", "polymyxin"),
+    (False, "hydrochlorde", "hydrochloride"),
+)
+
+
 def normalize_text(col: Column | str) -> Column:
-    """F1: accent-fold → lower → canonical unit/typo rewrites → strip
-    punctuation (keep the dose charset %/+.-) → collapse whitespace."""
+    """F1 (text_utils.py:49-65): NFKD accent-fold → lower → iv →
+    intravenous → strip punctuation (unicode \\w + the dose charset
+    %/+.- survives) → unit-token rewrites (mcg/ml/g/mg spellings) →
+    typo rewrites → collapse whitespace. The NFKD step is approximated
+    by a Latin-accent translate (covers drug-catalog text); µ/μ are
+    deliberately NOT in the translate table — the μg→mcg rewrite needs
+    them intact."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.translate(c, _ACCENTED + _ACCENTED_UPPER, _PLAIN + _PLAIN_UPPER)
     c = F.lower(c)
-    for pat, rep in TEXT_CANON_REPLACEMENTS:
-        c = F.regexp_replace(c, pat, rep)
-    c = F.regexp_replace(c, f"[^{_KEEP_CHARS}]+", " ")
-    return F.trim(F.regexp_replace(c, " +", " "))
+    for is_rx, pat, rep in _NORM_STEPS:
+        # "(?U)" = Java UNICODE_CHARACTER_CLASS, matching Python's
+        # default unicode \w/\s/\b semantics (Python rejects the
+        # uppercase inline flag, so it is added only on this tier)
+        c = F.regexp_replace(c, "(?U)" + (pat if is_rx else re.escape(pat)), rep)
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
 
 
 def normalize_text_py(s: str) -> str:
-    """Python twin of normalize_text (golden-test anchor)."""
+    """Python twin of normalize_text — the reference's exact step
+    order, incl. str.replace substring semantics (text_utils.py:49-65)."""
     s = _strip_accents_py(s).lower()
-    for pat, rep in TEXT_CANON_REPLACEMENTS:
-        s = re.sub(pat, rep, s)
-    s = re.sub(r"[^a-z0-9%/+.\- ]+", " ", s)
-    return re.sub(r" +", " ", s).strip()
+    for is_rx, pat, rep in _NORM_STEPS:
+        s = re.sub(pat, rep, s) if is_rx else s.replace(pat, rep)
+    return re.sub(r"\s+", " ", s).strip()
 
 
 def normalize_basic(col: Column | str) -> Column:
@@ -81,9 +105,31 @@ def normalize_compact(col: Column | str) -> Column:
 
 
 def slug_id(col: Column | str) -> Column:
-    """F4: normalized text → lowercase underscore slug."""
-    c = normalize_basic(col)
+    """F4 (text_utils.py:121-124): normalize_text → non-alnum runs →
+    '_' → strip edge underscores. Chains the FULL normalize (so
+    'IV SET' slugs to 'intravenous_set', 'GM' to 'g' — reference
+    parity), not the basic lowercase pass."""
+    c = normalize_text(col)
     return F.regexp_replace(F.regexp_replace(c, "[^a-z0-9]+", "_"), "^_+|_+$", "")
+
+
+def slug_id_py(s: str) -> str:
+    """Python twin of slug_id."""
+    return re.sub(r"[^a-z0-9]+", "_", normalize_text_py(str(s))).strip("_")
+
+
+def clean_atc(col: Column | str) -> Column:
+    """F5 (text_utils.py:126-130): NBSP → space, trim. The reference
+    does NOT uppercase — codes pass through in source casing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, " ", " "))
+
+
+def clean_atc_py(s) -> str:
+    """Python twin of clean_atc (text_utils.py:126-130)."""
+    if not isinstance(s, str):
+        return ""
+    return s.replace("\u00a0", " ").strip()
 
 
 def clean_code(col: Column | str) -> Column:
@@ -93,20 +139,60 @@ def clean_code(col: Column | str) -> Column:
 
 
 def serialize_salt_list(col: Column) -> Column:
-    """F7: array<string> salts → deduped, uppercased, ' + '-joined."""
-    up = F.transform(col, lambda x: F.upper(F.trim(x)))
-    return F.array_join(F.array_sort(F.array_distinct(F.filter(up, lambda x: x != ""))), " + ")
+    """F7 (text_utils.py:206-216): array<string> salts → trimmed,
+    uppercased, FIRST-OCCURRENCE-ordered dedupe, ' + '-joined. The
+    reference preserves encounter order — no sort."""
+    up = F.filter(
+        F.transform(col, lambda x: F.upper(F.trim(x))), lambda x: x != ""
+    )
+    empty = F.array().cast("array<string>")
+    deduped = F.aggregate(
+        up,
+        empty,
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return F.array_join(deduped, " + ")
+
+
+def serialize_salt_list_py(salts) -> str:
+    """Python twin of serialize_salt_list."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for s in salts or []:
+        c = str(s).strip().upper()
+        if c and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return " + ".join(out)
 
 
 def parenthetical_phrases(col: Column | str) -> Column:
-    """F8: all parenthesized spans ≤ 60 chars, case-insensitively
-    deduped, original casing of first occurrence preserved."""
+    """F8 (text_utils.py:143-165): every '(...)' span (regex
+    \\(([^)]+)\\) — a nested '(' stays inside the span), stripped;
+    skip empty, skip >60 chars post-strip, skip punctuation-only
+    ([-/+\\s]+); inner whitespace collapsed; case-insensitive dedupe
+    keeping the first occurrence's original casing."""
     c = F.col(col) if isinstance(col, str) else col
-    spans = F.regexp_extract_all(c, F.lit(r"\(([^()]{1,60})\)"), 1)
-    # dedupe case-insensitively keeping first occurrence: tag each
-    # span with its lower form, aggregate first-wins.
+    raw = F.regexp_extract_all(c, F.lit(r"\(([^)]+)\)"), 1)
+    # filter on the STRIPPED-but-uncollapsed span (the reference's
+    # >60 check runs before its whitespace collapse), THEN collapse
+    # full-whitespace strip (Python str.strip semantics, not just ' ')
+    stripped = F.transform(
+        raw, lambda x: F.regexp_replace(x, r"(?U)^\s+|\s+$", "")
+    )
+    kept = F.transform(
+        F.filter(
+            stripped,
+            lambda x: (x != "")
+            & (F.length(x) <= 60)
+            & ~x.rlike(r"(?U)^[-/+\s]+$"),
+        ),
+        lambda x: F.regexp_replace(x, r"(?U)\s+", " "),
+    )
     return F.aggregate(
-        spans,
+        kept,
         F.struct(
             F.array().cast("array<string>").alias("out"),
             F.array().cast("array<string>").alias("seen"),
@@ -124,13 +210,27 @@ def parenthetical_phrases(col: Column | str) -> Column:
 
 
 def parenthetical_phrases_py(s: str) -> list[str]:
+    """Python twin of parenthetical_phrases (text_utils.py:143-165).
+    Mirrors the reference's filter ORDER: strip → drop empty → drop
+    >60 → drop punctuation-only → collapse inner whitespace →
+    case-insensitive first-wins dedupe."""
+    if not isinstance(s, str) or "(" not in s:
+        return []
+    items = [m.group(1).strip() for m in re.finditer(r"\(([^)]+)\)", s) if m.group(1).strip()]
+    cleaned = []
+    for it in items:
+        if len(it) > 60:
+            continue
+        if re.fullmatch(r"[-/+\s]+", it):
+            continue
+        cleaned.append(re.sub(r"\s+", " ", it))
     out: list[str] = []
     seen: set[str] = set()
-    for m in re.finditer(r"\(([^()]{1,60})\)", s):
-        span = m.group(1)
-        if span.lower() not in seen:
-            seen.add(span.lower())
-            out.append(span)
+    for c in cleaned:
+        k = c.lower()
+        if k not in seen:
+            seen.add(k)
+            out.append(c)
     return out
 
 

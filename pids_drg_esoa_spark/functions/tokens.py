@@ -35,8 +35,25 @@ from .constants import (
     SALT_TOKENS,
     STOPWORDS,
 )
-from .dose import _AMOUNT_RE, _PACK_RE, _PCT_RE, _RATIO_RE
 from .text import normalize_text_py
+
+# Dose-expression shapes stripped from combination text before
+# component splitting (the tagger-side semantics, differential-pinned
+# at 155K texts). These are deliberately BROADER than the F9 PNF dose
+# parser in dose.py (extra units kg/meq/mmol/units, per-noun ratios):
+# the tokenizer must recognize any dose-shaped span to drop it, while
+# F9 mirrors the reference's parse_dose_struct_from_text exactly.
+_NUM = r"([0-9]+(?:\.[0-9]+)?)"
+_MASS_UNITS = r"(mcg|ug|mg|g|gm|grams?|kg|iu|units?|meq|mmol)"
+_PER_UNITS = (
+    r"(ml|l|tablets|tablet|tabs|tab|capsules|capsule|caps|cap|sachets|sachet"
+    r"|drops|drop|gtt|actuations|actuation|sprays|spray|puffs|puff|doses|dose)"
+)
+_RATIO_SEP = r"(?:/|\bper\b)"
+_PACK_RE = rf"[0-9]+\s*x\s*{_NUM}\s*{_MASS_UNITS}\b"
+_RATIO_RE = rf"{_NUM}\s*{_MASS_UNITS}\s*{_RATIO_SEP}\s*{_NUM}?\s*{_PER_UNITS}\b"
+_AMOUNT_RE = rf"{_NUM}\s*{_MASS_UNITS}\b"
+_PCT_RE = rf"{_NUM}\s*%"
 
 # Single-ion tokens: two adjacent ones form one compound salt drug
 # ("SODIUM + CHLORIDE" ⇒ "SODIUM CHLORIDE", F18).

@@ -145,15 +145,23 @@ DOSE_CASES = [
     ("1 g vial", Dose("amount", 1.0, "g", None, None, None)),
     ("DOBUTAMINE 250MG/10ML", Dose("ratio", 250.0, "mg", 10.0, "ml", None)),
     ("2 mg/L solution", Dose("ratio", 2.0, "mg", 1000.0, "ml", None)),
-    # ' per ' separator and plural/gtt per-units (reference dose.py
-    # parses both; ADVICE r1) — plurals canonicalize to the singular.
+    # ' per ' separator parses; per-unit NOUNS fall back to AMOUNT —
+    # the reference's noun-ratio patterns are unreachable (its ratio
+    # branch accepts only ml/l and a bare-amount match always
+    # coexists, dose.py:60-88; fuzz_dose_vs_reference.py pins this —
+    # round 1's noun-ratio reading was wrong vs the live reference).
     ("5 mg per 5 ml", Dose("ratio", 5.0, "mg", 5.0, "ml", None)),
     ("AMOXICILLIN 250 mg per 5 mL SUSP", Dose("ratio", 250.0, "mg", 5.0, "ml", None)),
-    ("1 mg/2 tabs", Dose("ratio", 1.0, "mg", 2.0, "tab", None)),
-    ("500 mcg per capsule", Dose("ratio", 500.0, "mcg", 1.0, "cap", None)),
-    ("2 mg/drop", Dose("ratio", 2.0, "mg", 1.0, "drop", None)),
-    ("0.5 mg per gtt", Dose("ratio", 0.5, "mg", 1.0, "drop", None)),
-    ("100 mcg per 2 puffs", Dose("ratio", 100.0, "mcg", 2.0, "puff", None)),
+    ("1 mg/2 tabs", Dose("amount", 1.0, "mg", None, None, None)),
+    ("500 mcg per capsule", Dose("amount", 500.0, "mcg", None, None, None)),
+    ("2 mg/drop", Dose("amount", 2.0, "mg", None, None, None)),
+    ("0.5 mg per gtt", Dose("amount", 0.5, "mg", None, None, None)),
+    ("100 mcg per 2 puffs", Dose("amount", 100.0, "mcg", None, None, None)),
+    # comma decimals; "mls" defeats the main ratio pattern's (ml|l)\b
+    # and the bare-amount match outranks the extra-ratio fallback
+    # (reference-verified: {'dose_kind': 'amount', ...})
+    ("2,5 mg tablet", Dose("amount", 2.5, "mg", None, None, None)),
+    ("5mg/5mls", Dose("amount", 5.0, "mg", None, None, None)),
     ("PERINDOPRIL 4 mg tablet", Dose("amount", 4.0, "mg", None, None, None)),
     ("no dose here", Dose()),
 ]
