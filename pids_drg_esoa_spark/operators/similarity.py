@@ -194,9 +194,9 @@ def _kmeans_cell_join(v: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     v: DataFrame, iters: int = 1, k: int = K_MEANS_K, assign: str = "literal"
-) -> DataFrame:
+) -> tuple[list[list[int]], DataFrame]:
     """Deterministic integer k-means over (vec_id, qe): init = the
     first K vectors' quantized embeddings ×SCALE, then ``iters``
     Lloyd update+reassign rounds. All arithmetic is integer (sums,
@@ -212,7 +212,12 @@ def kmeans_assign(
     ``assign='join'`` switches nearest-centroid assignment to the
     broadcast-centroid-dim argmax (``_kmeans_cell_join``) — required
     when ``k`` outgrows what a literal projection should carry
-    (SemDeDup-style k ∝ n); assignments are identical."""
+    (SemDeDup-style k ∝ n); assignments are identical.
+
+    Returns ``(final_centroids, assigned_df)`` — the trained
+    centroids are what multi-probe needs to rank a query's top-P
+    cells (the top-1 cell IS the query's own assignment, so probing
+    P=1 reduces exactly to the single-probe operator)."""
     assigner = (
         (lambda df, cs: df.withColumn("cell", _kmeans_cell_expr(cs)))
         if assign == "literal"
@@ -246,7 +251,31 @@ def kmeans_assign(
                 [(K_MEANS_SCALE * dims[p][0]) // dims[p][1] for p in range(len(old))]
             )
         cents = new_cents
-    return assigner(v, cents)
+    return cents, assigner(v, cents)
+
+
+def kmeans_assign(
+    v: DataFrame, iters: int = 1, k: int = K_MEANS_K, assign: str = "literal"
+) -> DataFrame:
+    """``kmeans_fit`` when only the assignment is needed."""
+    return kmeans_fit(v, iters=iters, k=k, assign=assign)[1]
+
+
+def probe_cells(q_emb: Column, cents: list[list[int]], nprobe: int) -> Column:
+    """The query's top-``nprobe`` coarse cells by centroid dot
+    (dot DESC, cid ASC — the same argmax order as assignment, so the
+    first probed cell is always the query's own cell). Literal
+    centroids keep this a narrow projection: sort the k (dot, -cid)
+    structs lexicographically, slice P, recover the ids."""
+    structs = [
+        F.struct(
+            int_dot(q_emb, F.array(*[F.lit(int(x)) for x in c])).alias("dot"),
+            F.lit(-j).alias("nj"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    ranked = F.slice(F.sort_array(F.array(*structs), asc=False), 1, nprobe)
+    return F.transform(ranked, lambda s: -s["nj"])
 
 
 def _sql_kmeans_cells(k: int = 8) -> str:
@@ -356,6 +385,44 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse when mass concentrates in an orthant), while candidate
     generation stays an equi-join on the cell id — the O(n)-shuffle
     IVF shape used at 100 TB, with training cost O(iters · scan)."""
+    return _ivf_kmeans_topk(spark, sf_dir, nprobe=1)
+
+
+def _probe_cells_join(q: DataFrame, cents: list[list[int]], nprobe: int) -> DataFrame:
+    """Top-``nprobe`` cells per query via a broadcast centroid dim —
+    the large-k probe path (same reason as ``_kmeans_cell_join``: a
+    k×d literal projection stops being a reasonable plan when k grows
+    with the corpus). Same (dot DESC, cid ASC) order as the literal
+    expression and the assignment argmax."""
+    spark = q.sparkSession
+    cent_df = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)], "cid long, c array<long>"
+    )
+    scored = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "q_emb", "cid", int_dot(F.col("q_emb"), F.col("c")).alias("dot")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("cell"))
+    )
+
+
+def _ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    k: int = K_MEANS_K,
+    assign: str = "literal",
+) -> DataFrame:
+    """Trained-centroid IVF top-3, probing the query's top-``nprobe``
+    coarse cells (FAISS's multi-probe shape). Each base vector lives
+    in exactly one cell, so the P probed candidate sets are disjoint —
+    the probe explode needs no dedup, and candidate volume grows as
+    ~P/k of the collection per query, still an equi-join on the cell
+    key. ``nprobe=1`` is exactly the classic single-probe operator
+    (the top-1 cell by centroid dot IS the assignment argmax)."""
     e = table(spark, sf_dir, "embeddings")
     # persist the quantized vectors: consumed by the init collect, the
     # training round (assign + statistics), the final assignment, and
@@ -363,13 +430,22 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 512-literal centroid dot expression compiles once, not once per
     # downstream consumer
     v = e.select("vec_id", quantize(F.col("embedding")).alias("qe")).persist()
-    cells = kmeans_assign(v, iters=1).localCheckpoint(eager=True)
+    cents, assigned = kmeans_fit(v, iters=1, k=k, assign=assign)
+    cells = assigned.localCheckpoint(eager=True)
     v.unpersist()  # cells is materialized; nothing downstream reads v
     q = cells.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb"), "cell"
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb")
     )
+    if assign == "literal":
+        probed = q.select(
+            "query_id",
+            "q_emb",
+            F.explode(probe_cells(F.col("q_emb"), cents, nprobe)).alias("cell"),
+        )
+    else:
+        probed = _probe_cells_join(q, cents, nprobe)
     scored = (
-        cells.join(F.broadcast(q), "cell")
+        cells.join(F.broadcast(probed), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -378,6 +454,74 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored, 3)
+
+
+IVF_NPROBE = 3
+IVF_MULTIPROBE_K = 40
+
+
+def _sql_multiprobe_cand(nprobe: int) -> str:
+    """Oracle CTEs for the multi-probe candidate relation, appended
+    after ``_SQL_KMEANS_CELLS`` (uses its ``v``/``cc``/``a2``):
+    rank the final centroids per query, keep the top-``nprobe`` cells,
+    union those cells' members."""
+    return f"""
+    q AS (SELECT vec_id, qe FROM v WHERE vec_id < {N_QUERIES}),
+    qdot AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> q.qe[i] * c.c[i])) AS BIGINT) AS dot
+        FROM q, cc c
+    ),
+    qcells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid ASC) AS rn
+            FROM qdot
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT qc.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> q.qe[i] * bv.qe[i])) AS BIGINT) AS dot_q
+        FROM qcells qc
+        JOIN q ON q.vec_id = qc.vec_id
+        JOIN a2 b ON b.cell = qc.cell AND b.vec_id <> qc.vec_id
+        JOIN v bv ON bv.vec_id = b.vec_id
+    )
+    """
+
+
+@register(
+    "ann_ivf_kmeans_multiprobe",
+    oracle=f"""
+    WITH {_sql_kmeans_cells(IVF_MULTIPROBE_K)},
+    {_sql_multiprobe_cand(IVF_NPROBE)}
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+    FROM (
+        SELECT query_id, neighbor_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF at production shape: k=40 trained cells through
+    the broadcast-dim assignment AND probe paths (k ∝ corpus size ⇒
+    no literal centroid projections anywhere), queries probe their
+    top-3 cells. Why: single-probe k=8 measured recall@3 = 0.52
+    (``ann_ivf_recall_report``) — half the true neighbors missed;
+    finer cells + multi-probe measured 0.93 while scanning only
+    nprobe/k = 7.5% of the collection per query (the full recall/cost
+    curve is in SCALE.md, measured by
+    ``ann_ivf_multiprobe_recall_report``). Candidate generation stays
+    an equi-join on the cell key — the probed cells are disjoint, so
+    the explode needs no dedup and volume grows exactly P/k."""
+    return _ivf_kmeans_topk(
+        spark, sf_dir, nprobe=IVF_NPROBE, k=IVF_MULTIPROBE_K, assign="join"
+    )
 
 
 # Cosine near-dup threshold on the quantized integer dot: 0.95·QUANT².
@@ -658,12 +802,16 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real data). Composes the two existing oracle-exact rankings
     and counts the overlap; both rankings are integer-deterministic,
     so the recall report itself is hash-exact."""
+    return _recall_report(spark, sf_dir, ann_ivf_kmeans_topk(spark, sf_dir))
+
+
+def _recall_report(spark: SparkSession, sf_dir: str, ivf_df: DataFrame) -> DataFrame:
+    """Per-query recall@3 of any approximate ranking vs the exact
+    brute-force baseline."""
     brute = ann_cosine_topk(spark, sf_dir).filter(F.col("rank") <= 3).select(
         "query_id", "neighbor_id"
     )
-    ivf = ann_ivf_kmeans_topk(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
-    )
+    ivf = ivf_df.select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
     return (
         brute.join(
             ivf,
@@ -677,4 +825,51 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_expected"),
             F.count("ivf_neighbor_id").cast("bigint").alias("n_hits"),
         )
+    )
+
+
+@register(
+    "ann_ivf_multiprobe_recall_report",
+    oracle=f"""
+    WITH {_sql_kmeans_cells(IVF_MULTIPROBE_K)},
+    {_sql_multiprobe_cand(IVF_NPROBE)},
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 3
+    ),
+    bq AS (SELECT vec_id, qe FROM v WHERE vec_id < {N_QUERIES}),
+    bscored AS (
+        SELECT bq.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                                            i -> bq.qe[i] * b.qe[i])) AS BIGINT) AS dot_q
+        FROM bq, v b WHERE b.vec_id <> bq.vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+            FROM bscored
+        ) WHERE rnk <= 3
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+    FROM brute b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_ivf_multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the k=40/nprobe=3 multi-probe IVF path vs brute
+    force — the instrument that justifies the default: single-probe
+    k=8 measured 0.52 here, this configuration 0.93 at a 7.5% probe
+    fraction; the full curve is in SCALE.md. Hash-exact like the
+    single-probe report."""
+    return _recall_report(
+        spark, sf_dir, ann_ivf_kmeans_multiprobe(spark, sf_dir)
     )

@@ -100,3 +100,75 @@ def test_kmeans_assign_join_path_parity(spark, sf_dir):
         }
         assert lit == jn
         assert len({c for c in jn.values()}) > 1  # non-degenerate
+
+
+def _quantized(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+
+
+def test_probe_cells_literal_join_parity(spark, sf_dir):
+    """The literal probe expression and the broadcast-dim probe join
+    rank cells identically (dot DESC, cid ASC) — at k=8 and at the
+    production k=40 where only the join path is a reasonable plan."""
+    from pids_drg_esoa_spark.operators.similarity import (
+        _probe_cells_join,
+        kmeans_fit,
+        probe_cells,
+    )
+
+    v = _quantized(spark, sf_dir)
+    for k in (8, 40):
+        cents, _ = kmeans_fit(v, iters=1, k=k)
+        q = v.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb")
+        )
+        lit = {
+            r["query_id"]: list(r["cells"])
+            for r in q.select(
+                "query_id", probe_cells(F.col("q_emb"), cents, 3).alias("cells")
+            ).collect()
+        }
+        jn: dict[int, list[int]] = {}
+        for r in _probe_cells_join(q, cents, 3).collect():
+            jn.setdefault(r["query_id"], []).append(r["cell"])
+        # join path has no intra-query order guarantee after collect —
+        # compare as ordered lists via re-sort by rank is not possible,
+        # so compare sets AND that the literal list's head is the
+        # assignment argmax (checked separately below)
+        assert {qid: set(cs) for qid, cs in lit.items()} == {
+            qid: set(cs) for qid, cs in jn.items()
+        }
+
+
+def test_first_probed_cell_is_assignment(spark, sf_dir):
+    """probe_cells(...)[0] == the vector's own assigned cell, so
+    nprobe=1 reduces exactly to the single-probe operator."""
+    from pids_drg_esoa_spark.operators.similarity import kmeans_fit, probe_cells
+
+    v = _quantized(spark, sf_dir)
+    cents, assigned = kmeans_fit(v, iters=1, k=8)
+    got = assigned.select(
+        "vec_id",
+        "cell",
+        F.element_at(probe_cells(F.col("qe"), cents, 1), 1).alias("probed"),
+    ).collect()
+    assert got and all(r["cell"] == r["probed"] for r in got)
+
+
+def test_multiprobe_recall_monotone_in_nprobe(spark, sf_dir):
+    """With fixed cells, raising nprobe only grows each query's
+    candidate set, so brute-force hits are non-decreasing in P."""
+    from pids_drg_esoa_spark.operators.similarity import (
+        _ivf_kmeans_topk,
+        _recall_report,
+    )
+
+    hits = []
+    for p in (1, 2, 4):
+        rep = _recall_report(
+            spark, sf_dir, _ivf_kmeans_topk(spark, sf_dir, nprobe=p, k=8)
+        ).collect()
+        hits.append(sum(r["n_hits"] for r in rep))
+    assert hits[0] <= hits[1] <= hits[2]
+    assert hits[2] > 0
