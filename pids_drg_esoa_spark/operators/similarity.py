@@ -554,8 +554,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized dot ≥ 0.95·QUANT² (unit-norm ⇒ cosine ≥ ~0.95). The
     blocking key bounds the pair space exactly like LSH bands do for
     text."""
-    e = table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", quantize(F.col("embedding")).alias("qe"))
+    return near_dup_pairs_exact(table(spark, sf_dir, "embeddings"))
+
+
+def near_dup_pairs_exact(embeddings: DataFrame) -> DataFrame:
+    """The exact near-dup pair core over any
+    (vec_id, label, embedding) relation."""
+    v = embeddings.select("vec_id", "label", quantize(F.col("embedding")).alias("qe"))
     a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("qe").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("qe").alias("eb"))
     return (
@@ -590,8 +595,13 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact operator remains the verification tier, run on THESE
     candidates at scale. Same integer-dot determinism as the rest of
     the ANN family."""
-    e = table(spark, sf_dir, "embeddings")
-    v = e.select(
+    return near_dup_pairs_lsh(table(spark, sf_dir, "embeddings"))
+
+
+def near_dup_pairs_lsh(embeddings: DataFrame) -> DataFrame:
+    """The (label, sign-cell)-blocked near-dup pair core over any
+    (vec_id, label, embedding) relation."""
+    v = embeddings.select(
         "vec_id", "label",
         quantize(F.col("embedding")).alias("qe"),
         sign_bucket(F.col("embedding")).alias("cell"),
@@ -604,6 +614,71 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
         .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
     )
+
+
+# Planted twins: the synthetic corpus's organic vectors never reach
+# 0.95 cosine (judge-verified in DuckDB), so the two entries above
+# return 0 rows at sf0.01 and their green hashes prove schema only.
+# Cloning every 50th vector at vec_id + 1e6 (same label ⇒ survives
+# the label block; same embedding ⇒ same sign cell ⇒ survives the
+# LSH block) plants a known non-empty pair set — the same device
+# the SemDeDup oracles use.
+_SQL_EMB_PLANTED = """
+    emb0 AS (SELECT vec_id, label, embedding FROM embeddings),
+    embeddings_planted AS (
+        SELECT vec_id, label, embedding FROM emb0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        FROM emb0 WHERE vec_id % 50 = 0
+    )
+"""
+
+
+def _near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e0.unionAll(
+        e0.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding"
+        )
+    )
+
+
+@register(
+    "embedding_near_dup_pairs_planted",
+    oracle=f"""
+    WITH {_SQL_EMB_PLANTED},
+    {_SQL_EMB_PAIRS.replace("FROM embeddings", "FROM embeddings_planted")}
+    SELECT vec_a, vec_b, label, dot_q FROM emb_pairs
+    """,
+)
+def embedding_near_dup_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_near_dup_pairs`` over the clone-planted corpus —
+    non-empty by construction (each clone pairs with its original at
+    dot ≈ QUANT²), so the hash gates the pair semantics, not just the
+    schema."""
+    return near_dup_pairs_exact(_near_dup_planted(spark, sf_dir))
+
+
+@register(
+    "embedding_near_dup_lsh_planted",
+    oracle=f"""
+    WITH {_SQL_EMB_PLANTED},
+    v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS cell
+        FROM embeddings_planted
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {_SQL_DOT} AS dot_q
+    FROM v a JOIN v b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT} >= {NEAR_DUP_DOT_MIN}
+    """,
+)
+def embedding_near_dup_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_near_dup_lsh`` over the clone-planted corpus: an
+    exact clone shares every sign bit, so the LSH block must recover
+    every planted pair — recall 1.0 on the plant is part of what the
+    hash now verifies."""
+    return near_dup_pairs_lsh(_near_dup_planted(spark, sf_dir))
 
 
 @register(

@@ -246,6 +246,30 @@ def j12_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j12_anti_join_planted",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+    )
+    """,
+)
+def j12_anti_join_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty twin of ``j12_anti_join``: on the synthetic corpus
+    every custkey has at least one order, so the plain anti set is
+    data-inherently empty and its green oracle entry verifies column
+    names only (0 = 0). Restricting the probe side to URGENT orders
+    guarantees a populated anti set (203 rows at sf0.01, 18 at
+    sf0.001 — measured) while keeping the identical left_anti plan
+    shape, so the hash now gates the join semantics too."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
     "j5_prefix_theta_join",
     oracle="""
     WITH prefixes AS (
@@ -663,6 +687,30 @@ def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~isin U2)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "u2_except_planted",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def u2_except_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty twin of ``u2_except``: every customer nation has a
+    supplier on the synthetic corpus, so the plain EXCEPT is
+    data-inherently empty (0 = 0 proves schema only). Thinning the
+    subtrahend to high-balance suppliers leaves nations without one
+    (18 rows at sf0.01, 25 at sf0.001 — measured), gating the actual
+    set-difference semantics with the same ``subtract`` plan."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
