@@ -391,6 +391,16 @@ PRIORITY_SYNONYM_MIXTURE_FALLBACK = 98
 PRIORITY_MIXTURE_FALLBACK = 99
 
 
+# Fallback-tier probe-shape gate: below this many (raw_text, key)
+# pairs, probe per pair (the fixed cost of the distinct-key shape —
+# dkeys shuffle + hits materializations + join-backs — exceeds its
+# savings on tiny corpora); at or above it, probe per distinct key
+# (r6: ~70× fewer fuzzy calls at 155K texts). Measured crossover is
+# broad and flat between ~5K and ~50K pairs; 20K sits in the middle,
+# the same magnitude as dedup's _PERSIST_MIN_DOCS.
+_PER_DISTINCT_MIN_PAIRS = 20_000
+
+
 def _pin_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition to 2× the cluster parallelism so the
     PYTHON-heavy stage that follows runs wide. AQE's partition
@@ -597,34 +607,55 @@ def _token_matches(
 
     # The three fallback tiers below (prefix / multiword-containment /
     # fuzzy) are the EXPENSIVE probes — and their candidate choice
-    # depends ONLY on the key, never on which text carried it. Probe
-    # per DISTINCT key, then broadcast-join the resolved hits back to
-    # the (raw_text, key) relation — the reference's own shape
-    # (batch_lookup_generics caches per unique token, tagger.py:700).
-    # Without this the fuzzy scorer ran once per (text, candidate):
-    # r6-measured 21.9M pure-Python ratio calls (2,260 CPU-s) at 155K
-    # texts vs ~0.3M per-distinct-key. _pin_parallelism: dkeys is
-    # small-bytes/high-CPU, exactly what AQE would collapse to one
-    # partition.
-    dkeys = _persist_tracked(_pin_parallelism(keys.select("key").distinct(), "key"))
-    # Scale note: the three *_hits join-backs below carry NO broadcast
-    # hint on purpose. Their size is bounded by |distinct keys| — a
-    # text-derived vocabulary that grows with the corpus (Heaps' law),
-    # the same reason the tf-idf/rare-token vocab broadcasts are gated
-    # (retrieval.py / textstats.py). AQE converts the shuffle join to
-    # a runtime broadcast whenever the hits side is actually small
-    # (always, at test/production-differential volumes), while at
-    # 100 TB a multi-GB hits relation degrades to a sort-merge join
-    # instead of OOMing the driver on a forced hint.
+    # depends ONLY on the key, never on which text carried it. Above
+    # _PER_DISTINCT_MIN_PAIRS, probe per DISTINCT key and join the
+    # resolved hits back to the (raw_text, key) relation — the
+    # reference's own shape (batch_lookup_generics caches per unique
+    # token, tagger.py:700). Without this the fuzzy scorer ran once
+    # per (text, candidate): r6-measured 21.9M pure-Python ratio calls
+    # (2,260 CPU-s) at 155K texts vs ~0.3M per-distinct-key.
+    # Below the gate the r5 per-pair shape is kept: the distinct-key
+    # rework carries a fixed cost (dkeys shuffle + three hits
+    # materializations + the join-backs) that only pays for itself
+    # once the pair relation is large — the same size-gate pattern as
+    # _PERSIST_MIN_DOCS / _SEMI_FILTER_MIN_DOCS / VOCAB_BROADCAST_MAX_
+    # DOCS. The count is cheap: `keys` is persisted (warmed here, then
+    # probed by every tier) and its parent docs relation is already a
+    # checkpointed leaf. Both shapes are row-identical — the per-key
+    # top-3 windows order on key-determined columns only, so slicing
+    # per (raw_text, key) or per key then joining back keeps the same
+    # rows (pinned by test_fallback_probe_gate_parity).
+    n_pairs = keys.count()
+    per_distinct = n_pairs >= _PER_DISTINCT_MIN_PAIRS
+    if per_distinct:
+        # _pin_parallelism: dkeys is small-bytes/high-CPU, exactly
+        # what AQE would collapse to one partition.
+        probe = _persist_tracked(_pin_parallelism(keys.select("key").distinct(), "key"))
+        wkey = ["key"]
+    else:
+        probe = keys
+        wkey = ["raw_text", "key"]
+
+    def back(hits: DataFrame) -> DataFrame:
+        # Scale note: this join-back carries NO broadcast hint on
+        # purpose. The hits side is bounded by |distinct keys| — a
+        # text-derived vocabulary that grows with the corpus (Heaps'
+        # law), the same reason the tf-idf/rare-token vocab broadcasts
+        # are gated (retrieval.py / textstats.py). AQE converts the
+        # shuffle join to a runtime broadcast whenever the hits side
+        # is actually small (always, at test/production-differential
+        # volumes), while at 100 TB a multi-GB hits relation degrades
+        # to a sort-merge join instead of OOMing the driver.
+        return keys.join(hits, "key") if per_distinct else hits
 
     # Prefix tier (lookup.py:287-295): dim name starts with "<token> "
     # — catches salt-suffixed dims ('amoxicillin' → 'AMOXICILLIN
     # TRIHYDRATE', fuzzy ratio ~67 would miss it). Reference keeps
     # LIMIT 3 ordered by length; same top-3 here.
-    pref = dkeys.join(g, F.col("gkey").startswith(F.concat(dkeys.key, F.lit(" "))))
-    wp = W.partitionBy("key").orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
+    pref = probe.join(g, F.col("gkey").startswith(F.concat(probe.key, F.lit(" "))))
+    wp = W.partitionBy(*wkey).orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
     pref_hits = pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
-    tiers.append(tier(keys.join(pref_hits, "key"), 4, PRIORITY_PREFIX, "prefix"))
+    tiers.append(tier(back(pref_hits), 4, PRIORITY_PREFIX, "prefix"))
 
     # Multiword-containment tier (reference extract_generic_tokens'
     # multiword matching, tokenizer.py:1113-1200): a multiword dim
@@ -635,16 +666,16 @@ def _token_matches(
     # name). Bounded like prefix: |distinct keys| × |multiword dim
     # names| broadcast probe; longest (most specific) names first.
     mwg = g.filter(F.col("gkey").contains(" "))
-    cont = dkeys.join(
+    cont = probe.join(
         mwg,
-        (dkeys.key != F.col("gkey"))
-        & F.concat(F.lit(" "), dkeys.key, F.lit(" ")).contains(
+        (probe.key != F.col("gkey"))
+        & F.concat(F.lit(" "), probe.key, F.lit(" ")).contains(
             F.concat(F.lit(" "), F.col("gkey"), F.lit(" "))
         ),
     )
-    wm = W.partitionBy("key").orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
+    wm = W.partitionBy(*wkey).orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
     cont_hits = cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3)
-    tiers.append(tier(keys.join(cont_hits, "key"), 5, PRIORITY_TOKEN, "multiword"))
+    tiers.append(tier(back(cont_hits), 5, PRIORITY_TOKEN, "multiword"))
 
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
     # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
@@ -652,18 +683,18 @@ def _token_matches(
     # like 'setirizine'→'cetirizine' @ ratio 90, which the reference's
     # unblocked rapidfuzz scan keeps). Python scorer only on the
     # per-distinct-key survivors.
-    blocked = dkeys.filter(F.length("key") >= 4).join(
+    blocked = probe.filter(F.length("key") >= 4).join(
         g,
-        length_band_filter(F.length(dkeys.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+        length_band_filter(F.length(probe.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
     )
     scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
         F.col("ratio") >= FUZZY_MIN_RATIO
     )
-    w = W.partitionBy("key").orderBy(
+    w = W.partitionBy(*wkey).orderBy(
         F.desc("ratio"), F.asc(F.length("gkey")), F.asc("gkey")
     )
     fuzzy_hits = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    tiers.append(tier(keys.join(fuzzy_hits, "key"), 6, PRIORITY_FUZZY, "fuzzy"))
+    tiers.append(tier(back(fuzzy_hits), 6, PRIORITY_FUZZY, "fuzzy"))
 
     if synonyms_dim is not None and mixtures_dim is not None:
         # Mixture-name synonym fallback (reference tagger.py:783-804):

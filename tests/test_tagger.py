@@ -506,3 +506,41 @@ def test_combo_key_tier_reaches_combination_dim(spark, dims):
     assert row.drugbank_id == "DB99001"
     assert row.atc_primary == "J01CR02"
     assert row.match_reason == "combo_key"
+
+
+def test_fallback_probe_gate_parity(spark, dims, monkeypatch):
+    """The two fallback probe shapes (per-pair below
+    _PER_DISTINCT_MIN_PAIRS, per-distinct-key above) are
+    row-identical: the per-key top-3 windows order on key-determined
+    columns only, so slicing per (raw_text, key) or per key then
+    joining back keeps the same rows. Forced both ways over a corpus
+    that exercises prefix, multiword, and fuzzy tiers."""
+    from pids_drg_esoa_spark.plans import tagger as T
+
+    texts = [
+        "amoxicilin 500mg cap",          # fuzzy
+        "sodium chloride usp 0.9%",      # multiword containment
+        "amoxicillin trihydrate 250mg",  # prefix-reachable
+        "paracetamol 500mg tab",         # exact (control)
+        "setirizine 10mg",               # fuzzy miss (no dim) control
+    ]
+    esoa = spark.createDataFrame([(t,) for t in texts], "raw_text string")
+
+    def _freeze(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    def run():
+        tagged = tag_descriptions(esoa, **dims)
+        rows = {
+            tuple(sorted((k, _freeze(v)) for k, v in r.asDict().items()))
+            for r in tagged.collect()
+        }
+        for p in tagged.persisted_intermediates:
+            p.unpersist()
+        return rows
+
+    monkeypatch.setattr(T, "_PER_DISTINCT_MIN_PAIRS", 10**9)  # force per-pair
+    small = run()
+    monkeypatch.setattr(T, "_PER_DISTINCT_MIN_PAIRS", 0)  # force per-distinct
+    large = run()
+    assert small == large and len(small) == len(texts)
