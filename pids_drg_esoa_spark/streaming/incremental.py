@@ -262,3 +262,121 @@ def stream_neardup_against_index(
     q = stream_esoa_parts(spark, directory, process, checkpoint_dir)
     q.neardup_index = (idx_sh, idx_sig, idx_bands)
     return q
+
+
+EMBEDDING_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def stream_embdup_against_index(
+    spark: SparkSession,
+    directory: str,
+    index_embeddings: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    grow_index_dir: str | None = None,
+):
+    """Embedding near-duplicate detection against a growing vector
+    index — the vector twin of ``stream_neardup_against_index``: each
+    arriving parquet part of (vec_id, label, embedding) rows is
+    quantized + sign-bucketed and equi-joined against a PRE-BUILT
+    index on the (label, cell) blocking key, then exact-verified with
+    the SAME integer dot threshold the batch operators use
+    (similarity.NEAR_DUP_DOT_MIN — streaming and batch can never
+    disagree on a pair). Per-trigger cost is O(new vectors): the
+    blocking key bounds each probe to ~1/256 of its label population,
+    and candidate generation stays an equi-join.
+
+    Idempotence contract (identical to the minhash twin): matches and
+    grown-index rows land in ``batch_id=N`` partition subdirectories
+    that a retried batch OVERWRITES, and the probe side excludes the
+    current batch's own partition — at-least-once retries neither
+    duplicate output nor self-match. ``grow_index_dir`` holds ONE
+    relation (vec rows: index_vec, label, qe, cell), so the offline
+    maintenance job is ``writers.compact_parquet(spark,
+    grow_index_dir)`` directly (the minhash twin's three-relation
+    ``compact_grown_index`` wrapper is not needed here).
+
+    The persisted static index outlives the returned query (exposed
+    as ``query.embdup_index`` for callers that rebuild it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        NEAR_DUP_DOT_MIN,
+        int_dot,
+        quantize,
+        sign_bucket,
+    )
+
+    idx = index_embeddings.select(
+        F.col("vec_id").alias("index_vec"),
+        "label",
+        quantize(F.col("embedding")).alias("qe"),
+        sign_bucket(F.col("embedding")).alias("cell"),
+    ).persist()
+
+    def _grown(batch_id: int) -> DataFrame:
+        if grow_index_dir is None or not os.path.isdir(grow_index_dir):
+            return idx
+        tail = spark.read.parquet(grow_index_dir)
+        if "batch_id" not in tail.columns:
+            raise RuntimeError(
+                f"grown vector index at {grow_index_dir} uses a flat "
+                "layout; run sources.writers.compact_parquet(spark, "
+                f"{grow_index_dir!r}, migrate_to_batch_layout=True) once "
+                "(stream stopped) before resuming"
+            )
+        # exclude the CURRENT batch's partition: a retried batch must
+        # not probe its own previous attempt's rows (partition-pruned)
+        return idx.unionByName(
+            tail.filter(F.col("batch_id") != batch_id).drop("batch_id")
+        )
+
+    def process(batch_df, batch_id: int) -> None:
+        new = batch_df.select(
+            F.col("vec_id").alias("new_vec"),
+            "label",
+            quantize(F.col("embedding")).alias("nqe"),
+            sign_bucket(F.col("embedding")).alias("cell"),
+        )
+        if grow_index_dir is not None:
+            # probed by the match join AND appended to the tail
+            new = new.localCheckpoint(eager=True)
+        matched = (
+            new.join(_grown(batch_id), ["label", "cell"])
+            .select(
+                "new_vec",
+                "index_vec",
+                "label",
+                int_dot(F.col("nqe"), F.col("qe")).alias("dot_q"),
+            )
+            .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
+        )
+        part = f"batch_id={batch_id}"
+        matched.write.mode("overwrite").parquet(os.path.join(output_path, part))
+        if grow_index_dir is not None:
+            new.select(
+                F.col("new_vec").alias("index_vec"), "label",
+                F.col("nqe").alias("qe"), "cell",
+            ).write.mode("overwrite").parquet(os.path.join(grow_index_dir, part))
+
+    src = (
+        spark.readStream.schema(EMBEDDING_PART_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.embdup_index = (idx,)
+    return q

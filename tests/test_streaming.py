@@ -270,3 +270,55 @@ def test_streaming_neardup_growing_index(spark, tmp_path):
     pairs = {(r.new_doc, r.index_doc) for r in spark.read.parquet(out).collect()}
     # N2 ~ N1 across parts — only the grown tail can see it
     assert pairs == {("N2", "N1")}
+
+
+def test_streaming_embdup_growing_index(spark, tmp_path):
+    """Vector twin of the growing-index flow: part 2 contains an
+    exact clone of a PART-1 vector (absent from the static index) —
+    only the grown tail can match it — plus a clone of a static-index
+    vector. Same batch_id idempotence contract."""
+    import math
+
+    from pids_drg_esoa_spark.streaming.incremental import (
+        EMBEDDING_PART_SCHEMA,
+        stream_embdup_against_index,
+    )
+
+    def unit(seed: int) -> list[float]:
+        v = [math.sin(seed * 31 + i) for i in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    a, b, c = unit(1), unit(2), unit(3)
+    index_emb = spark.createDataFrame(
+        [(100, "en", a), (101, "en", b)], EMBEDDING_PART_SCHEMA
+    )
+    src = tmp_path / "vparts"
+    src.mkdir()
+
+    def write_part(rows, name):
+        # the file source wants plain files in the watched dir, not
+        # per-part directories — write then move the single data file
+        import shutil
+
+        d = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, EMBEDDING_PART_SCHEMA).coalesce(1).write.parquet(
+            str(d)
+        )
+        (f,) = [p for p in d.iterdir() if p.name.endswith(".parquet")]
+        shutil.move(str(f), str(src / name))
+
+    # part 1: a fresh vector c (no match) ; part 2: clone of c (grown
+    # tail catch) + clone of index vector a (static catch)
+    write_part([(1, "en", c)], "p1.parquet")
+    write_part([(2, "en", c), (3, "en", a)], "p2.parquet")
+    out, ckpt = str(tmp_path / "vdups"), str(tmp_path / "vckpt")
+    q = stream_embdup_against_index(
+        spark, str(src), index_emb, out, ckpt,
+        grow_index_dir=str(tmp_path / "vgrown"),
+    )
+    q.awaitTermination()
+    pairs = {(r.new_vec, r.index_vec) for r in spark.read.parquet(out).collect()}
+    assert pairs == {(2, 1), (3, 100)}
+    for r in q.embdup_index:
+        r.unpersist()
