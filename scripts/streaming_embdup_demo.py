@@ -1,0 +1,203 @@
+"""Streaming embedding near-dup at volume (round 7): drive
+``stream_embdup_against_index`` in GROWING mode for 12+ triggers and
+measure that per-trigger cost stays O(new vectors) — the vector twin
+of scripts/streaming_demo.py's minhash flow.
+
+Corpus: a 5,000-vector static index, then N parts of M fresh vectors
+each; every part plants (a) one clone of a STATIC index vector and
+(b) one clone of a vector from the PREVIOUS part — the second is
+detectable only through the grown tail, so a flat match count per
+trigger proves the tail is actually probed. Per-trigger wall comes
+from the StreamingQuery's own progress events; grown-index partition
+bytes per trigger prove O(new data) index growth. Ends with the
+offline maintenance job (writers.compact_parquet on the single grown
+relation) and a re-read verifying row conservation.
+
+Usage: python scripts/streaming_embdup_demo.py [--parts 12]
+       [--vectors 2000] [--index 5000]
+Prints a per-trigger table + one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORK = "/tmp/spark_graft_embdup_demo"
+DIM = 64
+
+
+def unit(seed: int) -> list[float]:
+    # seeded Gaussian → uniform on the sphere: organic cosines are
+    # ~N(0, 1/64-ish) in 64-dim, so only the PLANTED clones can cross
+    # the 0.95 near-dup threshold — match volume isolates the plant
+    import random
+
+    rng = random.Random(seed)
+    v = [rng.gauss(0.0, 1.0) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def progress_rows(q) -> list[dict]:
+    out = []
+    for pr in q.recentProgress:
+        p = json.loads(pr.json) if hasattr(pr, "json") else pr
+        if p.get("numInputRows", 0) > 0:
+            out.append(
+                {
+                    "batch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                }
+            )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", type=int, default=12)
+    ap.add_argument("--vectors", type=int, default=2000)
+    ap.add_argument("--index", type=int, default=5000)
+    args = ap.parse_args()
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    from pids_drg_esoa_spark.session import get_spark
+    from pids_drg_esoa_spark.sources.writers import compact_parquet
+    from pids_drg_esoa_spark.streaming.incremental import (
+        EMBEDDING_PART_SCHEMA,
+        stream_embdup_against_index,
+    )
+
+    spark = get_spark(app_name="embdup-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    labels = ["en", "de", "fr", "es"]
+
+    def rows_for(ids_seeds):
+        return [
+            (vid, labels[vid % len(labels)], unit(seed)) for vid, seed in ids_seeds
+        ]
+
+    index_emb = spark.createDataFrame(
+        rows_for([(i, i) for i in range(args.index)]), EMBEDDING_PART_SCHEMA
+    )
+
+    src = os.path.join(WORK, "parts")
+    os.makedirs(src)
+
+    def write_part(rows, name):
+        stage = os.path.join(WORK, "stage_" + name)
+        spark.createDataFrame(rows, EMBEDDING_PART_SCHEMA).coalesce(1).write.parquet(stage)
+        (f,) = [x for x in os.listdir(stage) if x.endswith(".parquet")]
+        shutil.move(os.path.join(stage, f), os.path.join(src, name))
+        shutil.rmtree(stage)
+
+    # part p carries vectors with fresh seeds, PLUS a clone of static
+    # vector p (same label: id ≡ label mod 4 is preserved by +4-step
+    # cloning ids) and a clone of the previous part's first vector.
+    base = args.index
+    for p in range(args.parts):
+        start = base + p * args.vectors
+        ids_seeds = [(start + i, 10_000 + start + i) for i in range(args.vectors)]
+        rows = rows_for(ids_seeds)
+        static_target = p * len(labels)  # keeps label alignment
+        rows.append((start + args.vectors, labels[static_target % len(labels)],
+                     unit(static_target)))
+        if p > 0:
+            prev_first = base + (p - 1) * args.vectors
+            rows.append((start + args.vectors + 1,
+                         labels[prev_first % len(labels)],
+                         unit(10_000 + prev_first)))
+        write_part(rows, f"vp_{p:03d}.parquet")
+
+    out = os.path.join(WORK, "matches")
+    grown = os.path.join(WORK, "grown")
+    t0 = time.time()
+    q = stream_embdup_against_index(
+        spark, src, index_emb, out,
+        os.path.join(WORK, "ckpt"), grow_index_dir=grown,
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    prog = progress_rows(q)
+
+    matches = spark.read.parquet(out)
+    n_pairs = matches.count()
+    from pyspark.sql import functions as F
+
+    n_cross_part = matches.filter(
+        (F.col("index_vec") >= args.index) & (F.col("new_vec") >= args.index)
+    ).count()
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    grown_parts = sorted(
+        (
+            (d, dir_bytes(os.path.join(grown, d)))
+            for d in os.listdir(grown)
+            if d.startswith("batch_id=")
+        ),
+        key=lambda t: int(t[0].split("=")[1]),
+    )
+    files_before = sum(
+        1 for dp, _, fs in os.walk(grown) for f in fs if f.endswith(".parquet")
+    )
+    rows_before = spark.read.parquet(grown).count()
+    tc0 = time.time()
+    files_after = compact_parquet(spark, grown)
+    compact_wall = time.time() - tc0
+    rows_after = spark.read.parquet(grown).count()
+    assert rows_before == rows_after, (rows_before, rows_after)
+
+    print("\n### Embedding near-dup vs static+growing vector index (per trigger)\n")
+    print("| trigger | rows | sec |")
+    print("|---|---|---|")
+    for r in prog:
+        print(f"| {r['batch']} | {r['rows']} | {r['sec']} |")
+    print("\ngrown vector partition bytes per trigger:")
+    for d, b in grown_parts:
+        print(f"  {d}: {b}")
+    print(
+        f"\npairs: {n_pairs} total, {n_cross_part} cross-part (grown-tail-only); "
+        f"compaction {files_before} -> {files_after} files "
+        f"({compact_wall:.1f}s, {rows_after} rows conserved); wall {wall:.1f}s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_embdup_demo",
+                "parts": args.parts,
+                "vectors_per_part": args.vectors,
+                "index_vectors": args.index,
+                "pairs": n_pairs,
+                "cross_part_pairs": n_cross_part,
+                "trigger_sec": [r["sec"] for r in prog],
+                "grown_bytes_per_trigger": [b for _, b in grown_parts],
+                "compact_files_before": files_before,
+                "compact_files_after": files_after,
+            }
+        )
+    )
+    for r in q.embdup_index:
+        r.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
