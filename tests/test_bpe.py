@@ -148,3 +148,22 @@ def test_budget_bpe_exact_prefix_and_packing_parity(spark, docs, trained):
             expect_p[r["doc_id"]] = (start // 512, start % 512)
             start += r["n_tokens"]
     assert got_p == expect_p
+
+
+def test_scalable_encoder_parity(spark, docs, trained):
+    """The production rank-dict pandas_udf encoder produces EXACTLY
+    the replace-chain encoder's output — including empty and
+    punctuation-only documents."""
+    from pids_drg_esoa_spark.operators.bpe import bpe_encode_scalable
+
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "!!! ---"), (9003, "KEY agg ROW key")],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    a = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+         for r in bpe_encode(corpus, trained).collect()}
+    b = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+         for r in bpe_encode_scalable(corpus, trained).collect()}
+    assert a == b
+    assert a[9001] == (0, "") and a[9002] == (0, "")
