@@ -153,6 +153,93 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, 3)
 
 
+def hamming1_cells(cell: Column, n_planes: int = 8) -> Column:
+    """The query's sign cell plus its ``n_planes`` hamming-1
+    neighbors — classic LSH multi-probe (Lv et al. 2007): a near
+    neighbor that disagrees on exactly one sign bit (a dimension near
+    zero) lives in a hamming-1 cell, so probing those 9 of 2^8 cells
+    (~3.5%) recovers most boundary misses at bounded cost."""
+    cells = [cell]
+    for i in range(1, n_planes + 1):
+        flipped = F.when(F.substring(cell, i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        cells.append(
+            F.concat(
+                F.substring(cell, 1, i - 1), flipped, F.substring(cell, i + 1, n_planes)
+            )
+        )
+    return F.array(*cells)
+
+
+_SQL_HAMMING1 = f"""
+    pc AS (
+        SELECT vec_id, cell FROM q
+        UNION ALL
+        SELECT q.vec_id,
+               substr(q.cell, 1, t.i - 1)
+               || (CASE WHEN substr(q.cell, t.i, 1) = '1' THEN '0' ELSE '1' END)
+               || substr(q.cell, t.i + 1) AS cell
+        FROM q, (SELECT unnest(generate_series(1, 8)) AS i) t
+    )
+"""
+
+
+@register(
+    "ann_ivf_bucketed_multiprobe",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS cell
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    {_SQL_HAMMING1},
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, {_SQL_DOT.replace("a.e", "q.e")} AS dot_q
+        FROM pc
+        JOIN q ON q.vec_id = pc.vec_id
+        JOIN v b ON b.cell = pc.cell AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+    FROM (
+        SELECT query_id, neighbor_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_bucketed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket IVF with hamming-1 multi-probe: each query probes
+    its own cell plus the 8 one-bit-flip cells — the standard LSH
+    multi-probe shape, complementing the trained-centroid multi-probe
+    (`ann_ivf_kmeans_multiprobe`). Probed cells are disjoint vector
+    sets, so candidate generation stays a dedup-free equi-join on the
+    cell key at 9/256 of the collection per query; measured recall@3
+    vs brute force is in SCALE.md."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qe"),
+        sign_bucket(F.col("embedding")).alias("cell"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_emb"), "cell"
+    )
+    probed = q.select(
+        "query_id", "q_emb", F.explode(hamming1_cells(F.col("cell"))).alias("cell")
+    )
+    scored = (
+        v.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot(F.col("q_emb"), F.col("qe")).alias("dot_q"),
+        )
+    )
+    return _topk(scored, 3)
+
+
 K_MEANS_K = 8
 K_MEANS_SCALE = 16
 

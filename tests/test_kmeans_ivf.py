@@ -172,3 +172,19 @@ def test_multiprobe_recall_monotone_in_nprobe(spark, sf_dir):
         hits.append(sum(r["n_hits"] for r in rep))
     assert hits[0] <= hits[1] <= hits[2]
     assert hits[2] > 0
+
+
+def test_hamming1_cells_shape(spark):
+    """9 probe cells: the original + 8 single-bit flips, all distinct,
+    each at hamming distance exactly 0 or 1."""
+    from pids_drg_esoa_spark.operators.similarity import hamming1_cells
+
+    df = spark.createDataFrame([("10110010",)], "cell string")
+    (row,) = df.select(hamming1_cells(F.col("cell")).alias("cells")).collect()
+    cells = list(row["cells"])
+    assert len(cells) == 9 and len(set(cells)) == 9
+    orig = cells[0]
+    assert orig == "10110010"
+    for c in cells[1:]:
+        assert len(c) == 8
+        assert sum(a != b for a, b in zip(orig, c)) == 1
