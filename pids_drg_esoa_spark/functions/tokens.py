@@ -66,53 +66,235 @@ PURE_IONS: frozenset[str] = frozenset(
 # ratio first so its prefix can't be half-consumed by the amount arm
 _DOSE_ALL_RE = re.compile("|".join(f"(?:{p})" for p in (_RATIO_RE, _PACK_RE, _AMOUNT_RE, _PCT_RE)))
 _FORM_ROUTE_TOKENS = frozenset(FORM_CANON) | frozenset(ROUTE_CANON)
-_AS_SALT_PAREN = re.compile(r"\(\s*as\s+([^)]+)\)", re.IGNORECASE)
-_AS_SALT_TAIL = re.compile(r"\s+as\s+(.+)$", re.IGNORECASE)
+
+# ---------------------------------------------------------------------------
+# F6 / F22 — VERBATIM twins of the reference's two distinct strip
+# functions. Round-7 repair: these were previously ONE composite
+# (paren-'as' + trailing-RUN trim + pure-salt guard) that equalled
+# NEITHER reference function on multi-salt tails ('METFORMIN
+# HYDROCHLORIDE MONOHYDRATE': tokenizer.strip_salt_suffix keeps
+# 'METFORMIN HYDROCHLORIDE', the composite stripped to 'METFORMIN');
+# latent because the differential corpus carried single salts only
+# and the reference's own Part-1 (where text_utils.extract_base_and_
+# salts runs) is outside the Parts-2-4 differential. Both twins are
+# fuzzed against the live reference (scripts/fuzz_salts_vs_
+# reference.py).
+# ---------------------------------------------------------------------------
+
+_SALT_UPPER: frozenset[str] = frozenset(t.upper() for t in SALT_TOKENS)
+# longest-first single-suffix scan; equal-length ties can't both be
+# suffixes of one ending, so tie order is immaterial
+_SALT_UPPER_SORTED: list[str] = sorted(_SALT_UPPER, key=len, reverse=True)
+_PURE_SALT_UPPER: frozenset[str] = frozenset(p.upper() for p in PURE_SALT_COMPOUNDS)
 
 
-def _is_pure_salt_compound(tokens: list[str]) -> bool:
-    """Pure-salt protection (F22): the phrase is a known pure salt
-    compound (reference PURE_SALT_COMPOUNDS, lookup strip guard) or
-    every token is a salt descriptor ⇒ the whole thing IS the drug
-    (SODIUM CHLORIDE), don't strip."""
-    if not tokens:
-        return False
-    if " ".join(t.lower() for t in tokens) in PURE_SALT_COMPOUNDS:
-        return True
-    return all(t.lower() in SALT_TOKENS for t in tokens)
-
-
-def extract_base_and_salts_py(name: str | None) -> tuple[str, list[str]]:
-    """F6: split a molecule string into base name + salt descriptors.
-    Handles '( as X)' parentheticals, trailing 'as X', and trailing
-    salt-token trimming with pure-salt protection."""
+def strip_salt_suffix_pair_py(name: str | None) -> tuple[str, str | None]:
+    """F22: twin of tokenizer.strip_salt_suffix (tokenizer.py:
+    1395-1435) — pure-salt-compound guard, then ONE trailing salt
+    suffix (longest first) with a dangling-'AS' trim, then the
+    'X AS Y' salt pattern. Uppercases like the reference."""
     if not name:
-        return "", []
-    s = re.sub(r"\s+", " ", name).strip()
-    salts: list[str] = []
-
-    for m in _AS_SALT_PAREN.finditer(s):
-        salts.extend(t.strip().upper() for t in re.split(r"\+|,", m.group(1)) if t.strip())
-    s = _AS_SALT_PAREN.sub(" ", s)
-
-    m = _AS_SALT_TAIL.search(s)
-    if m and not _is_pure_salt_compound(s[: m.start()].split()):
-        salts.extend(t.strip().upper() for t in re.split(r"\+|,", m.group(1)) if t.strip())
-        s = s[: m.start()]
-
-    tokens = s.split()
-    while len(tokens) > 1 and tokens[-1].lower() in SALT_TOKENS:
-        if _is_pure_salt_compound(tokens):
-            break
-        salts.insert(0, tokens.pop().upper())
-    base = re.sub(r"\s+", " ", " ".join(tokens)).strip()
-    return base, salts
+        return "", None
+    up = name.upper()
+    if up in _PURE_SALT_UPPER:
+        return up, None
+    for suffix in _SALT_UPPER_SORTED:
+        if up.endswith(" " + suffix):
+            base = up[: -len(suffix) - 1].strip()
+            if base.endswith(" AS"):
+                base = base[:-3].strip()
+            return base, suffix
+    if " AS " in up:
+        head, tail = up.split(" AS ", 1)
+        tail = tail.strip()
+        if tail in _SALT_UPPER:
+            return head.strip(), tail
+    return up, None
 
 
 def strip_salt_suffix_py(name: str | None) -> str:
-    """F22: base name only (longest trailing salt run removed, pure
-    compounds protected)."""
-    return extract_base_and_salts_py(name)[0]
+    """F22 base-only form (the shape the lookup/tagger chains use)."""
+    return strip_salt_suffix_pair_py(name)[0]
+
+
+# --- F6 vocabulary, composed exactly like text_utils.py:13-21 builds
+# its derived sets (verified equal set-for-set against the live
+# reference): BASE_GENERIC_IGNORE = stopwords ∪ unit tokens,
+# MEASUREMENT = unit tokens, SPECIAL = salt cations (can be bases).
+def _f6_vocab():
+    from .constants import SALT_CATIONS, UNIT_TOKENS
+    from .vocab_full import STOPWORDS_FULL
+
+    meas = frozenset(u.lower() for u in UNIT_TOKENS)
+    ignore = frozenset(s.lower() for s in STOPWORDS_FULL) | meas
+    special = frozenset(s.lower() for s in SALT_CATIONS)
+    words: set[str] = set()
+    for tok in SALT_TOKENS:
+        if not tok:
+            continue
+        words.add(tok.lower())
+        for part in normalize_text_py(tok).split():
+            words.add(part)
+    words.update({"salt", "salts"})
+    return meas, ignore, special, frozenset(words)
+
+
+_F6_MEASUREMENT, _F6_IGNORE, _F6_SPECIAL, _F6_SALT_WORDS = _f6_vocab()
+_F6_TAIL_BREAK = frozenset({"+", "/", "&", "and", "with"})
+_F6_ALNUM_RE = re.compile(r"[a-z]+[0-9]+[a-z0-9]*")
+
+
+def _f6_token_core(token: str) -> str:
+    return token.lower().strip(".,;:'\"()[]{}")
+
+
+def _f6_is_measurement(tok: str) -> bool:
+    tok = tok.lower()
+    if tok in _F6_MEASUREMENT or tok in {"%", "ratio", "per"}:
+        return True
+    return tok.endswith("ml") or tok.endswith("mg")
+
+
+def _f6_salt_tail(tokens: list[str], start: int) -> bool:
+    """text_utils._looks_like_salt_tail: an 'as' introduces salts only
+    when everything up to a break token is salt vocabulary."""
+    seen = False
+    for tok in tokens[start:]:
+        if tok.lower() in _F6_TAIL_BREAK:
+            break
+        if not tok:
+            continue
+        if any(ch.isdigit() for ch in tok) or tok in {"%", "per"}:
+            break
+        low = tok.lower()
+        if low == "and/or":
+            continue
+        if low in _F6_SALT_WORDS:
+            seen = True
+            continue
+        return False
+    return seen
+
+
+def extract_base_and_salts_py(name: str | None) -> tuple[str, list[str]]:
+    """F6: twin of text_utils.extract_base_and_salts (text_utils.py:
+    219-351) — the Part-1/PNF molecule splitter. normalize → find the
+    salt-introducing 'as' boundary → collect salt words from the tail
+    → walk the base candidates (special cations stay bases unless
+    preceded by 'as'; '+'-connectors kept when more base follows;
+    measurement/ignore/digit tokens dropped) → truncate-fallback →
+    trim trailing salt words → dedupe; all-salt and empty inputs fall
+    back exactly like the reference."""
+    if not isinstance(name, str):
+        return "", []
+    norm = normalize_text_py(name)
+    tokens = norm.split()
+    boundary = None
+    for idx, tok in enumerate(tokens):
+        if tok == "as" and _f6_salt_tail(tokens, idx + 1):
+            boundary = idx
+            break
+    base_candidates = tokens if boundary is None else tokens[:boundary]
+    tail_candidates = [] if boundary is None else tokens[boundary + 1 :]
+
+    salts: list[str] = []
+    for tok in tail_candidates:
+        low = tok.lower()
+        if low in {"and", "with", "plus", "+", "/"} or not low:
+            continue
+        if not re.search(r"[a-z]", low):
+            continue
+        if low not in _F6_SALT_WORDS or low in {"salt", "salts"}:
+            continue
+        salts.append(tok.upper())
+
+    def treat_as_salt(low: str, idx: int, cand: list[str]) -> bool:
+        if low not in _F6_SALT_WORDS or low in {"salt", "salts"}:
+            return False
+        if idx > 0 and cand[idx - 1].lower() == "as":
+            return True
+        return low not in _F6_SPECIAL
+
+    def is_base_candidate(tok: str) -> bool:
+        low = tok.lower()
+        key = _f6_token_core(tok)
+        if key in _F6_IGNORE or _f6_is_measurement(key) or low == "%":
+            return False
+        if not re.search(r"[a-z]", low) or low[0].isdigit():
+            return False
+        if any(ch.isdigit() for ch in low) and not _F6_ALNUM_RE.fullmatch(low):
+            return False
+        return True
+
+    base_tokens: list[str] = []
+    leading_salts: list[str] = []
+    for idx, tok in enumerate(base_candidates):
+        low = tok.lower()
+        if tok in {"+", "/", "&"}:
+            if base_tokens and any(
+                is_base_candidate(t) for t in base_candidates[idx + 1 :]
+            ):
+                base_tokens.append(tok)
+            continue
+        if treat_as_salt(low, idx, base_candidates):
+            if base_tokens:
+                salts.append(tok.upper())
+            else:
+                leading_salts.append(tok.upper())
+            continue
+        if not is_base_candidate(tok):
+            continue
+        base_tokens.append(tok.upper())
+
+    if not base_tokens:
+        # truncate fallback: a looser pass that keeps alnum codes
+        for idx, tok in enumerate(base_candidates):
+            low = tok.lower()
+            key = _f6_token_core(tok)
+            if tok in {"+", "/", "&"}:
+                if base_tokens:
+                    base_tokens.append(tok.upper())
+                continue
+            if low == "as":
+                break
+            if treat_as_salt(low, idx, base_candidates):
+                continue
+            if _f6_is_measurement(key):
+                continue
+            if key in _F6_IGNORE and low not in _F6_SALT_WORDS:
+                continue
+            if not re.search(r"[a-z]", low):
+                continue
+            if any(ch.isdigit() for ch in low):
+                if _F6_ALNUM_RE.fullmatch(low):
+                    base_tokens.append(tok.upper())
+                continue
+            base_tokens.append(tok.upper())
+    if not base_tokens and leading_salts:
+        base_tokens = leading_salts
+
+    # trim trailing salt words off the base — unless the base is
+    # entirely salt words (pure compounds stay whole)
+    if base_tokens and any(t.lower() not in _F6_SALT_WORDS for t in base_tokens):
+        trimmed: list[str] = []
+        while base_tokens and base_tokens[-1].lower() in _F6_SALT_WORDS:
+            tok = base_tokens.pop()
+            if tok.lower() not in {"salt", "salts"}:
+                trimmed.append(tok.upper())
+        salts.extend(reversed(trimmed))
+
+    base = " ".join(base_tokens).strip().upper() if base_tokens else ""
+    unique: list[str] = []
+    seen: set[str] = set()
+    for tok in salts:
+        if tok and tok not in seen:
+            seen.add(tok)
+            unique.append(tok)
+    if not base and unique:
+        base, unique = " ".join(unique), []
+    if not base and name:
+        base = name.strip().upper()
+    return base, unique
 
 
 def detect_compound_salts_py(parts: list[str]) -> list[str]:

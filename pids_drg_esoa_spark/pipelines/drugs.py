@@ -79,11 +79,16 @@ def build_unified_generics(
         "who",
     )
 
+    # the PNF block consumes generic_NORMALIZED (the F6 base), exactly
+    # like the reference's SQL (build_unified_reference.py:196-202 —
+    # its regexp name_key is a no-op on F6 bases, which are already
+    # alnum+space, so lower(trim) is the same key)
+    pnf_name = "generic_normalized" if "generic_normalized" in pnf.columns else "generic_name"
     pnf_g = spine(
         pnf.select(
             F.lit(None).cast("string").alias("drugbank_id"),
-            F.upper("generic_name").alias("generic_name"),
-            F.lower(F.trim("generic_name")).alias("name_key"),
+            F.upper(pnf_name).alias("generic_name"),
+            F.lower(F.trim(pnf_name)).alias("name_key"),
         ),
         "pnf",
     )
@@ -240,9 +245,17 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
     )
     d = (
         pnf_raw.withColumn("raw_molecule", F.col("Molecule"))
-        .withColumn("generic_normalized", normalize_text(F.col("Molecule")))
+        # reference column contract (prepare.py:64-74): generic_name =
+        # the RAW molecule uppercased; generic_normalized = the F6
+        # base (extract_base_and_salts falls back to raw upper
+        # itself); generic_id slugs the NORMALIZED name. Round-7 fix —
+        # generic_name previously carried the (composite-)stripped
+        # base and generic_normalized the F1 normalization, so every
+        # downstream unified build consumed a different name than the
+        # reference's.
+        .withColumn("generic_name", F.upper(F.trim("Molecule")))
         .withColumn("_bs", base_salts)
-        .withColumn("generic_name", F.upper(F.col("_bs.base")))
+        .withColumn("generic_normalized", F.upper(F.col("_bs.base")))
         .withColumn("salt_form", F.array_join("_bs.salts", " + "))
         .withColumn("generic_id", slug_id(F.col("_bs.base")))
         .withColumn("atc_code", F.upper(F.trim("ATC Code")))

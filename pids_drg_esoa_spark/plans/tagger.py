@@ -211,14 +211,13 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         # APPENDED, so the component order (stripped[0]=active,
         # stripped[1]=vehicle for IV solutions) stays the extract's
         mw_sorted = sorted(multiword, key=len, reverse=True)
+        hits_per_doc = [
+            [m.lower() for m in multiword_hits(t, d.get("generic_name"), mw_sorted)]
+            for t, d in zip(text, details)
+        ]
         merged = [
-            list(
-                dict.fromkeys(
-                    comps
-                    + [m.lower() for m in multiword_hits(t, d.get("generic_name"), mw_sorted)]
-                )
-            )
-            for t, d, comps in zip(text, details, merged)
+            list(dict.fromkeys(comps + hits))
+            for comps, hits in zip(merged, hits_per_doc)
         ]
         # vaccine canonical name becomes the PRIMARY lookup token
         # (reference tagger.py:608-610 prepend)
@@ -232,14 +231,21 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         ]
         from ..functions.constants import PURE_SALT_COMPOUNDS
 
-        def word_expand(comps: list[str], vn: str | None) -> list[str]:
+        def word_expand(comps: list[str], vn: str | None, hits: list[str]) -> list[str]:
             """Reference token granularity: unknown multi-word phrases
             arrive ONE WORD PER TOKEN from extract_generic_tokens —
             only multiword DIM names, pure-salt compounds, vaccine
             names, and '+'-combinations stay whole (tokenizer.py:
             1113-1200). 'NEOSTIGMINE METHYLSULFATE' must probe as
             NEOSTIGMINE + METHYLSULFATE, not as one glued phrase
-            (diff-adjudicated)."""
+            (diff-adjudicated). Words already claimed by a multiword
+            dim hit are CONSUMED, not re-emitted (round 7): the
+            reference's tokenizer extracts 'SODIUM CHLORIDE' from
+            'sodium chloride injection usp' and never probes a bare
+            'sodium' — re-emitting it exact-hits single-cation dim
+            rows (e.g. PNF F6 bases) the reference never sees as
+            candidates (diff-adjudicated on SODIUM CHLORIDE INJECTION
+            USP once Part-1 F6 went verbatim)."""
             out: list[str] = []
             for c in comps:
                 if (
@@ -250,12 +256,19 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     and c.upper() != (vn or "").upper()
                     and "VACCINE" not in c.upper()
                 ):
-                    out.extend(w for w in c.split() if w)
+                    residue = " " + " ".join(c.split()) + " "
+                    for m in hits:
+                        if m != c:
+                            residue = residue.replace(f" {m} ", " ")
+                    out.extend(w for w in residue.split() if w)
                 else:
                     out.append(c)
             return list(dict.fromkeys(out))
 
-        merged = [word_expand(c, vn) for c, (vn, _) in zip(merged, vac)]
+        merged = [
+            word_expand(c, vn, hits)
+            for c, (vn, _), hits in zip(merged, vac, hits_per_doc)
+        ]
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
@@ -591,12 +604,21 @@ def _token_matches(
         # swap target before probing (tagger.py:624-647): FLANAX →
         # NAPROXEN SODIUM → NAPROXEN → exact dim hit. Probing the
         # unstripped target would miss every salt-suffixed brand map.
-        br = F.broadcast(
-            brands_dim.select(
-                F.lower("brand_name").alias("bkey"),
-                F.lower(strip_salt_suffix(F.col("generic_name"))).alias("target_key"),
+        # _tag_descriptions_impl passes a PRE-STRIPPED (bkey,
+        # target_key) relation computed driver-side through the full
+        # reference chain (pure-salt + multiword guard + single-strip,
+        # tagger.py:302-307) — the guards need the collected multiword
+        # set, which only the caller holds; a raw brands dim falls
+        # back to the unguarded strip.
+        if "target_key" in brands_dim.columns:
+            br = F.broadcast(brands_dim.select("bkey", "target_key"))
+        else:
+            br = F.broadcast(
+                brands_dim.select(
+                    F.lower("brand_name").alias("bkey"),
+                    F.lower(strip_salt_suffix(F.col("generic_name"))).alias("target_key"),
+                )
             )
-        )
         tiers.append(
             tier(
                 keys.join(br, keys.key == F.col("bkey"))
@@ -961,8 +983,25 @@ def _tag_descriptions_impl(
         .select("raw_text", "key")
         .distinct()
     )
+    # Pre-strip the brand-swap targets driver-side through the FULL
+    # reference chain (pure-salt + multiword guard + single salt
+    # strip, tagger.py:302-307 — e.g. a brand mapping to 'ISOSORBIDE
+    # DINITRATE' must probe the multiword dim row unstripped). The
+    # brands dim is broadcast-sized by contract and brand_map is
+    # already collected, so this costs nothing extra.
+    brands_targets = None
+    if brand_map:
+        from ..functions.matching import _strip_component
+
+        brands_targets = spark.createDataFrame(
+            [
+                (b.lower(), _strip_component(g, {}, frozenset(multiword)).lower())
+                for b, g in sorted(brand_map.items())
+            ],
+            "bkey string, target_key string",
+        )
     token_hits = _persist_tracked(_token_matches(
-        keys, generics_dim, synonyms_dim, brands_dim, mixtures_dim
+        keys, generics_dim, synonyms_dim, brands_targets, mixtures_dim
     ))
 
     # No synthesized ' + '-joined candidates: the reference never

@@ -170,6 +170,14 @@ def build_corpus(
             texts.append(f"{name} {base_dose} MG FILM COATED TABLET")
         texts.append(f"{name} {base_dose}MG TAB **")
         texts.append(f"{name}")  # no dose → no_dose_in_esoa in Part 4
+        # multi-salt tails (round 7): the tagger's single-suffix strip
+        # (tokenizer.strip_salt_suffix) keeps 'X HYDROCHLORIDE' from
+        # 'X HYDROCHLORIDE MONOHYDRATE' — the old composite stripped
+        # the whole run; these rows pin the repaired surface
+        if i % 4 == 1:
+            texts.append(f"{name} HYDROCHLORIDE MONOHYDRATE {base_dose} MG TABLET")
+        if i % 4 == 3:
+            texts.append(f"{name} SULFATE DIHYDRATE {base_dose}MG TAB")
         texts.append(f"{name} 10 X {base_dose} MG TABLET")  # pack unmask
         if len(name) >= 8 and i % 2 == 0:  # typo → fuzzy ≥ 85
             typo = name[:3] + name[4:]

@@ -70,7 +70,13 @@ def test_unified_generics_anti_join_merge(spark, inputs):
     assert rows["paracetamol"].source == "drugbank"  # spine wins
     assert rows["paracetamol"].drugbank_id == "DB00316"
     assert rows["salbutamol"].source == "who"  # added (absent in spine)
-    assert rows["sodium chloride"].source == "pnf"  # added last
+    # reference F6 semantics (round 7): the PNF block consumes the
+    # generic_NORMALIZED (F6 base) like build_unified_reference.py:
+    # 196-202 — 'SODIUM CHLORIDE' contributes base 'SODIUM'
+    # (text_utils.extract_base_and_salts: CHLORIDE is a salt word,
+    # SODIUM is a special cation that stays a base)
+    assert rows["sodium"].source == "pnf"  # added last
+    assert "sodium chloride" not in rows
     assert rows["amlodipine"].source == "drugbank"
 
 
@@ -92,15 +98,23 @@ def test_unified_mixtures_key_is_order_insensitive(spark, inputs):
 def test_prepare_pnf_derivations(spark, inputs):
     p = prepare_pnf(inputs["pnf"])
     rows = p.collect()
-    amlo = [r for r in rows if r.generic_name == "AMLODIPINE"]
+    # reference column contract (prepare.py:64-74): generic_name is
+    # the RAW molecule uppercased, generic_normalized the F6 base
+    amlo = [r for r in rows if r.generic_normalized == "AMLODIPINE"]
     assert len(amlo) == 1 and amlo[0].route == "oral"
+    assert amlo[0].generic_name == "AMLODIPINE ( AS BESILATE)"
     assert amlo[0].salt_form == "BESILATE"
     assert amlo[0].generic_id == "amlodipine"
     assert amlo[0].strength_mg == 5.0
+    # pure-compound split is the reference's own F6 behavior: base
+    # keeps the special cation, the anion becomes the salt_form
+    nacl = [r for r in rows if r.generic_name == "SODIUM CHLORIDE"]
+    assert nacl and nacl[0].generic_normalized == "SODIUM"
+    assert nacl[0].salt_form == "CHLORIDE"
     # Inj.: expands to the parenteral family (one row per route)
-    para_routes = {r.route for r in rows if r.generic_name == "PARACETAMOL"}
+    para_routes = {r.route for r in rows if r.generic_normalized == "PARACETAMOL"}
     assert para_routes == {"intravenous", "intramuscular", "subcutaneous"}
-    para = [r for r in rows if r.generic_name == "PARACETAMOL"][0]
+    para = [r for r in rows if r.generic_normalized == "PARACETAMOL"][0]
     assert para.ratio_mg_per_ml == 150.0
 
 
