@@ -17,7 +17,10 @@ keeps them that way:
 - ``tokenizer.strip_salt_suffix``  vs  ``strip_salt_suffix_pair_py``
   (the tagger/lookup single-suffix strip: pure-compound guard,
   longest-first single suffix, dangling-'AS', 'X AS Y');
-- ``text_utils.serialize_salt_list``  vs  ``serialize_salt_list_py``.
+- ``text_utils.serialize_salt_list``  vs  ``serialize_salt_list_py``;
+- ``lookup.build_combination_keys``  vs  ``build_combination_keys_ref_py``
+  (F30 — consumes the strip internally, so this also differentials
+  the repaired primitive through its heaviest consumer).
 
 Grammar: generic names × 0-3 salt tails, special-cation compounds,
 'as X' / '( as X)' shapes, '+'/'/'-combos, doses and units, form
@@ -98,13 +101,18 @@ def main() -> int:
     rng = random.Random(seed)
 
     sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts.lookup import build_combination_keys as ref30
     from pipelines.drugs.scripts.text_utils import (
         extract_base_and_salts as ref6,
         serialize_salt_list as ref_ser,
     )
     from pipelines.drugs.scripts.tokenizer import strip_salt_suffix as ref22
 
-    bad6 = bad22 = bad_ser = 0
+    from pids_drg_esoa_spark.functions.matching import (
+        build_combination_keys_ref_py as our30,
+    )
+
+    bad6 = bad22 = bad_ser = bad30 = 0
     for i in range(n):
         name = gen_name(rng)
         r6, o6 = ref6(name), extract_base_and_salts_py(name)
@@ -123,11 +131,18 @@ def main() -> int:
         if rs != os_:
             bad_ser += 1
             print(f"SERIALIZE MISMATCH {salts!r}: ref {rs!r} our {os_!r}")
+        toks = [gen_name(rng) for _ in range(rng.randrange(0, 4))]
+        if rng.random() < 0.3:
+            toks.append(rng.choice(["+", "MG", "500MG", "(BRAND)", "A+B", ""]))
+        r30, o30 = sorted(ref30(toks)), sorted(our30(toks))
+        if r30 != o30:
+            bad30 += 1
+            print(f"F30 MISMATCH {toks!r}:\n  ref {r30}\n  our {o30}")
 
-    total = bad6 + bad22 + bad_ser
+    total = bad6 + bad22 + bad_ser + bad30
     print(
         f"{n} fuzzed names (seed {seed}): F6={bad6}, F22={bad22}, "
-        f"serialize={bad_ser} — {total} total mismatches"
+        f"serialize={bad_ser}, combo_keys={bad30} — {total} total mismatches"
     )
     return 0 if total == 0 else 1
 
