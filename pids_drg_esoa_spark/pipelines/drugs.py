@@ -126,7 +126,36 @@ def build_unified_generics(
         F.col("c_name").alias("generic_name"),
         F.lit("canonical").alias("source"),
     )
-    return out.unionByName(missing)
+    out = out.unionByName(missing)
+
+    # RAW PNF molecule names last (reference build_unified_reference.py
+    # :246-263, source 'pnf_raw', round-7 Part-1 differential): the
+    # reference also admits the UNSPLIT molecule string when no entry
+    # carries that exact name yet — what lets a verbatim-formulary
+    # text exact-hit even when F6 splits its base. Anti-joined on the
+    # uppercase NAME (the reference's `~isin(existing names)` filter,
+    # not the name_key).
+    if pnf is not None and "raw_molecule" in pnf.columns:
+        raw = (
+            pnf.select(F.upper(F.trim("raw_molecule")).alias("generic_name"))
+            .filter(F.col("generic_name").isNotNull() & (F.col("generic_name") != ""))
+            .distinct()
+            .join(
+                out.select(F.upper("generic_name").alias("generic_name")),
+                "generic_name",
+                "left_anti",
+            )
+            .select(
+                F.lower(F.regexp_replace("generic_name", "[^a-zA-Z0-9 ]", "")).alias(
+                    "name_key"
+                ),
+                F.lit(None).cast("string").alias("drugbank_id"),
+                "generic_name",
+                F.lit("pnf_raw").alias("source"),
+            )
+        )
+        out = out.unionByName(raw)
+    return out
 
 
 def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
@@ -141,23 +170,44 @@ def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
 
 
 def build_unified_atc(
-    drugbank_atc: DataFrame, who_atc: DataFrame, pnf_prepared: DataFrame | None = None
+    drugbank_atc: DataFrame,
+    who_atc: DataFrame,
+    pnf_prepared: DataFrame | None = None,
+    drugbank_generics: DataFrame | None = None,
 ) -> DataFrame:
-    """unified_atc (…py:314-364): DrugBank codes + WHO codes for
-    generics not already covered (anti-join on generic+code) + PNF
-    rows keyed by the normalized molecule (…py:341-355) + the
-    canonical combination/alias mappings the reference unions last
-    (…py:360-364, unified_constants.py:1933-2018)."""
-    db = drugbank_atc.select(
-        "drugbank_id", F.upper("generic_name").alias("generic_name"), F.upper("atc_code").alias("atc_code")
-    )
+    """unified_atc (…py:314-364): DrugBank codes (generic_name taken
+    from the GENERICS spine by drugbank_id — the reference's LEFT
+    JOIN; ids absent from the spine carry a NULL name) + WHO and PNF
+    rows appended UNCONDITIONALLY (the reference concats then
+    drop_duplicates over all three columns, so a WHO row differing
+    only in its NULL id coexists with the DrugBank row — round-7
+    Part-1 differential finding; the previous anti-join dropped them)
+    + the canonical combination/alias mappings unioned last
+    (…py:360-364). ``drugbank_generics`` enables the reference's
+    name-from-spine join; without it the atc table's own name column
+    is used (equivalent whenever the dims agree, the pre-round-7
+    behavior)."""
+    if drugbank_generics is not None:
+        names = drugbank_generics.select(
+            "drugbank_id", F.upper(F.trim("generic_name")).alias("_gname")
+        ).dropDuplicates(["drugbank_id"])
+        db = (
+            drugbank_atc.select("drugbank_id", F.upper("atc_code").alias("atc_code"))
+            .join(F.broadcast(names), "drugbank_id", "left")
+            .select("drugbank_id", F.col("_gname").alias("generic_name"), "atc_code")
+        )
+    else:
+        db = drugbank_atc.select(
+            "drugbank_id",
+            F.upper("generic_name").alias("generic_name"),
+            F.upper("atc_code").alias("atc_code"),
+        )
     who = who_atc.select(
         F.lit(None).cast("string").alias("drugbank_id"),
         F.upper("atc_name").alias("generic_name"),
         F.upper("atc_code").alias("atc_code"),
     )
-    new = who.join(db.select("generic_name", "atc_code"), ["generic_name", "atc_code"], "left_anti")
-    out = db.unionByName(new)
+    out = db.unionByName(who)
     if pnf_prepared is not None and "ATC Code" in pnf_prepared.columns:
         pnf = pnf_prepared.select(
             F.lit(None).cast("string").alias("drugbank_id"),
@@ -178,21 +228,28 @@ def build_unified_atc(
 
 def build_unified_brands(fda_brands: DataFrame, drugbank_brands: DataFrame) -> DataFrame:
     """unified_brands (…py:425-459): two sources, deterministic
-    first-wins per brand (source priority then generic lexical —
-    replaces keep='first' row-order dependence, SURVEY §7)."""
+    first-wins per brand. Source priority is FDA over DrugBank —
+    the reference concats [fda, drugbank] and keeps the FIRST row
+    per brand_name, so FDA wins cross-source collisions (round-7
+    Part-1 differential fix: the priority was inverted here).
+    Within a source the reference's keep='first' depends on input
+    ROW ORDER, which is not reproducible under distribution —
+    the engine's deterministic replacement is the generic-name
+    lexical tie-break (SURVEY §7 adjudication, allowlisted in
+    scripts/diff_reference_part1.py)."""
     fda = fda_brands.select(
         F.upper("brand_name").alias("brand_name"),
         F.upper("generic_name").alias("generic_name"),
         F.lit(None).cast("string").alias("drugbank_id"),
         F.lit("fda").alias("source"),
-        F.lit(1).alias("prio"),
+        F.lit(0).alias("prio"),
     )
     db = drugbank_brands.select(
         F.upper("brand_name").alias("brand_name"),
         F.upper("generic_name").alias("generic_name"),
         "drugbank_id",
         F.lit("drugbank").alias("source"),
-        F.lit(0).alias("prio"),
+        F.lit(1).alias("prio"),
     )
     merged = db.unionByName(fda)
     w = W.partitionBy("brand_name").orderBy("prio", "generic_name")
@@ -287,6 +344,7 @@ class DrugsPipeline(BasePipeline):
         ctx.artifacts["unified_atc"] = build_unified_atc(
             ctx.inputs["drugbank_atc"], ctx.inputs["who_atc"],
             ctx.artifacts["pnf_prepared"],
+            drugbank_generics=ctx.inputs["drugbank_generics"],
         )
         ctx.artifacts["unified_brands"] = build_unified_brands(
             ctx.inputs["fda_brands"], ctx.inputs["drugbank_brands"]

@@ -86,7 +86,8 @@ def run_drugs_all(
         inputs["drugbank_generics"], inputs["who_atc"], pnf_prepared
     )
     atc = _flag_combination_atc(
-        build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"], pnf_prepared)
+        build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"], pnf_prepared,
+                          drugbank_generics=inputs["drugbank_generics"])
     )
     brands = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
     mixtures = build_unified_mixtures(inputs["mixtures"]).selectExpr(

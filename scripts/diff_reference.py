@@ -300,7 +300,8 @@ def write_unified_csvs(dims: dict[str, pd.DataFrame], outputs_dir: str) -> None:
     generics = build_unified_generics(
         sdims["drugbank_generics"], sdims["who_atc"], pnf_prepared
     ).toPandas()
-    atc = build_unified_atc(sdims["drugbank_atc"], sdims["who_atc"], pnf_prepared).toPandas()
+    atc = build_unified_atc(sdims["drugbank_atc"], sdims["who_atc"], pnf_prepared,
+                            drugbank_generics=sdims["drugbank_generics"]).toPandas()
     brands = build_unified_brands(sdims["fda_brands"], sdims["drugbank_brands"]).toPandas()
     mixtures = build_unified_mixtures(sdims["mixtures"]).toPandas()
     synonyms = build_unified_synonyms(

@@ -1,0 +1,313 @@
+"""Part-1 differential: the REFERENCE's own prepare.py +
+build_unified_reference.py run in-place vs THIS engine's
+prepare_pnf + build_unified_* on the same raw dims (round 7).
+
+Until now Part 1 was the one layer with NO reference differential:
+scripts/diff_reference.py deliberately feeds BOTH sides engine-built
+unified tables (isolating Parts 2-4), so any Part-1 divergence
+cancels structurally — which is exactly where the round-7 salt-strip
+campaign found the F6 composite hiding. prepare.py and
+build_unified_reference.py are plain Python/duckdb (the R-subprocess
+limitation applies to the upstream lean EXPORTS, not the build), so
+they run here directly.
+
+Input synthesis: the engine's raw dims (scripts/diff_reference.
+build_dims) are written in the reference's lean-export CSV shapes
+(generics_lean / synonyms_lean / atc_lean / brands_lean /
+mixtures_lean / who_atc_* / fda_drug_*), with the export-computed
+columns (name_key, mixture component_key_sorted) derived the way the
+reference's own SQL derives name keys — LOWER(REGEXP_REPLACE(name,
+'[^a-zA-Z0-9 ]', '', 'g')) — and the engine's adjudicated
+component-key construction (sorted lowercase pipe join).
+
+Compared, row by row:
+- pnf_prepared        (shared columns)
+- unified_generics    (per generic_name: drugbank_id, source)
+- unified_atc         (multiset of (drugbank_id, generic_name, atc))
+- unified_brands      (per brand_name: generic_name, drugbank_id)
+- unified_mixtures    (per component_key: mixture_name, drugbank_id)
+- unified_synonyms    (per drugbank_id: synonym set)
+
+unified_dosages / unified_salts are NOT compared: no Parts-2-4
+consumer reads them (grep: tagger.py/runners.py/lookup.py reference
+neither), so they are out of the engine's user-facing surface.
+
+Usage: python scripts/diff_reference_part1.py
+Exit 0 iff no unexplained divergences.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+from scripts.diff_reference import build_dims  # noqa: E402
+
+SCRATCH = "/tmp/diffref_part1"
+
+
+def _name_key(s: pd.Series) -> pd.Series:
+    return s.fillna("").map(lambda x: re.sub(r"[^a-zA-Z0-9 ]", "", str(x)).lower())
+
+
+def write_reference_inputs(dims: dict[str, pd.DataFrame], inputs_dir: str) -> None:
+    os.makedirs(inputs_dir, exist_ok=True)
+
+    g = dims["drugbank_generics"].copy()
+    g["name_key"] = _name_key(g["generic_name"])
+    g.to_csv(f"{inputs_dir}/generics_lean.csv", index=False)
+
+    # synonyms_lean carries (drugbank_id, synonyms); the raw dim is
+    # (synonym, generic_name) — map names to ids through the generics
+    # spine exactly like the engine's runner wiring does
+    syn = dims["synonyms"].merge(
+        g[["drugbank_id", "generic_name"]], on="generic_name", how="inner"
+    )
+    syn = syn.rename(columns={"synonym": "synonyms"})[["drugbank_id", "synonyms"]]
+    syn.to_csv(f"{inputs_dir}/synonyms_lean.csv", index=False)
+
+    dims["drugbank_atc"][["drugbank_id", "atc_code"]].to_csv(
+        f"{inputs_dir}/atc_lean.csv", index=False
+    )
+    dims["drugbank_brands"][["brand_name", "drugbank_id"]].to_csv(
+        f"{inputs_dir}/brands_lean.csv", index=False
+    )
+
+    mx = dims["mixtures"].copy()
+    comps = mx["component_generics"].map(
+        lambda s: sorted(p.strip().lower() for p in str(s).split("+") if p.strip())
+    )
+    mx["component_key_sorted"] = comps.map("|".join)
+    mx["component_keys"] = mx["component_key_sorted"]
+    mx["component_count"] = comps.map(len)
+    mx.to_csv(f"{inputs_dir}/mixtures_lean.csv", index=False)
+
+    dims["who_atc"].to_csv(f"{inputs_dir}/who_atc_2026.csv", index=False)
+    dims["fda_brands"].to_csv(f"{inputs_dir}/fda_drug_2026.csv", index=False)
+
+    # the dosages/salts SQL blocks are not try-guarded in the
+    # reference — give them empty tables with the expected headers
+    # (both feed unified tables no Parts-2-4 consumer reads)
+    pd.DataFrame(columns=["drugbank_id", "form", "route", "strength"]).to_csv(
+        f"{inputs_dir}/dosages_lean.csv", index=False
+    )
+    pd.DataFrame(columns=["drugbank_id", "salt_name", "name_key"]).to_csv(
+        f"{inputs_dir}/salts_lean.csv", index=False
+    )
+
+
+def run_reference(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
+    sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts.build_unified_reference import (
+        build_unified_reference,
+    )
+    from pipelines.drugs.scripts.prepare import prepare
+
+    inputs_dir = f"{SCRATCH}/ref_inputs"
+    outputs_dir = f"{SCRATCH}/ref_outputs"
+    write_reference_inputs(dims, inputs_dir)
+
+    pnf_csv = f"{SCRATCH}/pnf.csv"
+    esoa_csv = f"{SCRATCH}/esoa.csv"
+    dims["pnf"].to_csv(pnf_csv, index=False)
+    pd.DataFrame({"DESCRIPTION": ["PARACETAMOL 500MG TAB"]}).to_csv(esoa_csv, index=False)
+    prep_dir = f"{SCRATCH}/ref_prepared"
+    os.makedirs(prep_dir, exist_ok=True)
+    prepare(pnf_csv, esoa_csv, outdir=prep_dir)
+    shutil.copy(f"{prep_dir}/pnf_prepared.csv", f"{inputs_dir}/pnf_prepared.csv")
+
+    build_unified_reference(inputs_dir=inputs_dir, outputs_dir=outputs_dir, verbose=False)
+    out = {"pnf_prepared": pd.read_csv(f"{prep_dir}/pnf_prepared.csv", dtype=str)}
+    for t in ("generics", "synonyms", "atc", "brands", "mixtures"):
+        out[t] = pd.read_csv(f"{outputs_dir}/unified_{t}.csv", dtype=str)
+    return out
+
+
+def run_engine(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
+    from pyspark.sql import functions as F
+
+    from pids_drg_esoa_spark.pipelines.drugs import (
+        build_unified_atc,
+        build_unified_brands,
+        build_unified_generics,
+        build_unified_mixtures,
+        build_unified_synonyms,
+        prepare_pnf,
+    )
+    from pids_drg_esoa_spark.session import get_spark
+
+    spark = get_spark(app_name="diffref_part1")
+    spark.sparkContext.setLogLevel("ERROR")
+    sdims = {k: spark.createDataFrame(v) for k, v in dims.items()}
+    pnf_prepared = prepare_pnf(sdims["pnf"])
+    # synonyms mapped to ids through the generics spine — the same
+    # derivation the reference input synthesis uses
+    syn_in = sdims["synonyms"].join(
+        sdims["drugbank_generics"].select("drugbank_id", "generic_name"),
+        "generic_name",
+        "inner",
+    )
+    return {
+        "pnf_prepared": pnf_prepared.toPandas(),
+        "generics": build_unified_generics(
+            sdims["drugbank_generics"], sdims["who_atc"], pnf_prepared
+        ).toPandas(),
+        "atc": build_unified_atc(
+            sdims["drugbank_atc"], sdims["who_atc"], pnf_prepared,
+            drugbank_generics=sdims["drugbank_generics"],
+        ).toPandas(),
+        "brands": build_unified_brands(
+            sdims["fda_brands"], sdims["drugbank_brands"]
+        ).toPandas(),
+        "mixtures": build_unified_mixtures(sdims["mixtures"]).toPandas(),
+        "synonyms": build_unified_synonyms(
+            syn_in.select("drugbank_id", "synonym", "generic_name")
+        ).toPandas(),
+    }
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    s = str(v).strip()
+    return s if s and s.lower() != "nan" else None
+
+
+def diff_keyed(
+    name: str,
+    ref: pd.DataFrame,
+    eng: pd.DataFrame,
+    key: str,
+    cols: list[str],
+    report: list[str],
+) -> int:
+    rk = {_norm(r[key]): r for _, r in ref.iterrows() if _norm(r.get(key))}
+    ek = {_norm(r[key]): r for _, r in eng.iterrows() if _norm(r.get(key))}
+    bad = 0
+    for k in sorted(set(rk) | set(ek)):
+        if k not in ek:
+            bad += 1
+            report.append(f"{name}: {k!r} missing in ENGINE")
+            continue
+        if k not in rk:
+            bad += 1
+            report.append(f"{name}: {k!r} missing in REFERENCE")
+            continue
+        for c in cols:
+            rv, ev = _norm(rk[k].get(c)), _norm(ek[k].get(c))
+            if rv != ev:
+                bad += 1
+                report.append(f"{name}: {k!r}.{c}: ref {rv!r} eng {ev!r}")
+    return bad
+
+
+def main() -> int:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+    dims = build_dims()
+    ref = run_reference(dims)
+    eng = run_engine(dims)
+    report: list[str] = []
+    bad = 0
+
+    # pnf_prepared: shared scalar columns, keyed by (raw_molecule, route)
+    rp, ep = ref["pnf_prepared"].copy(), eng["pnf_prepared"].copy()
+    for df in (rp, ep):
+        df["_k"] = df["raw_molecule"].map(_norm).astype(str) + "||" + df["route"].map(_norm).astype(str)
+    shared = ["generic_name", "generic_normalized", "salt_form", "generic_id",
+              "atc_code", "strength_mg", "ratio_mg_per_ml"]
+    # normalize float formatting for string compare ('5.0' vs '5')
+    for df in (rp, ep):
+        for c in ("strength_mg", "ratio_mg_per_ml"):
+            df[c] = pd.to_numeric(df[c], errors="coerce").round(6).astype(str)
+    bad += diff_keyed("pnf_prepared", rp, ep, "_k", shared, report)
+
+    bad += diff_keyed("unified_generics", ref["generics"], eng["generics"],
+                      "generic_name", ["drugbank_id", "source"], report)
+
+    # unified_atc: order-free multiset of (drugbank_id, generic_name, atc_code)
+    def atc_set(df):
+        return {
+            (_norm(r.get("drugbank_id")), _norm(r.get("generic_name")), _norm(r.get("atc_code")))
+            for _, r in df.iterrows()
+        }
+    ra, ea = atc_set(ref["atc"]), atc_set(eng["atc"])
+    for t in sorted(ra - ea, key=str):
+        bad += 1
+        report.append(f"unified_atc: {t} missing in ENGINE")
+    for t in sorted(ea - ra, key=str):
+        bad += 1
+        report.append(f"unified_atc: {t} missing in REFERENCE")
+
+    # unified_brands with a documented-divergence allowlist: a brand
+    # carried by SEVERAL rows of the SAME source has NO reproducible
+    # reference survivor — the reference applies keep='first' to a
+    # SELECT DISTINCT result, and DuckDB's post-DISTINCT row order is
+    # engine-internal hash-agg order (observed flipping between runs
+    # of this very script: BRGLIBEN one run, BRQUETIA the next). The
+    # engine's deterministic replacement is the generic-name lexical
+    # min (SURVEY §7). Such ties are counted separately and are not
+    # failures; any OTHER brand diff (incl. cross-source priority,
+    # which the reference DOES determine: FDA first) still fails.
+    fda_pairs = {
+        (str(r["brand_name"]).upper(), str(r["generic_name"]).upper())
+        for _, r in dims["fda_brands"].iterrows()
+    }
+    db_pairs = {
+        (str(r["brand_name"]).upper(), str(r["generic_name"]).upper())
+        for _, r in dims["drugbank_brands"].iterrows()
+    }
+    brand_report: list[str] = []
+    brand_bad = diff_keyed("unified_brands", ref["brands"], eng["brands"],
+                           "brand_name", ["generic_name", "drugbank_id"], brand_report)
+    ties = 0
+    for line in list(brand_report):
+        m = re.match(r"unified_brands: '(.+)'\.generic_name: ref '(.+)' eng '(.+)'", line)
+        if m:
+            b, rn, en = m.group(1), m.group(2), m.group(3)
+            for pairs in (fda_pairs, db_pairs):
+                if (b, rn) in pairs and (b, en) in pairs:
+                    ties += 1
+                    brand_bad -= 1
+                    brand_report.remove(line)
+                    break
+    if ties:
+        print(f"  unified_brands: {ties} same-source keep='first' ties "
+              "(reference survivor nondeterministic post-DISTINCT — adjudicated)")
+    report.extend(brand_report)
+    bad += brand_bad
+    bad += diff_keyed("unified_mixtures", ref["mixtures"], eng["mixtures"],
+                      "component_key", ["mixture_name", "drugbank_id"], report)
+
+    # synonyms: per drugbank_id, pipe-set compare
+    def syn_map(df):
+        out = {}
+        for _, r in df.iterrows():
+            k = _norm(r.get("drugbank_id"))
+            if k:
+                out[k] = frozenset((_norm(r.get("synonyms")) or "").split("|"))
+        return out
+    rs, es = syn_map(ref["synonyms"]), syn_map(eng["synonyms"])
+    for k in sorted(set(rs) | set(es)):
+        if rs.get(k) != es.get(k):
+            bad += 1
+            report.append(f"unified_synonyms: {k}: ref {sorted(rs.get(k, []))} "
+                          f"eng {sorted(es.get(k, []))}")
+
+    for line in report[:80]:
+        print(" ", line)
+    if len(report) > 80:
+        print(f"  ... and {len(report) - 80} more")
+    print(f"\nPART-1 TOTAL mismatches: {bad}")
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -76,15 +76,21 @@ def test_unified_generics_anti_join_merge(spark, inputs):
     # (text_utils.extract_base_and_salts: CHLORIDE is a salt word,
     # SODIUM is a special cation that stays a base)
     assert rows["sodium"].source == "pnf"  # added last
-    assert "sodium chloride" not in rows
+    # the RAW molecule joins too, as 'pnf_raw' (reference
+    # build_unified_reference.py:246-263 — round-7 Part-1 addition)
+    assert rows["sodium chloride"].source == "pnf_raw"
+    assert rows["sodium chloride"].drugbank_id is None
     assert rows["amlodipine"].source == "drugbank"
 
 
 def test_unified_brands_first_wins_deterministic(spark, inputs):
     b = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
     rows = {r.brand_name: r for r in b.collect()}
-    # drugbank (prio 0) beats fda for the shared brand
-    assert rows["AMBIGUOUS"].generic_name == "AAA GENERIC"
+    # FDA beats drugbank for the shared brand — the reference concats
+    # [fda, drugbank] and keeps the FIRST row per brand (round-7
+    # Part-1 differential fix; previously inverted here)
+    assert rows["AMBIGUOUS"].generic_name == "ZZZ GENERIC"
+    assert rows["AMBIGUOUS"].source == "fda"
     assert rows["BIOGESIC"].generic_name == "PARACETAMOL"
 
 
