@@ -128,6 +128,12 @@ def bpe_train(
                 "s", F.lit(SB + left + SE + SB + right + SE), F.lit(SB + left + right + SE)
             ),
         )
+        # re-pin the vocab every 16 rounds: each round's aggregation
+        # otherwise replays the WHOLE accumulated replace chain from
+        # the pre-loop checkpoint (O(M²) at the few-hundred-merge
+        # scale this path supports; checkpointing keeps it linear)
+        if rank % 16 == 0:
+            cur = cur.localCheckpoint(eager=True)
     return merges
 
 

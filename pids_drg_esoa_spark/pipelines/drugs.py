@@ -80,9 +80,11 @@ def build_unified_generics(
     )
 
     # the PNF block consumes generic_NORMALIZED (the F6 base), exactly
-    # like the reference's SQL (build_unified_reference.py:196-202 —
-    # its regexp name_key is a no-op on F6 bases, which are already
-    # alnum+space, so lower(trim) is the same key)
+    # like the reference's SQL (build_unified_reference.py:196-202).
+    # lower(trim(name)) here is the INTERNAL join key only — the
+    # emitted name_key column is recomputed in the reference's regexp
+    # form at the end of this function (F6 bases can carry '+'
+    # connectors, so the two keys are NOT interchangeable)
     pnf_name = "generic_normalized" if "generic_normalized" in pnf.columns else "generic_name"
     pnf_g = spine(
         pnf.select(
@@ -155,7 +157,15 @@ def build_unified_generics(
             )
         )
         out = out.unionByName(raw)
-    return out
+    # emitted name_key takes the reference's form — LOWER(REGEXP_
+    # REPLACE(name, '[^a-zA-Z0-9 ]', '')) — an OUTPUT-ONLY column (no
+    # Parts-2-4 consumer on either side reads it; the build's internal
+    # joins key on lower(trim(name)), which matches the reference's
+    # NAME-based existence checks more closely than the regexp key —
+    # two punctuation-distinct names must stay distinct entries)
+    return out.withColumn(
+        "name_key", F.lower(F.regexp_replace("generic_name", "[^a-zA-Z0-9 ]", ""))
+    )
 
 
 def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
@@ -188,36 +198,56 @@ def build_unified_atc(
     is used (equivalent whenever the dims agree, the pre-round-7
     behavior)."""
     if drugbank_generics is not None:
+        # LEFT JOIN fans out: an id carrying several spine names emits
+        # one ATC triple per name, exactly like the reference's SQL —
+        # no dedupe here (a dropDuplicates survivor would be
+        # partition-order-dependent; the final 3-column distinct is
+        # the only dedupe, same as the reference's)
         names = drugbank_generics.select(
             "drugbank_id", F.upper(F.trim("generic_name")).alias("_gname")
-        ).dropDuplicates(["drugbank_id"])
+        )
         db = (
-            drugbank_atc.select("drugbank_id", F.upper("atc_code").alias("atc_code"))
+            drugbank_atc.select("drugbank_id", F.trim("atc_code").alias("atc_code"))
+            .filter(
+                F.col("drugbank_id").isNotNull()
+                & F.col("atc_code").isNotNull() & (F.col("atc_code") != "")
+            )
             .join(F.broadcast(names), "drugbank_id", "left")
             .select("drugbank_id", F.col("_gname").alias("generic_name"), "atc_code")
         )
     else:
         db = drugbank_atc.select(
             "drugbank_id",
-            F.upper("generic_name").alias("generic_name"),
-            F.upper("atc_code").alias("atc_code"),
+            F.upper(F.trim("generic_name")).alias("generic_name"),
+            F.trim("atc_code").alias("atc_code"),
+        ).filter(
+            F.col("drugbank_id").isNotNull()
+            & F.col("atc_code").isNotNull() & (F.col("atc_code") != "")
         )
+    # atc_code is TRIMMED, never uppercased — the reference preserves
+    # code case in every block (…py:320,333,346)
     who = who_atc.select(
         F.lit(None).cast("string").alias("drugbank_id"),
-        F.upper("atc_name").alias("generic_name"),
-        F.upper("atc_code").alias("atc_code"),
-    )
+        F.upper(F.trim("atc_name")).alias("generic_name"),
+        F.trim("atc_code").alias("atc_code"),
+    ).filter(F.col("atc_code").isNotNull() & (F.col("atc_code") != ""))
     out = db.unionByName(who)
-    if pnf_prepared is not None and "ATC Code" in pnf_prepared.columns:
-        pnf = pnf_prepared.select(
-            F.lit(None).cast("string").alias("drugbank_id"),
-            F.upper(F.trim("generic_normalized")).alias("generic_name"),
-            F.upper(F.trim("ATC Code")).alias("atc_code"),
-        ).filter(
-            F.col("atc_code").isNotNull() & (F.col("atc_code") != "")
-            & F.col("generic_name").isNotNull() & (F.col("generic_name") != "")
-        )
-        out = out.unionByName(pnf)
+    if pnf_prepared is not None:
+        # the reference's unified build reads prepare's CLEANED
+        # atc_code column (prepare.py:79 clean_atc), not the raw
+        # 'ATC Code' — pnf_prepared.atc_code is the engine's verified
+        # twin of that column (Part-1 differential)
+        pnf_code = "atc_code" if "atc_code" in pnf_prepared.columns else "ATC Code"
+        if pnf_code in pnf_prepared.columns:
+            pnf = pnf_prepared.select(
+                F.lit(None).cast("string").alias("drugbank_id"),
+                F.upper(F.trim("generic_normalized")).alias("generic_name"),
+                F.trim(pnf_code).alias("atc_code"),
+            ).filter(
+                F.col("atc_code").isNotNull() & (F.col("atc_code") != "")
+                & F.col("generic_name").isNotNull() & (F.col("generic_name") != "")
+            )
+            out = out.unionByName(pnf)
     canonical = drugbank_atc.sparkSession.createDataFrame(
         CANONICAL_ATC_MAPPINGS_FULL,
         "drugbank_id string, generic_name string, atc_code string",
@@ -226,31 +256,60 @@ def build_unified_atc(
     return out.dropDuplicates(["generic_name", "atc_code", "drugbank_id"])
 
 
-def build_unified_brands(fda_brands: DataFrame, drugbank_brands: DataFrame) -> DataFrame:
+def build_unified_brands(
+    fda_brands: DataFrame,
+    drugbank_brands: DataFrame,
+    drugbank_generics: DataFrame | None = None,
+) -> DataFrame:
     """unified_brands (…py:425-459): two sources, deterministic
     first-wins per brand. Source priority is FDA over DrugBank —
     the reference concats [fda, drugbank] and keeps the FIRST row
     per brand_name, so FDA wins cross-source collisions (round-7
-    Part-1 differential fix: the priority was inverted here).
-    Within a source the reference's keep='first' depends on input
-    ROW ORDER, which is not reproducible under distribution —
-    the engine's deterministic replacement is the generic-name
-    lexical tie-break (SURVEY §7 adjudication, allowlisted in
+    Part-1 differential fix: the priority was inverted here). Both
+    blocks filter NULL/empty brand names like the reference's WHERE
+    clauses, and the DrugBank block takes generic_name from the
+    GENERICS spine by drugbank_id (its lean brands export has no
+    name column) when the spine is supplied — fanning out before the
+    keep like the reference's LEFT JOIN; the dim's own name column
+    is the fallback. Within a source the reference's keep='first'
+    depends on post-DISTINCT row order, which is nondeterministic
+    even run-to-run in the reference itself — the engine's
+    deterministic replacement is the generic-name lexical tie-break
+    (SURVEY §7 adjudication, allowlisted in
     scripts/diff_reference_part1.py)."""
     fda = fda_brands.select(
-        F.upper("brand_name").alias("brand_name"),
-        F.upper("generic_name").alias("generic_name"),
+        F.upper(F.trim("brand_name")).alias("brand_name"),
+        F.upper(F.trim("generic_name")).alias("generic_name"),
         F.lit(None).cast("string").alias("drugbank_id"),
         F.lit("fda").alias("source"),
         F.lit(0).alias("prio"),
-    )
-    db = drugbank_brands.select(
-        F.upper("brand_name").alias("brand_name"),
-        F.upper("generic_name").alias("generic_name"),
-        "drugbank_id",
-        F.lit("drugbank").alias("source"),
-        F.lit(1).alias("prio"),
-    )
+    ).filter(F.col("brand_name").isNotNull() & (F.col("brand_name") != ""))
+    if drugbank_generics is not None:
+        names = drugbank_generics.select(
+            "drugbank_id", F.upper(F.trim("generic_name")).alias("_gname")
+        )
+        db = (
+            drugbank_brands.select(
+                F.upper(F.trim("brand_name")).alias("brand_name"), "drugbank_id"
+            )
+            .join(F.broadcast(names), "drugbank_id", "left")
+            .select(
+                "brand_name",
+                F.col("_gname").alias("generic_name"),
+                "drugbank_id",
+                F.lit("drugbank").alias("source"),
+                F.lit(1).alias("prio"),
+            )
+        )
+    else:
+        db = drugbank_brands.select(
+            F.upper(F.trim("brand_name")).alias("brand_name"),
+            F.upper(F.trim("generic_name")).alias("generic_name"),
+            "drugbank_id",
+            F.lit("drugbank").alias("source"),
+            F.lit(1).alias("prio"),
+        )
+    db = db.filter(F.col("brand_name").isNotNull() & (F.col("brand_name") != ""))
     merged = db.unionByName(fda)
     w = W.partitionBy("brand_name").orderBy("prio", "generic_name")
     return (
@@ -347,7 +406,8 @@ class DrugsPipeline(BasePipeline):
             drugbank_generics=ctx.inputs["drugbank_generics"],
         )
         ctx.artifacts["unified_brands"] = build_unified_brands(
-            ctx.inputs["fda_brands"], ctx.inputs["drugbank_brands"]
+            ctx.inputs["fda_brands"], ctx.inputs["drugbank_brands"],
+            drugbank_generics=ctx.inputs["drugbank_generics"],
         )
         ctx.artifacts["unified_mixtures"] = build_unified_mixtures(ctx.inputs["mixtures"])
 

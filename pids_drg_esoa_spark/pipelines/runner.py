@@ -89,7 +89,8 @@ def run_drugs_all(
         build_unified_atc(inputs["drugbank_atc"], inputs["who_atc"], pnf_prepared,
                           drugbank_generics=inputs["drugbank_generics"])
     )
-    brands = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"])
+    brands = build_unified_brands(inputs["fda_brands"], inputs["drugbank_brands"],
+                                  drugbank_generics=inputs["drugbank_generics"])
     mixtures = build_unified_mixtures(inputs["mixtures"]).selectExpr(
         "component_key", "mixture_name", "drugbank_id"
     )

@@ -259,7 +259,12 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     residue = " " + " ".join(c.split()) + " "
                     for m in hits:
                         if m != c:
-                            residue = residue.replace(f" {m} ", " ")
+                            # loop: back-to-back occurrences share the
+                            # separator space, so one replace pass
+                            # leaves every second occurrence behind
+                            pat = f" {m} "
+                            while pat in residue:
+                                residue = residue.replace(pat, " ")
                     out.extend(w for w in residue.split() if w)
                 else:
                     out.append(c)

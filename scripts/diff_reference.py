@@ -302,7 +302,8 @@ def write_unified_csvs(dims: dict[str, pd.DataFrame], outputs_dir: str) -> None:
     ).toPandas()
     atc = build_unified_atc(sdims["drugbank_atc"], sdims["who_atc"], pnf_prepared,
                             drugbank_generics=sdims["drugbank_generics"]).toPandas()
-    brands = build_unified_brands(sdims["fda_brands"], sdims["drugbank_brands"]).toPandas()
+    brands = build_unified_brands(sdims["fda_brands"], sdims["drugbank_brands"],
+                                  drugbank_generics=sdims["drugbank_generics"]).toPandas()
     mixtures = build_unified_mixtures(sdims["mixtures"]).toPandas()
     synonyms = build_unified_synonyms(
         sdims["synonyms"].select(

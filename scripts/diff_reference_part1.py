@@ -164,7 +164,8 @@ def run_engine(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
             drugbank_generics=sdims["drugbank_generics"],
         ).toPandas(),
         "brands": build_unified_brands(
-            sdims["fda_brands"], sdims["drugbank_brands"]
+            sdims["fda_brands"], sdims["drugbank_brands"],
+            drugbank_generics=sdims["drugbank_generics"],
         ).toPandas(),
         "mixtures": build_unified_mixtures(sdims["mixtures"]).toPandas(),
         "synonyms": build_unified_synonyms(

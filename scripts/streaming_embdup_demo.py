@@ -112,11 +112,14 @@ def main() -> int:
         ids_seeds = [(start + i, 10_000 + start + i) for i in range(args.vectors)]
         rows = rows_for(ids_seeds)
         static_target = p * len(labels)  # keeps label alignment
-        rows.append((start + args.vectors, labels[static_target % len(labels)],
+        # clone ids live in their own range far above any fresh id —
+        # start+vectors would collide with the NEXT part's first id
+        clone_base = 10_000_000 + p * 10
+        rows.append((clone_base, labels[static_target % len(labels)],
                      unit(static_target)))
         if p > 0:
             prev_first = base + (p - 1) * args.vectors
-            rows.append((start + args.vectors + 1,
+            rows.append((clone_base + 1,
                          labels[prev_first % len(labels)],
                          unit(10_000 + prev_first)))
         write_part(rows, f"vp_{p:03d}.parquet")
@@ -137,7 +140,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     n_cross_part = matches.filter(
-        (F.col("index_vec") >= args.index) & (F.col("new_vec") >= args.index)
+        (F.col("index_vec") >= args.index) & (F.col("index_vec") < 10_000_000)
+        & (F.col("new_vec") >= 10_000_000)
     ).count()
 
     def dir_bytes(d):
