@@ -77,19 +77,35 @@ ROUTE_CANON.update({
     "top": "topical",
 })
 
-# Multi-route label expansion ("Inj.:" → parenteral family).
+# Multi-route label expansion ("Inj.:" → parenteral family) — the
+# EXACT key set of the reference's map_route_token table
+# (routes_forms.py:23-49, keys lowercased since prepare_pnf looks up
+# lower(trim(Route))). Round-7 repair: this table carried 11 keys
+# (some invented, e.g. 'im:'/'iv/im:', which the reference does NOT
+# recognize → []) vs the reference's 19; unknown labels now yield a
+# NULL route row (explode_outer), the reference's pandas-explode-[]
+# behavior, instead of falling back to the lowered raw label. Pinned
+# by tests/test_reference_vocab_parity.py.
 ROUTE_LABEL_EXPANSION: dict[str, tuple[str, ...]] = {
     "oral:": ("oral",),
+    "oral/tube feed:": ("oral",),
     "inj.:": ("intravenous", "intramuscular", "subcutaneous"),
     "iv:": ("intravenous",),
-    "im:": ("intramuscular",),
-    "sc:": ("subcutaneous",),
     "iv/sc:": ("intravenous", "subcutaneous"),
-    "iv/im:": ("intravenous", "intramuscular"),
-    "topical:": ("topical",),
-    "ophthalmic:": ("ophthalmic",),
-    "rectal:": ("rectal",),
+    "sc:": ("subcutaneous",),
+    "subdermal:": ("subcutaneous",),
     "inhalation:": ("inhalation",),
+    "topical:": ("topical",),
+    "patch:": ("transdermal",),
+    "ophthalmic:": ("ophthalmic",),
+    "intraocular:": ("ophthalmic",),
+    "otic:": ("otic",),
+    "nasal:": ("nasal",),
+    "rectal:": ("rectal",),
+    "vaginal:": ("vaginal",),
+    "sublingual:": ("sublingual",),
+    "oral antiseptic:": ("oral",),
+    "oral/inj.:": ("oral", "intravenous", "intramuscular", "subcutaneous"),
 }
 
 # Form → plausible routes (reference FORM_TO_ROUTES), for route

@@ -355,10 +355,11 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
     )
     base_salts = extract_base_and_salts(F.col("Molecule"))
     dose = parse_dose(spec_col)
-    routes = F.coalesce(
-        route_map[F.lower(F.trim("Route"))],
-        F.array(F.lower(F.trim("Route"))),
-    )
+    # UNKNOWN labels yield a NULL route (map_route_token returns [] and
+    # pandas explode([]) keeps the row with NaN — round-7 Part-1
+    # parity); the row survives via explode_outer below. No raw-label
+    # fallback: the reference never passes an unmapped label through.
+    routes = route_map[F.lower(F.trim("Route"))]
     d = (
         pnf_raw.withColumn("raw_molecule", F.col("Molecule"))
         # reference column contract (prepare.py:64-74): generic_name =
@@ -379,7 +380,7 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         .withColumn("strength_mg", to_mg(dose["strength"], dose["unit"]))
         .withColumn("ratio_mg_per_ml", ratio_mg_per_ml(
             to_mg(dose["strength"], dose["unit"]), dose["per_val"]))
-        .withColumn("route", F.explode(routes))
+        .withColumn("route", F.explode_outer(routes))
         .drop("_bs")
     )
     return d

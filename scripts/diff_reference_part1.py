@@ -213,6 +213,23 @@ def main() -> int:
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH)
     dims = build_dims()
+    # pin the route-label surface the build_dims corpus doesn't cover:
+    # a multi-route expansion label beyond Oral:/Inj.:/IV:, and an
+    # UNKNOWN label (map_route_token → [] → pandas explode keeps the
+    # row with a NaN route; the engine mirrors via explode_outer)
+    dims["pnf"] = pd.concat(
+        [
+            dims["pnf"],
+            pd.DataFrame(
+                [
+                    ("ZZROUTEPROBE A", "Oral/Inj.:", "Z99ZZ01", "10 mg tablet"),
+                    ("ZZROUTEPROBE B", "Buccal:", "Z99ZZ02", "20 mg tablet"),
+                ],
+                columns=["Molecule", "Route", "ATC Code", "Technical Specifications"],
+            ),
+        ],
+        ignore_index=True,
+    )
     ref = run_reference(dims)
     eng = run_engine(dims)
     report: list[str] = []

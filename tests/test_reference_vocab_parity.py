@@ -110,3 +110,26 @@ def test_canonical_seed_tables(uc):
     eng_a = {(i, str(n).upper(), c) for i, n, c in CANONICAL_ATC_MAPPINGS_FULL}
     assert eng_a == ref_a
     assert {s.lower() for s in STOPWORDS_FULL} == {s.lower() for s in uc.STOPWORDS}
+
+
+def test_route_label_expansion_table():
+    """ROUTE_LABEL_EXPANSION must equal map_route_token's table
+    key-for-key (keys lowercased; the reference has NO entries beyond
+    these 19 — invented keys like 'im:' would accept labels the
+    reference maps to [])."""
+    sys.path.insert(0, REF)
+    from pipelines.drugs.scripts.routes_forms import map_route_token
+
+    from pids_drg_esoa_spark.functions.constants import ROUTE_LABEL_EXPANSION
+
+    ref_labels = [
+        "Oral:", "Oral/Tube feed:", "Inj.:", "IV:", "IV/SC:", "SC:",
+        "Subdermal:", "Inhalation:", "Topical:", "Patch:", "Ophthalmic:",
+        "Intraocular:", "Otic:", "Nasal:", "Rectal:", "Vaginal:",
+        "Sublingual:", "Oral antiseptic:", "Oral/Inj.:",
+    ]
+    assert set(ROUTE_LABEL_EXPANSION) == {lb.lower() for lb in ref_labels}
+    for lb in ref_labels:
+        assert tuple(ROUTE_LABEL_EXPANSION[lb.lower()]) == tuple(map_route_token(lb)), lb
+    # unknown labels: the reference returns [] — nothing maps them
+    assert map_route_token("Buccal:") == [] and "buccal:" not in ROUTE_LABEL_EXPANSION
