@@ -16,7 +16,6 @@ import re
 
 from .constants import (
     FORM_CANON,
-    FORM_EQUIVALENCE_GROUPS,
     FORM_TO_ROUTES,
     ROUTE_CANON,
 )
@@ -65,18 +64,27 @@ def normalize_route_py(route: str | None) -> str | None:
 
 
 def forms_are_equivalent_py(a: str | None, b: str | None) -> bool:
-    """F27: equal canonical forms, same equivalence group, or any
-    shared plausible route (scoring.py:73-86 'shared-route' clause)."""
-    fa, fb = normalize_form_py(a), normalize_form_py(b)
-    if fa is None or fb is None:
-        return False
-    if fa == fb:
+    """F27: VERBATIM twin of scoring.py:73-86 — the version scoring
+    actually calls (its local def shadows the unified_constants
+    import): missing either side → True (flexible), equal upper →
+    True, else a ONE-directional FORM_EQUIVALENTS lookup on the first
+    form. Inputs are expected canonical (the reference passes parsed
+    forms, never raw aliases). Round-7 rewrite: the previous version
+    added alias normalization, bidirectional groups, and a
+    shared-route clause — richer than the cited reference site, and
+    nothing pipeline-side consumed the extra behavior (W1's
+    form_priority collapses to a constant because the reference
+    tagger's cand_form is always '', tagger.py:1163 adjudication).
+    Pinned exhaustively over all form pairs by
+    tests/test_reference_vocab_parity.py."""
+    if not a or not b:
         return True
-    for group in FORM_EQUIVALENCE_GROUPS:
-        if fa in group and fb in group:
-            return True
-    ra, rb = set(FORM_TO_ROUTES.get(fa, ())), set(FORM_TO_ROUTES.get(fb, ()))
-    return bool(ra & rb)
+    f1, f2 = a.upper(), b.upper()
+    if f1 == f2:
+        return True
+    from .part4_tables import FORM_EQUIVALENTS_P4
+
+    return f2 in FORM_EQUIVALENTS_P4.get(f1, frozenset())
 
 
 def routes_match_py(a: str | None, b: str | None) -> bool:
@@ -237,11 +245,3 @@ def parse_form_col(col: _Column | str) -> _Column:
     hit = _F.regexp_extract(_F.lower(col), _FORM_PATTERN_SQL, 1)
     return _F.when(hit != "", _F.coalesce(_FORM_CANON_MAP[hit], hit))
 
-
-def form_equivalent_col(a: _Column, b: _Column) -> _Column:
-    """Native F27 equivalence-group membership (lowercase canon)."""
-    out = _F.lit(False)
-    for group in FORM_EQUIVALENCE_GROUPS:
-        members = sorted(group)
-        out = out | (a.isin(members) & b.isin(members))
-    return out

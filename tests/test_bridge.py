@@ -160,10 +160,15 @@ def test_form_route_parsing():
 
 
 def test_form_equivalence():
-    assert forms_are_equivalent_py("tab", "capsule")  # equivalence group
-    assert forms_are_equivalent_py("syrup", "suspension")
-    assert not forms_are_equivalent_py("tablet", "injection")  # no shared route
-    assert forms_are_equivalent_py("solution", "injection")  # shared iv route
+    # verbatim scoring.py:73-86 semantics (reference-verified truth):
+    # one-directional FORM_EQUIVALENTS on canonical forms, missing=True
+    assert forms_are_equivalent_py("TABLET", "CAPSULE")
+    assert forms_are_equivalent_py("CAPLET", "TABLET")
+    assert not forms_are_equivalent_py("SYRUP", "SUSPENSION")
+    assert not forms_are_equivalent_py("TABLET", "INJECTION")
+    assert not forms_are_equivalent_py("SOLUTION", "INJECTION")
+    assert forms_are_equivalent_py("", "TABLET")  # missing = flexible
+    assert forms_are_equivalent_py(None, None)
 
 
 def test_part4_route_matches():

@@ -133,3 +133,18 @@ def test_route_label_expansion_table():
         assert tuple(ROUTE_LABEL_EXPANSION[lb.lower()]) == tuple(map_route_token(lb)), lb
     # unknown labels: the reference returns [] — nothing maps them
     assert map_route_token("Buccal:") == [] and "buccal:" not in ROUTE_LABEL_EXPANSION
+
+
+def test_forms_are_equivalent_exhaustive(uc):
+    """forms_are_equivalent_py == the reference scoring module's
+    version (its local def, the one scoring actually calls) over the
+    FULL cross product of known forms plus missing/alias shapes."""
+    sys.path.insert(0, REF)
+    from pipelines.drugs.scripts.scoring import forms_are_equivalent as ref_fn
+
+    from pids_drg_esoa_spark.functions.routes_forms import forms_are_equivalent_py
+
+    forms = list(uc.FORM_TO_ROUTES) + ["", "TAB", "ZZFORM", "CAPLET"]
+    for a in forms:
+        for b in forms:
+            assert forms_are_equivalent_py(a, b) == bool(ref_fn(a, b)), (a, b)
