@@ -194,10 +194,45 @@ GENERIC_SYNONYMS: dict[str, str] = {
     "d5w": "dextrose",
 }
 
-# Combination-ATC detection (reference is_combination_atc
-# unified_constants.py:949-963: prefix families + suffix set).
-COMBINATION_ATC_PREFIXES: tuple[str, ...] = ("C09BA", "C09DA", "C09DB", "C10BA", "C10BX")
-COMBINATION_ATC_SUFFIXES: frozenset[int] = frozenset({20, 30} | set(range(50, 60)))
+# Combination-ATC detection. The LIVE reference path is scoring.py's
+# LOCAL is_combination_atc (scoring.py:42-52): startswith over
+# ATC_COMBINATION_PATTERNS (unified_constants.py:864-891) and NOTHING
+# else. unified_constants.is_combination_atc (949-963, patterns +
+# last-2-chars suffix set) is imported by scoring.py under an alias
+# but never called — the suffix rule is dead code in the pipeline, so
+# the engine must not apply it (r8 fuzz-caught: the old 5-prefix +
+# int-suffix flag called J01CR02/co-amoxiclav non-combo and M03BX55
+# combo, both wrong vs the live path).
+ATC_COMBINATION_PATTERNS: tuple[str, ...] = (
+    "C09DA", "C09DB", "C09DX",
+    "C09BA", "C09BB", "C09BX",
+    "C07FB", "C07BB", "C07CB",
+    "C10BA", "C10BX",
+    "A10BD",
+    "N02AA55", "N02AA59",
+    "N02AJ",
+    "N02BE51", "N02BE71",
+    "J01CR", "J01RA",
+    "R03AL",
+    "R03AK",
+    "R03DA20", "R03DA55",
+    "R03DB",
+    "A02BD",
+    "M05BB",
+)
+
+
+def is_combination_atc_py(atc_code: str | None) -> bool:
+    """Verbatim twin of the reference's live combo-ATC check
+    (scoring.py:42-52): empty/None → False, else any-pattern
+    startswith on the uppercased code. No suffix rule (see above)."""
+    if not atc_code:
+        return False
+    atc_upper = atc_code.upper()
+    for pattern in ATC_COMBINATION_PATTERNS:
+        if atc_upper.startswith(pattern):
+            return True
+    return False
 
 # IV diluent canonical classes (reference normalize_diluent
 # runners.py:382-414 — water ≠ saline ≠ half-saline ≠ ringers).

@@ -414,14 +414,9 @@ class DrugsPipeline(BasePipeline):
 
     def match(self, ctx: PipelineContext) -> None:
         from ..plans.tagger import tag_descriptions
-        from ..functions.constants import COMBINATION_ATC_PREFIXES, COMBINATION_ATC_SUFFIXES
+        from .runner import flag_combination_atc
 
-        atc = ctx.artifacts["unified_atc"]
-        suffix = F.expr("try_cast(substring(atc_code, 6, 2) AS int)")
-        is_combo = F.col("atc_code").rlike("^(" + "|".join(COMBINATION_ATC_PREFIXES) + ")") | (
-            suffix.isin(*COMBINATION_ATC_SUFFIXES)
-        )
-        atc_flagged = atc.withColumn("is_combination_atc", is_combo)
+        atc_flagged = flag_combination_atc(ctx.artifacts["unified_atc"])
         ctx.artifacts["esoa_with_atc"] = tag_descriptions(
             ctx.inputs["esoa"],
             generics_dim=ctx.artifacts["unified_generics"],

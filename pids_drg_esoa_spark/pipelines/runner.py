@@ -30,7 +30,7 @@ from .drugs import (
     build_unified_mixtures,
     prepare_pnf,
 )
-from ..functions.constants import COMBINATION_ATC_PREFIXES, COMBINATION_ATC_SUFFIXES
+from ..functions.constants import ATC_COMBINATION_PATTERNS
 
 
 @dataclass
@@ -42,12 +42,17 @@ class RunResult:
     summary_md: str = ""
 
 
-def _flag_combination_atc(atc: DataFrame) -> DataFrame:
-    suffix = F.expr("try_cast(substring(atc_code, 6, 2) AS int)")
-    is_combo = F.col("atc_code").rlike("^(" + "|".join(COMBINATION_ATC_PREFIXES) + ")") | (
-        suffix.isin(*COMBINATION_ATC_SUFFIXES)
-    )
-    return atc.withColumn("is_combination_atc", is_combo)
+def flag_combination_atc(atc: DataFrame) -> DataFrame:
+    """F28 twin of the LIVE reference check (scoring.py:42-52):
+    uppercased startswith over ATC_COMBINATION_PATTERNS only — the
+    suffix rule in unified_constants' variant is never called by the
+    pipeline (see functions/constants.py). Native anchored-alternation
+    rlike keeps the flag inside codegen."""
+    pat = "^(" + "|".join(ATC_COMBINATION_PATTERNS) + ")"
+    return atc.withColumn("is_combination_atc", F.upper("atc_code").rlike(pat))
+
+
+_flag_combination_atc = flag_combination_atc
 
 
 def _coverage(tagged: DataFrame) -> tuple[int, int, int]:

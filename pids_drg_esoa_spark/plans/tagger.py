@@ -802,6 +802,189 @@ def _materialize_dims(*dims: DataFrame | None) -> list[DataFrame | None]:
     return done
 
 
+def w1_select_best(
+    all_cand: DataFrame,
+    atc_dim: DataFrame,
+    docs: DataFrame,
+    doc_inputs: DataFrame,
+) -> DataFrame:
+    """Stage 5: best candidate per doc — the W1 rank tuple of
+    select_best_candidate (scoring.py:275-387) at the reference's
+    granularity: ONE CANDIDATE PER (generic, ATC-code) PAIR
+    (tagger.py:836-870 builds candidates per ATC; a generic with no
+    ATC contributes a single atc_code=None candidate iff it has a
+    drugbank_id, and hits with neither never become candidates).
+
+    Because every rank key except atc_priority and the final cand_atc
+    tie key is constant within a generic, the generic's surviving
+    candidate is argmin over (atc_priority, atc_string) — computed as
+    a min-struct in the ATC aggregation instead of exploding the
+    window over pairs. The winning pair's single ATC is the output
+    atc_code (reference tagger.py:976) and the cross-generic tie key
+    (scoring.py:383); a no-ATC candidate's tie key is the literal
+    "None" (rank_candidate does str(cand.get("atc_code")) on a None
+    value). r8 rewrite, fuzz-pinned by
+    scripts/fuzz_scoring_vs_reference.py: the previous per-generic
+    shape used the W2-first ATC for both keys, which inverted
+    atc_priority for combination inputs over mixed ATC sets and
+    applied W2's length-first tie-break where the reference compares
+    code strings lexicographically.
+
+    Inputs: all_cand(raw_text, generic_name, drugbank_id,
+    reference_text, match_priority, match_reason, gm_reason, sources);
+    atc_dim(generic_name, atc_code, is_combination_atc);
+    docs(raw_text, details, input_form);
+    doc_inputs(raw_text, is_single, is_combination).
+    """
+    # --- ATC attach + preference ordering (W2: non-combination ATCs
+    # first, then shorter, then lexical — scoring.py:55-70) for the
+    # atc_codes payload column.
+    atc = F.broadcast(
+        atc_dim.select(F.col("generic_name").alias("atc_generic"), "atc_code", "is_combination_atc")
+    )
+    atc_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("is_combination_atc").cast("int").alias("combo"),
+                F.length("atc_code").alias("len"),
+                F.col("atc_code").alias("code"),
+            )
+        )
+    )
+    # Candidate-space twins: a generic with no ATC rows is ONE
+    # candidate whose code is the reference's str(None) and whose
+    # combo flag is False (is_combination_atc(None) → False).
+    acode = F.coalesce(F.col("atc_code"), F.lit("None"))
+    combo_int = F.coalesce(F.col("is_combination_atc").cast("int"), F.lit(0))
+    with_atc = (
+        all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
+        .groupBy(
+            "raw_text", "generic_name", "drugbank_id", "reference_text",
+            "match_priority", "match_reason", "gm_reason",
+        )
+        .agg(
+            # nullif: a matched generic with NO atc rows must emit NULL
+            # (the reference's tagger sets atc_code=None — tagger.py:799,
+            # 862 — and its Part-3 coverage excludes '' explicitly,
+            # runners.py:249); array_join alone would emit '' which
+            # isNotNull and silently inflates ATC coverage
+            F.nullif(
+                F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|"), F.lit("")
+            ).alias("atc_codes"),
+            # argmin over (atc_priority, code) per input kind: single
+            # inputs rank non-combo ATCs first (scoring.py:314-315),
+            # combination inputs rank combo ATCs first (316-317),
+            # anything else is indifferent so plain min(code) (318-319)
+            F.min(F.struct(combo_int.alias("c"), acode.alias("a"))).alias("pick_single"),
+            F.min(F.struct((1 - combo_int).alias("c"), acode.alias("a"))).alias("pick_combo"),
+            F.min(acode).alias("pick_neutral"),
+            F.min("sources").alias("sources"),
+        )
+    )
+
+    ranked_input = with_atc.join(docs, "raw_text").join(doc_inputs, "raw_text")
+    # Reference candidate admission (tagger.py:845-870): ATC rows OR a
+    # drugbank_id; a hit with neither never becomes a candidate, so it
+    # must not win the window (its doc stays no_match/no_candidates).
+    # The tier-99 mixture FALLBACK is exempt — the reference's
+    # post-scoring _lookup_mixture (tagger.py:991-1014) builds its
+    # result dict directly, bypassing candidate admission entirely
+    # (tier-98 synonym-mixtures DO pass through unique_matches →
+    # admission, so they are not exempt).
+    ranked_input = ranked_input.filter(
+        F.col("atc_codes").isNotNull()
+        | F.col("drugbank_id").isNotNull()
+        | (F.col("match_priority") == PRIORITY_MIXTURE_FALLBACK)
+    )
+    # single inputs prefer single-drug ATCs, combination inputs prefer
+    # combination ATCs, anything else is indifferent (scoring.py:312-319
+    # — is_single/is_combination come from the NORMALIZED input set
+    # size + the '+' marker, not the raw component count); the struct's
+    # leading field IS the winning candidate's atc_priority
+    atc_priority = (
+        F.when(F.col("is_single"), F.col("pick_single.c"))
+        .when(F.col("is_combination"), F.col("pick_combo.c"))
+        .otherwise(F.lit(0))
+    )
+    # the winning (generic, ATC) pair's code: output atc_code AND the
+    # final cross-generic tie key (never null — no-ATC pairs carry the
+    # "None" literal)
+    win_atc = (
+        F.when(F.col("is_single"), F.col("pick_single.a"))
+        .when(F.col("is_combination"), F.col("pick_combo.a"))
+        .otherwise(F.col("pick_neutral"))
+    )
+    # form_priority (scoring.py:321-329): in the reference the tagger
+    # builds EVERY candidate with form=None (tagger.py:847-856), so
+    # cand_form is always '' and forms_are_equivalent('', f) is True
+    # (missing → flexible, scoring.py:73-77) — the key is the CONSTANT
+    # 1 whenever the input has a form, 0 otherwise. State that reality
+    # instead of probing a column no dim carries (the former pseudo-
+    # check read null cand_form → constant 2; either constant never
+    # reorders a doc's candidates, but 1 is the reference's value).
+    # Pinned by tests/test_tagger.py::test_form_priority_reference_constant.
+    form_priority = F.when(F.col("input_form").isNull(), F.lit(0)).otherwise(F.lit(1))
+    # details_score (scoring.py:331-376): negative weight per input
+    # detail found in the candidate's generic name OR its reference
+    # text (the dim row's raw text); brand_details probes the
+    # reference text ONLY — two brands of one generic are equivalent,
+    # the brand hit exists purely for brand→generic resolution
+    # (scoring.py:360-366). Lower = better.
+    cand_text = F.upper("generic_name")
+    cand_ref = F.upper(F.coalesce(F.col("reference_text"), F.lit("")))
+
+    def _hit(field: str, weight: int, ref_only: bool = False):
+        v = F.upper(F.col("details")[field])
+        in_cand = cand_ref.contains(v) if ref_only else (
+            cand_text.contains(v) | cand_ref.contains(v)
+        )
+        return F.when(v.isNotNull() & (v != "") & in_cand, weight).otherwise(0)
+
+    details_score = (
+        _hit("release_details", -10)
+        + _hit("type_details", -5)
+        + _hit("form_details", -5)
+        + _hit("indication_details", -5)
+        + _hit("salt_details", -3)
+        + _hit("brand_details", -1, ref_only=True)
+        + _hit("alias_details", -2)
+        + _hit("iv_diluent_type", -5)
+    )
+    w = W.partitionBy("raw_text").orderBy(
+        F.asc("match_priority"),
+        F.asc("atc_priority"),
+        F.asc("form_priority"),
+        F.asc("details_score"),
+        F.desc(F.length("generic_name")),
+        F.asc("win_atc"),
+        F.asc("generic_name"),
+        # payload columns that are NOT part of the reference tuple but
+        # ride along in the output: order them too, so a dim carrying
+        # duplicate names with different provenance/reference text
+        # still yields a deterministic winner
+        F.asc_nulls_last("reference_text"),
+        F.asc_nulls_last("sources"),
+    )
+    return (
+        ranked_input.withColumn("atc_priority", atc_priority)
+        .withColumn("win_atc", win_atc)
+        .withColumn("form_priority", form_priority)
+        .withColumn("details_score", details_score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "raw_text", "generic_name", "drugbank_id", "match_priority",
+            "match_reason", "gm_reason", "atc_codes", "sources",
+            # the winning pair's ATC (reference tagger.py:976), not the
+            # W2-first of the list
+            F.nullif(F.col("win_atc"), F.lit("None")).alias("atc_primary"),
+            # reference output: reference_text falls back to the
+            # generic name, uppercased (tagger.py:953-957)
+            F.upper(F.coalesce("reference_text", "generic_name")).alias("reference_text"),
+        )
+    )
+
+
 def tag_descriptions(
     esoa: DataFrame,
     generics_dim: DataFrame,
@@ -1151,124 +1334,11 @@ def _tag_descriptions_impl(
     for c in candidates[1:]:
         all_cand = all_cand.unionByName(c)
 
-    # --- ATC attach + preference ordering (W2: non-combination ATCs
-    # first, then shorter, then lexical — unified_constants.py:949-963)
-    atc = F.broadcast(
-        atc_dim.select(F.col("generic_name").alias("atc_generic"), "atc_code", "is_combination_atc")
-    )
-    atc_structs = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("is_combination_atc").cast("int").alias("combo"),
-                F.length("atc_code").alias("len"),
-                F.col("atc_code").alias("code"),
-            )
-        )
-    )
-    with_atc = (
-        all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
-        .groupBy(
-            "raw_text", "generic_name", "drugbank_id", "reference_text",
-            "match_priority", "match_reason", "gm_reason",
-        )
-        .agg(
-            # nullif: a matched generic with NO atc rows must emit NULL
-            # (the reference's tagger sets atc_code=None — tagger.py:799,
-            # 862 — and its Part-3 coverage excludes '' explicitly,
-            # runners.py:249); array_join alone would emit '' which
-            # isNotNull and silently inflates ATC coverage
-            F.nullif(
-                F.array_join(F.transform(atc_structs, lambda s: s["code"]), "|"), F.lit("")
-            ).alias("atc_codes"),
-            # the W2-preferred (first) ATC's combination flag drives
-            # the W1 atc_priority key
-            (F.element_at(atc_structs, 1)["combo"] == 1).alias("primary_is_combo"),
-            F.min("sources").alias("sources"),
-        )
-    )
-
-    # --- stage 5: best candidate per doc (full W1 tuple, scoring.py:294-383:
-    # match_priority ⊳ atc_priority ⊳ form_priority ⊳ details_score ⊳
-    # −len(generic) ⊳ atc — every key explicit) ---
-    ranked_input = with_atc.join(
-        docs.select("raw_text", "details", "input_form"), "raw_text"
-    ).join(doc_inputs.select("raw_text", "is_single", "is_combination"), "raw_text")
-    # single inputs prefer single-drug ATCs, combination inputs prefer
-    # combination ATCs, anything else is indifferent (scoring.py:312-319
-    # — is_single/is_combination come from the NORMALIZED input set
-    # size + the '+' marker, not the raw component count); no-ATC
-    # candidates count as non-combination
-    primary_combo = F.coalesce(F.col("primary_is_combo"), F.lit(False))
-    atc_priority = (
-        F.when(F.col("is_single"), F.when(primary_combo, 1).otherwise(0))
-        .when(F.col("is_combination"), F.when(primary_combo, 0).otherwise(1))
-        .otherwise(F.lit(0))
-    )
-    # form_priority (scoring.py:321-329): in the reference the tagger
-    # builds EVERY candidate with form=None (tagger.py:847-856), so
-    # cand_form is always '' and forms_are_equivalent('', f) is True
-    # (missing → flexible, scoring.py:73-77) — the key is the CONSTANT
-    # 1 whenever the input has a form, 0 otherwise. State that reality
-    # instead of probing a column no dim carries (the former pseudo-
-    # check read null cand_form → constant 2; either constant never
-    # reorders a doc's candidates, but 1 is the reference's value).
-    # Pinned by tests/test_tagger.py::test_form_priority_reference_constant.
-    form_priority = F.when(F.col("input_form").isNull(), F.lit(0)).otherwise(F.lit(1))
-    # details_score (scoring.py:331-376): negative weight per input
-    # detail found in the candidate's generic name OR its reference
-    # text (the dim row's raw text); brand_details probes the
-    # reference text ONLY — two brands of one generic are equivalent,
-    # the brand hit exists purely for brand→generic resolution
-    # (scoring.py:360-366). Lower = better.
-    cand_text = F.upper("generic_name")
-    cand_ref = F.upper(F.coalesce(F.col("reference_text"), F.lit("")))
-
-    def _hit(field: str, weight: int, ref_only: bool = False):
-        v = F.upper(F.col("details")[field])
-        in_cand = cand_ref.contains(v) if ref_only else (
-            cand_text.contains(v) | cand_ref.contains(v)
-        )
-        return F.when(v.isNotNull() & (v != "") & in_cand, weight).otherwise(0)
-
-    details_score = (
-        _hit("release_details", -10)
-        + _hit("type_details", -5)
-        + _hit("form_details", -5)
-        + _hit("indication_details", -5)
-        + _hit("salt_details", -3)
-        + _hit("brand_details", -1, ref_only=True)
-        + _hit("alias_details", -2)
-        + _hit("iv_diluent_type", -5)
-    )
-    w = W.partitionBy("raw_text").orderBy(
-        F.asc("match_priority"),
-        F.asc("atc_priority"),
-        F.asc("form_priority"),
-        F.asc("details_score"),
-        F.desc(F.length("generic_name")),
-        F.asc("atc_codes"),
-        F.asc("generic_name"),
-        # payload columns that are NOT part of the reference tuple but
-        # ride along in the output: order them too, so a dim carrying
-        # duplicate names with different provenance/reference text
-        # still yields a deterministic winner
-        F.asc_nulls_last("reference_text"),
-        F.asc_nulls_last("sources"),
-    )
-    best = (
-        ranked_input.withColumn("atc_priority", atc_priority)
-        .withColumn("form_priority", form_priority)
-        .withColumn("details_score", details_score)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "raw_text", "generic_name", "drugbank_id", "match_priority",
-            "match_reason", "gm_reason", "atc_codes", "sources",
-            F.split("atc_codes", "\\|").getItem(0).alias("atc_primary"),
-            # reference output: reference_text falls back to the
-            # generic name, uppercased (tagger.py:953-957)
-            F.upper(F.coalesce("reference_text", "generic_name")).alias("reference_text"),
-        )
+    best = w1_select_best(
+        all_cand,
+        atc_dim,
+        docs.select("raw_text", "details", "input_form"),
+        doc_inputs.select("raw_text", "is_single", "is_combination"),
     )
     # Vaccine override at result assembly (tagger.py:953-1028): the
     # canonical vaccine name supersedes whatever the token tiers found.

@@ -148,3 +148,28 @@ def test_forms_are_equivalent_exhaustive(uc):
     for a in forms:
         for b in forms:
             assert forms_are_equivalent_py(a, b) == bool(ref_fn(a, b)), (a, b)
+
+
+def test_atc_combination_patterns_verbatim(uc):
+    """F28: the engine's pattern tuple must equal the reference's
+    ATC_COMBINATION_PATTERNS (order irrelevant — the consumer is
+    any-startswith — but pinned as a sequence anyway), and the Python
+    twin must equal scoring.py's LOCAL is_combination_atc, which is
+    the only combo-ATC check the live pipeline calls (the
+    unified_constants variant with the extra suffix rule is imported
+    by scoring.py under an alias and never invoked)."""
+    from pipelines.drugs.scripts import scoring as ref_scoring
+
+    from pids_drg_esoa_spark.functions.constants import (
+        ATC_COMBINATION_PATTERNS,
+        is_combination_atc_py,
+    )
+
+    assert list(ATC_COMBINATION_PATTERNS) == list(uc.ATC_COMBINATION_PATTERNS)
+    probes = (
+        list(uc.ATC_COMBINATION_PATTERNS)
+        + ["J01CR02", "C07FB02", "A10BD07", "N02BE51", "M03BX55", "A02BC20",
+           "B05XA30", "A01AA01", "N05BA", "j01cr02", "", "None"]
+    )
+    for code in probes:
+        assert is_combination_atc_py(code) == ref_scoring.is_combination_atc(code), code
