@@ -234,6 +234,42 @@ def is_combination_atc_py(atc_code: str | None) -> bool:
             return True
     return False
 
+# Part-1 form-word vocabulary (reference routes_forms.py:20:
+# FORM_WORDS = sorted(set(FORM_TO_ROUTE.keys()), key=len,
+# reverse=True)). parse_form_from_text scans this list in order and
+# returns the first word PRESENT ANYWHERE in the text — longest wins,
+# NOT first-by-position. The reference's tie order among equal-length
+# words is set-iteration order, which is PYTHONHASHSEED-randomized
+# and provably flips between reference runs (r8 measurement: three
+# in-process imports, three different orders) — so equal-length ties
+# are reference-nondeterministic, adjudicated like the Part-1 brand
+# keep='first' ties. The engine breaks ties ALPHABETICALLY
+# (deterministic); tests pin the SET and the length-descending
+# property, not the unpinnable tie order.
+P1_FORM_WORDS: tuple[str, ...] = (
+    'suspension, extended release', 'injection, extended release',
+    'capsule, extended release', 'capsule, delayed release',
+    'granule, delayed release', 'tablet, extended release',
+    'tablet, delayed release', 'metered dose inhaler',
+    'dry powder inhaler', 'aerosol, metered', 'instill.solution',
+    'powder, metered', 'inhal.solution', 'spray, metered',
+    'inhal.aerosol', 'inhal.powder', 'oral aerosol', 's.c. implant',
+    'chewing gum', 'nasal drops', 'nasal spray', 'suppository',
+    'suspensions', 'oral drops', 'suspension', 'ear drops',
+    'eye drops', 'injection', 'mouthwash', 'solutions', 'dressing',
+    'ear drop', 'emulsion', 'eye drop', 'granules', 'ointment',
+    'solution', 'aerosol', 'ampoule', 'capsule', 'granule', 'implant',
+    'inhaler', 'lamella', 'lozenge', 'pessary', 'shampoo', 'ampule',
+    'bottle', 'caplet', 'elixir', 'insert', 'liquid', 'lotion',
+    'nebule', 'ovules', 'powder', 'sachet', 'sponge', 'syrups',
+    'tablet', 'ampul', 'cloth', 'cream', 'drops', 'enema', 'ovule',
+    'paste', 'patch', 'spray', 'stick', 'strip', 'syrup', 'wafer',
+    'caps', 'drop', 'film', 'foam', 'ring', 'soap', 'soln', 'supp',
+    'susp', 'swab', 'tabs', 'vial', 'wash', 'amp', 'bag', 'cap',
+    'dpi', 'gas', 'gel', 'gum', 'inj', 'mdi', 'neb', 'syr', 'tab',
+    'vl',
+)
+
 # IV diluent canonical classes (reference normalize_diluent
 # runners.py:382-414 — water ≠ saline ≠ half-saline ≠ ringers).
 DILUENT_CLASSES: dict[str, str] = {

@@ -17,6 +17,7 @@ import re
 from .constants import (
     FORM_CANON,
     FORM_TO_ROUTES,
+    P1_FORM_WORDS,
     ROUTE_CANON,
 )
 
@@ -33,6 +34,38 @@ def parse_form_py(text: str | None) -> str | None:
         return None
     m = _FORM_RE.search(text)
     return FORM_CANON[m.group(1).lower()] if m else None
+
+
+# Part-1 twin (reference routes_forms.py:51-57): longest form WORD
+# present ANYWHERE in the text wins (not first-by-position), and the
+# raw word itself is returned (no canonicalization). Equal-length ties
+# are reference-nondeterministic (hash-ordered FORM_WORDS, see
+# constants.P1_FORM_WORDS) — the engine breaks them alphabetically.
+_P1_FORM_RES = [
+    (w, re.compile(r"\b" + re.escape(w) + r"\b")) for w in P1_FORM_WORDS
+]
+
+
+def parse_form_from_text_py(s_norm: str | None) -> str | None:
+    if not s_norm:
+        return None
+    for w, rx in _P1_FORM_RES:
+        if rx.search(s_norm):
+            return w
+    return None
+
+
+def parse_form_from_text_col(col):
+    """Native cascade twin of parse_form_from_text_py: one rlike per
+    form word, ordered longest-then-alpha, all inside codegen. 100
+    branches is fine for the PNF dim (~2.3K rows, built once)."""
+    from pyspark.sql import functions as _Fx
+
+    c = _Fx.col(col) if isinstance(col, str) else col
+    expr = _Fx.lit(None).cast("string")
+    for w in reversed(P1_FORM_WORDS):
+        expr = _Fx.when(c.rlike(r"\b" + re.escape(w) + r"\b"), _Fx.lit(w)).otherwise(expr)
+    return expr
 
 
 def parse_route_py(text: str | None) -> tuple[str | None, str]:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import Window as W
 
 from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
+from ..functions.routes_forms import parse_form_from_text_col
 from ..functions.text import normalize_text, slug_id
 from ..functions.tokens import extract_base_and_salts
 from ..functions.constants import ROUTE_LABEL_EXPANSION
@@ -332,6 +333,94 @@ def build_unified_mixtures(mixtures: DataFrame) -> DataFrame:
     ).dropDuplicates(["component_key", "drugbank_id"])
 
 
+def build_unified_dosages(
+    dosages: DataFrame,
+    drugbank_generics: DataFrame,
+    pnf_prepared: DataFrame | None = None,
+) -> DataFrame:
+    """unified_dosages (build_unified_reference.py:368-417): valid
+    (generic, form, route, dose) combos. DrugBank leg: the dosages
+    lean export DISTINCT'd with the generic name joined through the
+    id spine; PNF leg: one row per prepared PNF row with the dose
+    re-serialized as 'INT MG' from strength_mg (DuckDB CAST DOUBLE →
+    INTEGER is banker's rounding — 0.5→0, 1.5→2, unlike its DECIMAL
+    cast which rounds half away — so Spark bround, HALF_EVEN), else
+    'INT UNIT'. The reference then fillna('')+drop_duplicates — nulls
+    and '' are the same dedupe key, so every column is ''-coalesced
+    before the final distinct."""
+    g = F.broadcast(
+        drugbank_generics.select(
+            "drugbank_id", F.upper(F.trim("generic_name")).alias("_gname")
+        )
+    )
+    legs = (
+        dosages.filter(F.col("drugbank_id").isNotNull())
+        .join(g, "drugbank_id", "left")
+        .select(
+            "drugbank_id",
+            F.col("_gname").alias("generic_name"),
+            F.upper(F.trim("form")).alias("form"),
+            F.upper(F.trim("route")).alias("route"),
+            F.upper(F.trim("strength")).alias("dose"),
+            F.lit("drugbank").alias("source"),
+        )
+        .distinct()
+    )
+    if pnf_prepared is not None:
+        dose_str = F.when(
+            F.col("strength_mg").isNotNull(),
+            F.concat(F.bround("strength_mg", 0).cast("int").cast("string"), F.lit(" MG")),
+        ).when(
+            F.col("strength").isNotNull() & F.col("unit").isNotNull(),
+            F.concat(
+                F.bround(F.col("strength"), 0).cast("int").cast("string"),
+                F.lit(" "),
+                F.upper("unit"),
+            ),
+        )
+        pnf_leg = (
+            pnf_prepared.filter(
+                F.col("generic_normalized").isNotNull() & (F.col("generic_normalized") != "")
+            )
+            .select(
+                F.lit(None).cast("string").alias("drugbank_id"),
+                F.upper(F.trim("generic_normalized")).alias("generic_name"),
+                F.upper(F.trim("form")).alias("form"),
+                F.upper(F.trim("route")).alias("route"),
+                dose_str.alias("dose"),
+                F.lit("pnf").alias("source"),
+            )
+            .distinct()
+        )
+        legs = legs.unionByName(pnf_leg)
+    cols = ["drugbank_id", "generic_name", "form", "route", "dose", "source"]
+    return legs.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in cols]
+    ).distinct()
+
+
+def build_unified_salts(salts: DataFrame) -> DataFrame:
+    """unified_salts (build_unified_reference.py:467-477): DISTINCT
+    (drugbank_id, UPPER(TRIM(salt_name)) salt_form, name_key salt_key)
+    over non-null ids and non-empty names, ''-coalesced like the
+    reference's fillna('')."""
+    out = (
+        salts.filter(
+            F.col("drugbank_id").isNotNull()
+            & F.col("salt_name").isNotNull()
+            & (F.col("salt_name") != "")
+        )
+        .select(
+            "drugbank_id",
+            F.upper(F.trim("salt_name")).alias("salt_form"),
+            F.col("name_key").alias("salt_key"),
+        )
+    )
+    return out.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in ("drugbank_id", "salt_form", "salt_key")]
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Part 1b: PNF preparation (P1 derivation battery, prepare.py:63-135)
 # ---------------------------------------------------------------------------
@@ -380,6 +469,23 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         .withColumn("strength_mg", to_mg(dose["strength"], dose["unit"]))
         .withColumn("ratio_mg_per_ml", ratio_mg_per_ml(
             to_mg(dose["strength"], dose["unit"]), dose["per_val"]))
+        # reference scalar columns (prepare.py:101-110): the dose
+        # struct broken out for downstream consumers + the parsed form
+        # from _parse_src = normalize(generic_normalized + ' ' + tech)
+        # (prepare.py:95-110) — unified_dosages' PNF leg reads these.
+        # Form uses the Part-1 twin (longest word present anywhere,
+        # reference routes_forms.py:51-57), NOT the F25 position-first
+        # parser the tagger uses.
+        .withColumn("strength", dose["strength"])
+        .withColumn("unit", dose["unit"])
+        .withColumn(
+            "form",
+            parse_form_from_text_col(
+                normalize_text(
+                    F.trim(F.concat_ws(" ", F.col("generic_normalized"), spec_col))
+                )
+            ),
+        )
         .withColumn("route", F.explode_outer(routes))
         .drop("_bs")
     )

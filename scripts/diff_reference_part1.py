@@ -28,9 +28,12 @@ Compared, row by row:
 - unified_mixtures    (per component_key: mixture_name, drugbank_id)
 - unified_synonyms    (per drugbank_id: synonym set)
 
-unified_dosages / unified_salts are NOT compared: no Parts-2-4
-consumer reads them (grep: tagger.py/runners.py/lookup.py reference
-neither), so they are out of the engine's user-facing surface.
+- unified_dosages      (multiset of all 6 columns; r8 — closes the
+  SURVEY §1.4 table list. PNF-leg form rows whose text carries TWO
+  equal-length form words are reference-nondeterministic — FORM_WORDS
+  tie order is hash-randomized set iteration, measured flipping
+  across runs — and are adjudicated like the brand keep='first' ties)
+- unified_salts        (multiset of all 3 columns; r8)
 
 Usage: python scripts/diff_reference_part1.py
 Exit 0 iff no unexplained divergences.
@@ -92,15 +95,8 @@ def write_reference_inputs(dims: dict[str, pd.DataFrame], inputs_dir: str) -> No
     dims["who_atc"].to_csv(f"{inputs_dir}/who_atc_2026.csv", index=False)
     dims["fda_brands"].to_csv(f"{inputs_dir}/fda_drug_2026.csv", index=False)
 
-    # the dosages/salts SQL blocks are not try-guarded in the
-    # reference — give them empty tables with the expected headers
-    # (both feed unified tables no Parts-2-4 consumer reads)
-    pd.DataFrame(columns=["drugbank_id", "form", "route", "strength"]).to_csv(
-        f"{inputs_dir}/dosages_lean.csv", index=False
-    )
-    pd.DataFrame(columns=["drugbank_id", "salt_name", "name_key"]).to_csv(
-        f"{inputs_dir}/salts_lean.csv", index=False
-    )
+    dims["dosages"].to_csv(f"{inputs_dir}/dosages_lean.csv", index=False)
+    dims["salts"].to_csv(f"{inputs_dir}/salts_lean.csv", index=False)
 
 
 def run_reference(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
@@ -125,7 +121,7 @@ def run_reference(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
 
     build_unified_reference(inputs_dir=inputs_dir, outputs_dir=outputs_dir, verbose=False)
     out = {"pnf_prepared": pd.read_csv(f"{prep_dir}/pnf_prepared.csv", dtype=str)}
-    for t in ("generics", "synonyms", "atc", "brands", "mixtures"):
+    for t in ("generics", "synonyms", "atc", "brands", "mixtures", "dosages", "salts"):
         out[t] = pd.read_csv(f"{outputs_dir}/unified_{t}.csv", dtype=str)
     return out
 
@@ -136,8 +132,10 @@ def run_engine(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
     from pids_drg_esoa_spark.pipelines.drugs import (
         build_unified_atc,
         build_unified_brands,
+        build_unified_dosages,
         build_unified_generics,
         build_unified_mixtures,
+        build_unified_salts,
         build_unified_synonyms,
         prepare_pnf,
     )
@@ -171,6 +169,10 @@ def run_engine(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
         "synonyms": build_unified_synonyms(
             syn_in.select("drugbank_id", "synonym", "generic_name")
         ).toPandas(),
+        "dosages": build_unified_dosages(
+            sdims["dosages"], sdims["drugbank_generics"], pnf_prepared
+        ).toPandas(),
+        "salts": build_unified_salts(sdims["salts"]).toPandas(),
     }
 
 
@@ -230,6 +232,41 @@ def main() -> int:
         ],
         ignore_index=True,
     )
+    # dosages/salts lean dims (r8): real rows so the reference's
+    # TABLE 4/6 SQL paths execute — ids from the generics spine plus
+    # an unknown id (LEFT JOIN → '' generic), messy whitespace/case,
+    # exact duplicates (DISTINCT), and NULL/empty cells (filters)
+    import random as _random
+
+    rng = _random.Random(81)
+    ids = sorted(
+        {str(x) for x in dims["drugbank_generics"]["drugbank_id"].dropna().tolist()}
+    )
+    forms = ["tablet", "Capsule ", "SOLUTION", None, "syrup"]
+    routes = ["oral", " Intravenous", None, "topical"]
+    strengths = ["500 mg", " 250 MG ", "10 mg/5 mL", "1 g", None]
+    dos_rows, salt_rows = [], []
+    for i, dbid in enumerate(ids):
+        for _ in range(rng.choice([0, 1, 1, 2])):
+            dos_rows.append(
+                (dbid, rng.choice(forms), rng.choice(routes), rng.choice(strengths))
+            )
+        if i % 3 == 0:
+            salt_rows.append(
+                (dbid, rng.choice(["hydrochloride", "Sulfate ", "sodium", ""]), f"salt{i}")
+            )
+            if i % 6 == 0:
+                salt_rows.append(salt_rows[-1])
+    dos_rows.append(("DBUNKNOWN1", "tablet", "oral", "500 mg"))
+    dos_rows.append((None, "tablet", "oral", "1 g"))
+    salt_rows.append((None, "sodium", "orphankey"))
+    dims["dosages"] = pd.DataFrame(
+        dos_rows, columns=["drugbank_id", "form", "route", "strength"]
+    )
+    dims["salts"] = pd.DataFrame(
+        salt_rows, columns=["drugbank_id", "salt_name", "name_key"]
+    )
+
     ref = run_reference(dims)
     eng = run_engine(dims)
     report: list[str] = []
@@ -318,6 +355,53 @@ def main() -> int:
             bad += 1
             report.append(f"unified_synonyms: {k}: ref {sorted(rs.get(k, []))} "
                           f"eng {sorted(es.get(k, []))}")
+
+    # unified_dosages / unified_salts: order-free multisets (r8)
+    def row_multiset(df, cols):
+        out: dict[tuple, int] = {}
+        for _, r in df.iterrows():
+            t = tuple(_norm(r.get(c)) for c in cols)
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    dcols = ["drugbank_id", "generic_name", "form", "route", "dose", "source"]
+    rd = row_multiset(ref["dosages"], dcols)
+    ed = row_multiset(eng["dosages"], dcols)
+    ref_only = [t for t in rd for _ in range(rd[t] - ed.get(t, 0)) if rd[t] > ed.get(t, 0)]
+    eng_only = [t for t in ed for _ in range(ed[t] - rd.get(t, 0)) if ed[t] > rd.get(t, 0)]
+    # adjudicate PNF-leg form ties: a ref-only/eng-only pair equal on
+    # everything but an equal-length form is the hash-ordered
+    # FORM_WORDS tie (reference-nondeterministic, see module doc)
+    form_ties = 0
+    for rt in list(ref_only):
+        for et in list(eng_only):
+            if (
+                rt[:2] == et[:2] and rt[3:] == et[3:]
+                and rt[2] and et[2] and len(rt[2]) == len(et[2])
+            ):
+                ref_only.remove(rt)
+                eng_only.remove(et)
+                form_ties += 1
+                break
+    if form_ties:
+        print(f"  unified_dosages: {form_ties} equal-length form-word ties "
+              "(reference FORM_WORDS order hash-randomized — adjudicated)")
+    for t in sorted(ref_only, key=str):
+        bad += 1
+        report.append(f"unified_dosages: {t} missing in ENGINE")
+    for t in sorted(eng_only, key=str):
+        bad += 1
+        report.append(f"unified_dosages: {t} missing in REFERENCE")
+
+    scols = ["drugbank_id", "salt_form", "salt_key"]
+    rs2 = row_multiset(ref["salts"], scols)
+    es2 = row_multiset(eng["salts"], scols)
+    for t in sorted(set(rs2) | set(es2), key=str):
+        if rs2.get(t, 0) != es2.get(t, 0):
+            bad += 1
+            report.append(
+                f"unified_salts: {t} ref×{rs2.get(t, 0)} eng×{es2.get(t, 0)}"
+            )
 
     for line in report[:80]:
         print(" ", line)

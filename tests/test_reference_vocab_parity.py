@@ -173,3 +173,30 @@ def test_atc_combination_patterns_verbatim(uc):
     )
     for code in probes:
         assert is_combination_atc_py(code) == ref_scoring.is_combination_atc(code), code
+
+
+def test_p1_form_words_set_and_ordering():
+    """Part-1 form vocabulary: same SET as the reference's FORM_WORDS
+    (= FORM_TO_ROUTE keys) and the same longest-first scan property.
+    The reference's tie order among equal-length words is set-iteration
+    order — PYTHONHASHSEED-randomized, measured flipping across runs —
+    so the exact sequence is unpinnable; the engine's deterministic
+    tie-break is alphabetical."""
+    sys.path.insert(0, REF)
+    from pipelines.drugs.scripts import routes_forms as rf
+
+    from pids_drg_esoa_spark.functions.constants import P1_FORM_WORDS
+    from pids_drg_esoa_spark.functions.routes_forms import (
+        parse_form_from_text_py,
+    )
+
+    assert set(P1_FORM_WORDS) == set(rf.FORM_WORDS)
+    lens = [len(w) for w in P1_FORM_WORDS]
+    assert lens == sorted(lens, reverse=True)
+    # unique-longest cases must agree with the live reference exactly
+    for text in ("paracetamol 500 mg tablet", "oral solution 100 mg/5 ml",
+                 "dry powder inhaler 200 dose", "no form here", ""):
+        ours = parse_form_from_text_py(text)
+        theirs = rf.parse_form_from_text(text)
+        # equal-length tie texts excluded by construction here
+        assert ours == theirs, (text, ours, theirs)
