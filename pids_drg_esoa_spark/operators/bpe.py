@@ -21,10 +21,12 @@ implementation is the same left-to-right scan via
 
 Scale shape:
 
-- pair counting per merge is a distributed agg over the WORD
-  VOCABULARY (the Heaps-law-bounded distinct-words relation, never
-  the corpus), exactly like the k-means sufficient-statistics
-  collect: one 1-row argmax collect per merge;
+- TRAINING (production, ``bpe_train_scalable``): ONE distributed
+  pass aggregates the Heaps-bounded (word, freq) relation; merges are
+  delta-maintained driver-side (lazy heap + inverted pair→words
+  index), so 32K-merge vocabularies are not 32K cluster jobs. The
+  distributed spec twin (``bpe_train``, one agg + 1-row collect per
+  merge) remains as the oracle-CTE mirror, parity-pinned at 64 merges;
 - encoding is a narrow native expression — normalize → wrap →
   ``num_merges`` chained ``replace`` calls — inside whole-stage
   codegen, no UDF, no shuffle; at 100 TB it runs at scan speed.
@@ -134,6 +136,115 @@ def bpe_train(
         # scale this path supports; checkpointing keeps it linear)
         if rank % 16 == 0:
             cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_scalable(
+    docs: DataFrame,
+    num_merges: int = NUM_MERGES,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """The PRODUCTION trainer: ONE distributed pass (word_counts —
+    the corpus is scanned exactly once) collects the Heaps-bounded
+    (word, freq) relation to the driver, then runs the standard
+    delta-maintained merge loop there — pair counts live in a dict, a
+    lazy max-heap yields the argmax, and each merge touches ONLY the
+    words that contain the merged pair (an inverted pair→words index),
+    updating pair counts by local deltas. This is Sennrich's own
+    learn_bpe shape: per merge cost is O(words touched · word len),
+    NOT a cluster job — 32K-merge production vocabularies stop being
+    32K Spark jobs (the r7 ceiling VERDICT #2 flagged on ``bpe_train``
+    above, which stays as the distributed spec twin the oracle CTE
+    chain mirrors).
+
+    Exactness: byte-identical merges to ``bpe_train`` —
+    tests/test_bpe.py pins 64-merge parity — because both sides share
+    word_counts' normalization, the same left-to-right non-overlapping
+    merge application, and the same (count DESC, left‖PSEP‖right ASC)
+    bytewise tie-break (ASCII symbol alphabet ⇒ Python and Spark
+    string orderings agree).
+
+    Scale bound: the collect is V·avg_len bytes — Heaps' law puts V
+    around 10⁸ for a 10¹³-token corpus, a few GB of driver memory at
+    worst; ``max_words`` keeps the top-N words by (freq DESC, word
+    ASC) for a documented frequency-cutoff approximation when V
+    outgrows the driver (the universal practice for web-scale BPE).
+    """
+    import heapq
+    from collections import Counter
+
+    rows = word_counts(docs, text_col).collect()
+    vocab = sorted(((r["word"], int(r["freq"])) for r in rows))
+    if max_words is not None and len(vocab) > max_words:
+        vocab = sorted(
+            sorted(vocab, key=lambda wf: (-wf[1], wf[0]))[:max_words]
+        )
+    words: list[list[str]] = [list(w) for w, _ in vocab]
+    freqs: list[int] = [f for _, f in vocab]
+
+    pair_counts: Counter = Counter()
+    occ: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in enumerate(words):
+        f = freqs[wid]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            occ.setdefault(p, set()).add(wid)
+
+    heap: list[tuple[int, str]] = [
+        (-c, p[0] + PSEP + p[1]) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str], c: int) -> None:
+        if c > 0:
+            heapq.heappush(heap, (-c, p[0] + PSEP + p[1]))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = None
+        while heap:
+            negc, key = heapq.heappop(heap)
+            left, right = key.split(PSEP)
+            if pair_counts.get((left, right), 0) == -negc:
+                best = (left, right, -negc)
+                break
+        if best is None:
+            break
+        left, right, cnt = best
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        pair = (left, right)
+        for wid in occ.pop(pair, ()):  # only words containing the pair
+            syms = words[wid]
+            f = freqs[wid]
+            before = Counter(zip(syms, syms[1:]))
+            if pair not in before:
+                continue  # stale index entry — the pair vanished earlier
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wid] = out
+            after = Counter(zip(out, out[1:]))
+            for p in set(before) | set(after):
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    pair_counts[p] += d * f
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                    else:
+                        # push on EVERY change, decrements included — a
+                        # pair whose count only ever went down must
+                        # still have one live heap entry to be electable
+                        push(p, pair_counts[p])
+                if p in after and after.get(p, 0) > before.get(p, 0):
+                    occ.setdefault(p, set()).add(wid)
+        pair_counts.pop(pair, None)
     return merges
 
 
@@ -251,8 +362,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained merge table over the documents corpus — rank,
     merged pair, and the pair's weighted count at merge time. Every
     row is an argmax over an exact integer aggregation, so the whole
-    iterative training run is hash-gateable."""
-    merges = bpe_train(table(spark, sf_dir, "documents"), NUM_MERGES)
+    iterative training run is hash-gateable. r8: runs the PRODUCTION
+    trainer (bpe_train_scalable — one distributed pass + driver-side
+    delta maintenance), so the oracle gate proves the scalable path
+    itself every round; bpe_train stays the distributed spec twin the
+    CTE chain mirrors, pinned equal by test_bpe parity at 64 merges."""
+    merges = bpe_train_scalable(table(spark, sf_dir, "documents"), NUM_MERGES)
     return spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
     )
@@ -276,7 +391,7 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count and the rendered tokenization. The encode itself is a
     no-shuffle native expression chain."""
     d = table(spark, sf_dir, "documents")
-    return bpe_encode(d, bpe_train(d, NUM_MERGES))
+    return bpe_encode(d, bpe_train_scalable(d, NUM_MERGES))
 
 
 @register(
@@ -310,7 +425,7 @@ def corpus_token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFram
     from .training_prep import prefix_sum_budget_cut
 
     d = table(spark, sf_dir, "documents")
-    counts = bpe_encode(d, bpe_train(d, NUM_MERGES)).select(
+    counts = bpe_encode(d, bpe_train_scalable(d, NUM_MERGES)).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
     h = F.md5(F.concat(F.lit("budget1:"), F.col("doc_id").cast("string")))

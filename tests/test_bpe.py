@@ -167,3 +167,32 @@ def test_scalable_encoder_parity(spark, docs, trained):
          for r in bpe_encode_scalable(corpus, trained).collect()}
     assert a == b
     assert a[9001] == (0, "") and a[9002] == (0, "")
+
+
+def test_scalable_trainer_parity_64_merges(docs):
+    """The delta-maintained driver trainer must be byte-identical to
+    the one-job-per-merge distributed trainer, well past the demo
+    merge count (64 covers multi-char symbol pairs, lazy-heap
+    invalidation, and decrement-only pairs)."""
+    from pids_drg_esoa_spark.operators.bpe import bpe_train_scalable
+
+    naive = bpe_train(docs, 64)
+    fast = bpe_train_scalable(docs, 64)
+    assert fast == naive
+    assert len(fast) == 64
+
+
+def test_scalable_trainer_2k_merges(docs):
+    """Production merge counts are ONE distributed pass + driver work:
+    2K merges must complete (vocab may exhaust first on the small SF —
+    then every merge down to pair_count 1 was emitted) and stay
+    prefix-consistent with a shorter run."""
+    from pids_drg_esoa_spark.operators.bpe import bpe_train_scalable
+
+    m2k = bpe_train_scalable(docs, 2048)
+    m64 = bpe_train_scalable(docs, 64)
+    assert m2k[:64] == m64
+    assert len(m2k) > 64
+    ranks = [r for r, *_ in m2k]
+    assert ranks == list(range(1, len(m2k) + 1))
+    assert all(c >= 1 for *_ , c in m2k)

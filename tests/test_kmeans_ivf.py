@@ -188,3 +188,27 @@ def test_hamming1_cells_shape(spark):
     for c in cells[1:]:
         assert len(c) == 8
         assert sum(a != b for a, b in zip(orig, c)) == 1
+
+
+def test_ivf_k_policy():
+    """Corpus-derived k (r8): reproduces the measured k=40 sweet spot
+    at the n=500 oracle corpus (so the static oracle SQL keeps gating
+    the policy path), grows as √n, and respects the broadcast-bytes
+    cap."""
+    from pids_drg_esoa_spark.operators.similarity import (
+        IVF_MAX_CENTROID_BYTES,
+        IVF_MULTIPROBE_K,
+        VEC_DIM,
+        ivf_k_for,
+    )
+
+    assert ivf_k_for(500) == IVF_MULTIPROBE_K == 40
+    assert ivf_k_for(2000) == 80
+    # monotone non-decreasing over a wide sweep
+    ks = [ivf_k_for(n) for n in (10, 100, 500, 2000, 10**5, 10**7, 10**9, 10**12)]
+    assert ks == sorted(ks)
+    assert min(ks) >= 8
+    cap = IVF_MAX_CENTROID_BYTES // (VEC_DIM * 8)
+    assert max(ks) == cap  # 10^12 vectors hit the broadcast budget
+    # scanned fraction nprobe/k falls as the corpus grows
+    assert 3 / ivf_k_for(2000) < 3 / ivf_k_for(500)
