@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf string hints resolve here
+
 from .constants import (
     FORM_CANON,
     FORM_TO_ROUTES,
@@ -55,17 +57,35 @@ def parse_form_from_text_py(s_norm: str | None) -> str | None:
     return None
 
 
-def parse_form_from_text_col(col):
-    """Native cascade twin of parse_form_from_text_py: one rlike per
-    form word, ordered longest-then-alpha, all inside codegen. 100
-    branches is fine for the PNF dim (~2.3K rows, built once)."""
+def p1_form_col(molecule_col, tech_col):
+    """pnf_prepared's ``form`` column from the RAW inputs, as ONE
+    Arrow-batched pandas_udf running the whole reference chain
+    (prepare.py:95-110) in Python: F6 base → upper → ' ' + tech →
+    normalize_text → parse_form_from_text. Deliberately NOT a native
+    expression and NOT composed on the ``generic_normalized`` column:
+    either shape re-inlines the F6 pandas_udf subtree / a 100-branch
+    rlike cascade into every downstream unified-build plan (measured
+    +6-7 s of Catalyst analysis in the Part-1 stage alone — SCALE.md
+    lesson #3), while pnf is a ~2.3K-row dim built once, so one Arrow
+    batch of the Python twins is both the cheaper plan and
+    verbatim-by-construction semantics."""
     from pyspark.sql import functions as _Fx
 
-    c = _Fx.col(col) if isinstance(col, str) else col
-    expr = _Fx.lit(None).cast("string")
-    for w in reversed(P1_FORM_WORDS):
-        expr = _Fx.when(c.rlike(r"\b" + re.escape(w) + r"\b"), _Fx.lit(w)).otherwise(expr)
-    return expr
+    @_Fx.pandas_udf("string")
+    def _p1_form(mol: pd.Series, tech: pd.Series) -> pd.Series:
+        from .text import normalize_text_py
+        from .tokens import extract_base_and_salts_py
+
+        def one(m, t):
+            base = extract_base_and_salts_py(m)[0] if m is not None else ""
+            src = normalize_text_py(
+                (str(base).upper() + " " + (t if t is not None else "")).strip()
+            )
+            return parse_form_from_text_py(src)
+
+        return pd.Series([one(m, t) for m, t in zip(mol, tech)])
+
+    return _p1_form(molecule_col, tech_col)
 
 
 def parse_route_py(text: str | None) -> tuple[str | None, str]:

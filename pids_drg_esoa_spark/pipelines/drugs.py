@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import Window as W
 
 from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
-from ..functions.routes_forms import parse_form_from_text_col
+from ..functions.routes_forms import p1_form_col
 from ..functions.text import normalize_text, slug_id
 from ..functions.tokens import extract_base_and_salts
 from ..functions.constants import ROUTE_LABEL_EXPANSION
@@ -475,17 +475,11 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         # (prepare.py:95-110) — unified_dosages' PNF leg reads these.
         # Form uses the Part-1 twin (longest word present anywhere,
         # reference routes_forms.py:51-57), NOT the F25 position-first
-        # parser the tagger uses.
+        # parser the tagger uses; computed from the RAW columns in one
+        # pandas_udf so no F6 subtree is re-inlined (see p1_form_col).
         .withColumn("strength", dose["strength"])
         .withColumn("unit", dose["unit"])
-        .withColumn(
-            "form",
-            parse_form_from_text_col(
-                normalize_text(
-                    F.trim(F.concat_ws(" ", F.col("generic_normalized"), spec_col))
-                )
-            ),
-        )
+        .withColumn("form", p1_form_col(F.col("Molecule"), spec_col))
         .withColumn("route", F.explode_outer(routes))
         .drop("_bs")
     )
