@@ -555,6 +555,13 @@ def _ivf_kmeans_topk(
 
 IVF_NPROBE = 3
 IVF_MULTIPROBE_K = 40
+# The embeddings corpus size at the driver's oracle SF (sf0.01). The
+# multi-probe oracles embed IVF_MULTIPROBE_K as a static literal while
+# the operator derives k = ivf_k_for(n) live; the import-time assert
+# below plus the runtime assert in ann_ivf_kmeans_multiprobe make the
+# coupling loud: if the oracle corpus size OR the √n policy changes,
+# the gate fails with a message instead of silently hash-mismatching.
+ORACLE_CORPUS_N = 500
 
 # --- corpus-derived coarse-cell count (r8, VERDICT #5) ---------------------
 # The repo's measured lesson #1 (SCALE.md): recall comes from k
@@ -577,6 +584,12 @@ def ivf_k_for(n: int) -> int:
     policy path exactly; pinned by tests/test_kmeans_ivf.py."""
     cap = max(8, IVF_MAX_CENTROID_BYTES // (VEC_DIM * 8))
     return max(8, min(cap, int(IVF_K_COEFF * n**0.5)))
+
+
+assert ivf_k_for(ORACLE_CORPUS_N) == IVF_MULTIPROBE_K, (
+    "ivf_k_for policy no longer reproduces the static oracle k at the "
+    "oracle corpus size — regenerate the multi-probe oracle SQL"
+)
 
 
 def _sql_multiprobe_cand(nprobe: int) -> str:
@@ -645,9 +658,15 @@ def ann_ivf_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle corpus ivf_k_for gives exactly the k=40 the static oracle
     SQL embeds, so the gate keeps checking this very path."""
     n = table(spark, sf_dir, "embeddings").count()
-    return _ivf_kmeans_topk(
-        spark, sf_dir, nprobe=IVF_NPROBE, k=ivf_k_for(n), assign="join"
-    )
+    k = ivf_k_for(n)
+    # The static oracle embeds IVF_MULTIPROBE_K; at the oracle corpus
+    # the live policy MUST reproduce it or the gate stops checking
+    # this path (ADVICE r8). Fail loudly rather than hash-mismatch.
+    if n == ORACLE_CORPUS_N:
+        assert k == IVF_MULTIPROBE_K, (
+            f"ivf_k_for({n})={k} != static oracle k={IVF_MULTIPROBE_K}"
+        )
+    return _ivf_kmeans_topk(spark, sf_dir, nprobe=IVF_NPROBE, k=k, assign="join")
 
 
 # Cosine near-dup threshold on the quantized integer dot: 0.95·QUANT².

@@ -437,10 +437,15 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
             for x in (F.lit(label), F.array(*[F.lit(r) for r in routes]))
         ]
     )
-    spec_col = F.coalesce(
-        *[F.col(c) for c in ("Technical Specifications", "Specs", "Specification")
-          if c in pnf_raw.columns],
-        F.lit(""),
+    # prepare.py:95-96 takes ONLY the first present spec column
+    # (text_cols[0], fillna('')) — a per-row coalesce across all
+    # present columns would parse a form/dose from a column the
+    # reference ignores when an export carries more than one.
+    _spec_candidates = [c for c in ("Technical Specifications", "Specs", "Specification")
+                        if c in pnf_raw.columns]
+    spec_col = (
+        F.coalesce(F.col(_spec_candidates[0]), F.lit(""))
+        if _spec_candidates else F.lit("")
     )
     base_salts = extract_base_and_salts(F.col("Molecule"))
     dose = parse_dose(spec_col)

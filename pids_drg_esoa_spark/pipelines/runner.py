@@ -49,7 +49,13 @@ def flag_combination_atc(atc: DataFrame) -> DataFrame:
     pipeline (see functions/constants.py). Native anchored-alternation
     rlike keeps the flag inside codegen."""
     pat = "^(" + "|".join(ATC_COMBINATION_PATTERNS) + ")"
-    return atc.withColumn("is_combination_atc", F.upper("atc_code").rlike(pat))
+    # rlike propagates NULL for a NULL atc_code but the reference's
+    # is_combination_atc(None) returns False; an uncoalesced NULL flag
+    # would sort ahead of non-combos inside W2's atc_structs ordering.
+    return atc.withColumn(
+        "is_combination_atc",
+        F.coalesce(F.upper("atc_code").rlike(pat), F.lit(False)),
+    )
 
 
 _flag_combination_atc = flag_combination_atc

@@ -23,6 +23,9 @@ Usage:
 
 Exit code 0 iff no unexplained divergences (the documented-divergence
 allowlist is embedded and each entry carries its adjudication).
+Reference-nondeterminism classes are catalogued in PARITY.md; this
+differential is insulated from both listed classes by construction
+(engine-built unified tables feed both sides).
 """
 
 from __future__ import annotations

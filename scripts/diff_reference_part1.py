@@ -35,6 +35,11 @@ Compared, row by row:
   across runs — and are adjudicated like the brand keep='first' ties)
 - unified_salts        (multiset of all 3 columns; r8)
 
+The two adjudicated reference-nondeterminism classes this script
+allowlists (same-source brand keep='first' ties; equal-length
+FORM_WORDS ties) are documented with their measurement evidence in
+PARITY.md — consult it before adding any new allowlist entry.
+
 Usage: python scripts/diff_reference_part1.py
 Exit 0 iff no unexplained divergences.
 """
@@ -226,6 +231,15 @@ def main() -> int:
                 [
                     ("ZZROUTEPROBE A", "Oral/Inj.:", "Z99ZZ01", "10 mg tablet"),
                     ("ZZROUTEPROBE B", "Buccal:", "Z99ZZ02", "20 mg tablet"),
+                    # r9 (ADVICE): half-integer strengths so the
+                    # unified_dosages PNF-leg 'INT MG'/'INT UNIT'
+                    # serialization actually exercises the rounding
+                    # mode (DuckDB DOUBLE→INTEGER = banker's; engine
+                    # bround HALF_EVEN: 0.5→0, 1.5→2, 2.5→2)
+                    ("ZZHALFPROBE A", "Oral:", "Z99ZZ03", "0.5 mg tablet"),
+                    ("ZZHALFPROBE B", "Oral:", "Z99ZZ04", "1.5 mg tablet"),
+                    ("ZZHALFPROBE C", "Oral:", "Z99ZZ05", "2.5 mg tablet"),
+                    ("ZZHALFPROBE D", "Inj.:", "Z99ZZ06", "1.5 iu vial"),
                 ],
                 columns=["Molecule", "Route", "ATC Code", "Technical Specifications"],
             ),

@@ -136,3 +136,29 @@ def test_drugs_pipeline_end_to_end(spark, inputs):
     assert not out["UNKNOWN STUFF"].matched
     m = ctx.artifacts["metrics"].collect()[0]
     assert (m.n_total, m.n_matched) == (4, 3)
+
+def test_prepare_pnf_first_present_spec_column_only(spark):
+    # prepare.py:95-96 — _tech is text_cols[0].fillna(''), NOT a per-row
+    # coalesce: a null 'Technical Specifications' cell must NOT fall
+    # back to 'Specs' even when that column is present (ADVICE r8)
+    pnf = spark.createDataFrame(
+        [("IBUPROFEN", "Oral:", "M01AE01", None, "200 mg tablet")],
+        "`Molecule` string, `Route` string, `ATC Code` string, "
+        "`Technical Specifications` string, `Specs` string",
+    )
+    row = prepare_pnf(pnf).collect()[0]
+    assert row.strength_mg is None  # 'Specs' ignored
+    assert row.form is None
+
+
+def test_flag_combination_atc_null_code_is_false(spark):
+    # reference is_combination_atc(None) → False; rlike alone yields
+    # NULL which would sort ahead of non-combos in W2 (ADVICE r8)
+    from pids_drg_esoa_spark.pipelines.runner import flag_combination_atc
+
+    atc = spark.createDataFrame(
+        [("PARACETAMOL", None), ("COAMOXICLAV", "J01CR02"), ("X", "M03BX55")],
+        "generic_name string, atc_code string",
+    )
+    got = {r.generic_name: r.is_combination_atc for r in flag_combination_atc(atc).collect()}
+    assert got == {"PARACETAMOL": False, "COAMOXICLAV": True, "X": False}
