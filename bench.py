@@ -46,6 +46,7 @@ def main() -> None:
         "text_repetition_signals",
         "t_interval_join_binned",
         "semantic_dedup_semdedup",
+        "tagger_w1_rank_headline",
     ) if n in specs]
 
     # Warm the JVM/codegen path once so timings measure the plan, not startup.

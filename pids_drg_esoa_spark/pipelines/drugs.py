@@ -180,6 +180,37 @@ def build_unified_synonyms(synonym_rows: DataFrame) -> DataFrame:
     )
 
 
+def resolve_synonym_rows(
+    synonyms_raw: DataFrame, drugbank_generics: DataFrame
+) -> DataFrame:
+    """Reference TABLE-2 admission (build_unified_reference.py:296-306)
+    applied to raw (synonym, generic_name) rows: a synonym exists ONLY
+    when its generic resolves in the DrugBank spine (drugbank_id IS
+    NOT NULL), and it targets the SPINE's upper-trimmed name — the
+    reference keys unified_synonyms by drugbank_id and takes the name
+    from the generics spine, so a synonym of a PNF-only generic never
+    reaches its tagger's dict. r9: caught by the full-chain
+    differential (the engine previously passed raw synonym rows
+    through unfiltered, admitting id-less synonyms the reference's
+    chain drops). Broadcast spine join: both sides are dims."""
+    g = F.broadcast(
+        drugbank_generics.filter(F.col("drugbank_id").isNotNull())
+        .select(
+            "drugbank_id",
+            F.upper(F.trim("generic_name")).alias("_spine_name"),
+        )
+        .distinct()
+    )
+    s = synonyms_raw.select(
+        "synonym", F.upper(F.trim("generic_name")).alias("_syn_target")
+    )
+    return (
+        s.join(g, s._syn_target == g._spine_name, "inner")
+        .select("drugbank_id", "synonym", F.col("_spine_name").alias("generic_name"))
+        .distinct()
+    )
+
+
 def build_unified_atc(
     drugbank_atc: DataFrame,
     who_atc: DataFrame,

@@ -147,6 +147,14 @@ def run_drugs_all(
             F.explode(F.split("synonyms", "\\|")).alias("synonym"),
             F.col("generic_name"),
         ).filter(F.col("synonym") != "")
+    elif synonyms is not None:
+        # raw (synonym, generic_name) rows: apply the reference's
+        # TABLE-2 admission — only spine-resolved synonyms reach the
+        # tagger (r9, full-chain differential catch; see
+        # drugs.resolve_synonym_rows)
+        from .drugs import resolve_synonym_rows
+
+        synonyms = resolve_synonym_rows(synonyms, inputs["drugbank_generics"])
     # optional FDA food registry (food_name, food_type, registration) —
     # unmatched texts that hit it are food, not unrecognized drugs
     # (runners.py:1428-1496)

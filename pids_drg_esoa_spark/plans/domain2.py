@@ -503,3 +503,89 @@ def dom_dose_similarity_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pnf_gid"),
         ).alias("similarity"),
     )
+
+
+_W1_HEADLINE_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey AS k FROM part)
+SELECT
+  CASE WHEN k % 5 = 4 THEN 'GEN' || k || ' + ZPART' || k || ' 10 MG'
+       ELSE 'GEN' || k || ' 500 MG TABLET' END AS raw_text,
+  CASE WHEN k % 5 = 4 THEN 'GEN' || k || ' + ZPART' || k
+       ELSE 'GEN' || k END AS generic_name,
+  CASE k % 5
+    WHEN 0 THEN 'N02BE01|J01CR02'
+    WHEN 1 THEN 'J01CR02'
+    WHEN 2 THEN 'C09AA|N02BE01'
+    WHEN 3 THEN NULL
+    ELSE 'N02BE01|J01CR02' END AS atc_codes,
+  CASE k % 5
+    WHEN 0 THEN 'N02BE01'
+    WHEN 1 THEN 'J01CR02'
+    WHEN 2 THEN 'C09AA'
+    WHEN 3 THEN NULL
+    ELSE 'J01CR02' END AS atc_primary,
+  TRUE AS matched
+FROM ks
+"""
+
+
+@register("tagger_w1_rank_headline", oracle=_W1_HEADLINE_ORACLE)
+def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 at bench-headline scale (r9, VERDICT #6): one text per
+    p_partkey through the FULL tagger → ``w1_select_best`` path —
+    the corpus grows with SF so the committed bench catches W1-plan
+    regressions that the planted 40-key probes cannot see. Five ATC
+    shapes per key (k%5): (0) {non-combo, combo} on a single input →
+    primary is the non-combo (scoring.py:314-315); (1) combo-only →
+    the combo wins by default; (2) two non-combos of different length
+    → W2 payload orders length-first (scoring.py:55-70) while the
+    primary is the LEXICAL min (the r8 fuzz-caught distinction);
+    (3) no ATC rows but a drugbank_id → admitted with NULL atc_codes
+    (tagger.py:845-870); (4) a combination input whose combo-named
+    candidate carries {non-combo, combo} → combination inputs prefer
+    the combo ATC (scoring.py:316-317, exercising pick_combo)."""
+    from ..pipelines.runner import flag_combination_atc
+    from .tagger import tag_descriptions
+
+    p = table(spark, sf_dir, "part")
+    ks = p.select(F.col("p_partkey").alias("k")).distinct()
+    k = F.col("k")
+    m = k % 5
+    gen = F.concat(F.lit("GEN"), k.cast("string"))
+    combo_name = F.concat(gen, F.lit(" + ZPART"), k.cast("string"))
+    esoa = ks.select(
+        F.when(m == 4, F.concat(combo_name, F.lit(" 10 MG")))
+        .otherwise(F.concat(gen, F.lit(" 500 MG TABLET")))
+        .alias("raw_text")
+    )
+    generics = ks.select(
+        F.when(m == 4, combo_name).otherwise(gen).alias("generic_name"),
+        F.concat(F.lit("DB"), k.cast("string")).alias("drugbank_id"),
+    )
+    # the m==4 COMPONENT names ride along as plain generics (no ATC):
+    # under a combination input they are inadmissible (scoring.py:
+    # 268-271) so outputs are unchanged, but their tokens now resolve
+    # in tier 0 — without these rows every component token would fall
+    # through to the fuzzy probe, turning the bench into a measure of
+    # fuzzy-probing 8K unique tokens instead of the W1 rank plan
+    components = ks.filter(m == 4).select(
+        gen.alias("generic_name"),
+        F.concat(F.lit("DBS"), k.cast("string")).alias("drugbank_id"),
+    ).union(ks.filter(m == 4).select(
+        F.concat(F.lit("ZPART"), k.cast("string")).alias("generic_name"),
+        F.concat(F.lit("DBZ"), k.cast("string")).alias("drugbank_id"),
+    ))
+    generics = generics.union(components)
+    cname = F.when(m == 4, combo_name).otherwise(gen).alias("generic_name")
+    atc = None
+    for cond, code in (
+        (m == 0, "N02BE01"), (m == 0, "J01CR02"),
+        (m == 1, "J01CR02"),
+        (m == 2, "C09AA"), (m == 2, "N02BE01"),
+        (m == 4, "N02BE01"), (m == 4, "J01CR02"),
+    ):
+        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code"))
+        atc = leg if atc is None else atc.union(leg)
+    return tag_descriptions(esoa, generics, flag_combination_atc(atc)).select(
+        "raw_text", "generic_name", "atc_codes", "atc_primary", "matched"
+    )

@@ -663,6 +663,44 @@ def _token_matches(
         probe = keys
         wkey = ["raw_text", "key"]
 
+    # Tier-0 short-circuit (r9): a key resolved by ANY tier-0 probe
+    # (exact / synonym / singular / brand) can never keep a fallback
+    # row — the final per-(raw_text, key) argmin over tier_order drops
+    # it, and tier-0 hits are key-determined. Anti-joining those keys
+    # out of the fallback probe is therefore row-identical, and it is
+    # the reference's own short-circuit (batch_lookup_generics runs
+    # prefix/fuzzy only on total dictionary misses, lookup.py:223-306).
+    # Without it the three theta probes below cost |ALL distinct keys|
+    # × |dim| — measured 330 s on a 20K-text corpus of unique tokens
+    # (≈400M pandas-UDF fuzzy pairs) vs ~10 s with the exclusion; at
+    # 100 TB the probe side is the corpus token vocabulary (Heaps'
+    # law), so excluding the exact-resolved bulk is the difference
+    # between probing junk tokens and probing the whole language.
+    # Synonym/brand keys count as resolved only when their TARGET is
+    # in the generics dim (a dangling target produces no tier-0 row).
+    fb = probe.join(g.select("gkey"), probe.key == F.col("gkey"), "left_anti")
+    if synonyms_dim is not None:
+        fb = fb.join(
+            F.broadcast(
+                syn.join(g, F.col("target_key") == F.col("gkey"), "left_semi")
+                .select("skey")
+            ),
+            fb.key == F.col("skey"), "left_anti",
+        )
+    fb = fb.join(
+        g.select(F.col("gkey").alias("_sg")),
+        _singular_key(fb.key) == F.col("_sg"), "left_anti",
+    )
+    if brands_dim is not None:
+        fb = fb.join(
+            F.broadcast(
+                br.join(g, F.col("target_key") == F.col("gkey"), "left_semi")
+                .select("bkey")
+            ),
+            fb.key == F.col("bkey"), "left_anti",
+        )
+    fb = _persist_tracked(fb)  # probed by all three fallback tiers
+
     def back(hits: DataFrame) -> DataFrame:
         # Scale note: this join-back carries NO broadcast hint on
         # purpose. The hits side is bounded by |distinct keys| — a
@@ -679,7 +717,7 @@ def _token_matches(
     # — catches salt-suffixed dims ('amoxicillin' → 'AMOXICILLIN
     # TRIHYDRATE', fuzzy ratio ~67 would miss it). Reference keeps
     # LIMIT 3 ordered by length; same top-3 here.
-    pref = probe.join(g, F.col("gkey").startswith(F.concat(probe.key, F.lit(" "))))
+    pref = fb.join(g, F.col("gkey").startswith(F.concat(fb.key, F.lit(" "))))
     wp = W.partitionBy(*wkey).orderBy(F.asc(F.length("gkey")), F.asc("gkey"))
     pref_hits = pref.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
     tiers.append(tier(back(pref_hits), 4, PRIORITY_PREFIX, "prefix"))
@@ -693,10 +731,10 @@ def _token_matches(
     # name). Bounded like prefix: |distinct keys| × |multiword dim
     # names| broadcast probe; longest (most specific) names first.
     mwg = g.filter(F.col("gkey").contains(" "))
-    cont = probe.join(
+    cont = fb.join(
         mwg,
-        (probe.key != F.col("gkey"))
-        & F.concat(F.lit(" "), probe.key, F.lit(" ")).contains(
+        (fb.key != F.col("gkey"))
+        & F.concat(F.lit(" "), fb.key, F.lit(" ")).contains(
             F.concat(F.lit(" "), F.col("gkey"), F.lit(" "))
         ),
     )
@@ -710,9 +748,9 @@ def _token_matches(
     # like 'setirizine'→'cetirizine' @ ratio 90, which the reference's
     # unblocked rapidfuzz scan keeps). Python scorer only on the
     # per-distinct-key survivors.
-    blocked = probe.filter(F.length("key") >= 4).join(
+    blocked = fb.filter(F.length("key") >= 4).join(
         g,
-        length_band_filter(F.length(probe.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
+        length_band_filter(F.length(fb.key), F.length(F.col("gkey")), FUZZY_MIN_RATIO),
     )
     scored = blocked.withColumn("ratio", fuzz_ratio("key", "gkey")).filter(
         F.col("ratio") >= FUZZY_MIN_RATIO

@@ -308,10 +308,13 @@ def write_unified_csvs(dims: dict[str, pd.DataFrame], outputs_dir: str) -> None:
     brands = build_unified_brands(sdims["fda_brands"], sdims["drugbank_brands"],
                                   drugbank_generics=sdims["drugbank_generics"]).toPandas()
     mixtures = build_unified_mixtures(sdims["mixtures"]).toPandas()
+    # chain-faithful synonyms (r9): reference TABLE-2 admission — only
+    # spine-resolved synonyms exist (resolve_synonym_rows), matching
+    # what run_drugs_all now feeds the engine tagger
+    from pids_drg_esoa_spark.pipelines.drugs import resolve_synonym_rows
+
     synonyms = build_unified_synonyms(
-        sdims["synonyms"].select(
-            F.lit(None).cast("string").alias("drugbank_id"), "synonym", "generic_name"
-        )
+        resolve_synonym_rows(sdims["synonyms"], sdims["drugbank_generics"])
     ).toPandas()
 
     # reference CSV conventions

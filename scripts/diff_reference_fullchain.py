@@ -1,0 +1,241 @@
+"""FULL-CHAIN differential (r9, VERDICT #1): the reference pipeline
+END-TO-END (its own prepare.py + build_unified_reference.py Part 1
+feeding its own Parts 2-4) vs THIS engine END-TO-END
+(`pipelines.runner.run_drugs_all`: engine Part-1 builders feeding the
+engine's Parts 2-4) on the same raw dims and corpus.
+
+Why this exists: `scripts/diff_reference_part1.py` proves Part 1 equal
+in isolation (multiset compares per unified table) and
+`scripts/diff_reference.py` proves Parts 2-4 equal in isolation
+(engine-built unified tables deliberately feed BOTH sides). Neither
+run composes the two layers, so a Part-1 representation choice that
+survives the multiset compares but perturbs a downstream join key
+(e.g. a name normalized differently on one side) would be invisible
+to both. Here NOTHING is shared between the sides except the raw
+inputs: each side builds its own unified reference and consumes it.
+
+Brand de-tie: the raw brand dims are deduplicated per (source,
+brand_name) BEFORE the run — PARITY.md class 1 (same-source
+keep='first' ties) makes the reference's survivor irreproducible, and
+a tied brand's survivor propagates into Part-3 results through the
+brand→generic swap, which would turn one nondeterministic Part-1 cell
+into a cloud of downstream diffs. De-tied inputs make the reference's
+keep='first' well-defined (cross-source priority only), so the chain
+compares with NO allowlist. FORM_WORDS ties (PARITY.md class 2) do
+not occur in this dims set (verified by diff_reference_part1).
+
+The scratch dir is REBOUND to /tmp/diffref_fullchain (diff_reference's
+run_reference/run_engine read the module global) so a concurrent
+isolated diff_reference.py run cannot clobber this run's inputs.
+
+Usage: python scripts/diff_reference_fullchain.py [--scale 50]
+       [--annex-density 16] [--out DIFF_FULLCHAIN.md]
+Exit 0 iff 0 mismatching cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+import scripts.diff_reference as _dr  # noqa: E402
+from scripts.diff_reference import (  # noqa: E402
+    build_corpus,
+    build_dims,
+    diff_frames,
+    run_engine,
+    run_reference,
+    synth_names,
+)
+from scripts.diff_reference_part1 import write_reference_inputs  # noqa: E402
+
+
+_dr.SCRATCH = "/tmp/diffref_fullchain"
+SCRATCH = _dr.SCRATCH
+
+
+def detie_brands(dims: dict[str, pd.DataFrame]) -> int:
+    """Drop same-source duplicate brand rows (keep the lexically first
+    (brand, generic) pair) so the reference's keep='first' has a
+    well-defined survivor. Returns rows dropped."""
+    dropped = 0
+    for key in ("fda_brands", "drugbank_brands"):
+        df = dims[key]
+        before = len(df)
+        df = df.sort_values(list(df.columns)).drop_duplicates(
+            subset=["brand_name"], keep="first"
+        ).reset_index(drop=True)
+        dropped += before - len(df)
+        dims[key] = df
+    return dropped
+
+
+def build_reference_part1(dims: dict[str, pd.DataFrame], outputs_dir: str) -> None:
+    """The REFERENCE's own Part 1: prepare.py on the raw PNF, then
+    build_unified_reference.py on the lean-export-shaped dims, writing
+    unified_*.csv into `outputs_dir` — exactly where
+    diff_reference.run_reference points the Parts 2-4 runners."""
+    sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts.build_unified_reference import (
+        build_unified_reference,
+    )
+    from pipelines.drugs.scripts.prepare import prepare
+
+    inputs_dir = f"{SCRATCH}/ref_p1_inputs"
+    write_reference_inputs(dims, inputs_dir)
+
+    pnf_csv = f"{SCRATCH}/ref_p1_pnf.csv"
+    esoa_csv = f"{SCRATCH}/ref_p1_esoa.csv"
+    dims["pnf"].to_csv(pnf_csv, index=False)
+    pd.DataFrame({"DESCRIPTION": ["PARACETAMOL 500MG TAB"]}).to_csv(esoa_csv, index=False)
+    prep_dir = f"{SCRATCH}/ref_p1_prepared"
+    os.makedirs(prep_dir, exist_ok=True)
+    prepare(pnf_csv, esoa_csv, outdir=prep_dir)
+    shutil.copy(f"{prep_dir}/pnf_prepared.csv", f"{inputs_dir}/pnf_prepared.csv")
+
+    build_unified_reference(inputs_dir=inputs_dir, outputs_dir=outputs_dir, verbose=False)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=50)
+    ap.add_argument("--annex-density", type=int, default=16)
+    ap.add_argument("--out", default="DIFF_FULLCHAIN.md")
+    args = ap.parse_args()
+
+    if os.path.exists(SCRATCH):
+        shutil.rmtree(SCRATCH)
+    os.makedirs(SCRATCH, exist_ok=True)
+    # the reference's runners module binds PIPELINE_* at IMPORT time
+    # and build_reference_part1's imports can pull it in transitively —
+    # point the env at the scratch dirs BEFORE any reference import
+    os.environ["PIPELINE_RAW_DIR"] = f"{SCRATCH}/raw"
+    os.environ["PIPELINE_INPUTS_DIR"] = f"{SCRATCH}/inputs"
+    os.environ["PIPELINE_OUTPUTS_DIR"] = f"{SCRATCH}/outputs"
+    # likewise the rapidfuzz shim: the reference's lookup module probes
+    # `import rapidfuzz` at ITS import time and permanently disables
+    # the fuzzy tier on failure — Part-1's imports pull it in, so the
+    # shim must exist before them (caught by this script's first run:
+    # every typo text came back reference-unmatched)
+    from scripts.diff_reference import install_rapidfuzz_shim
+
+    install_rapidfuzz_shim()
+
+    dims = build_dims()
+    # the part1 differential's salts/dosages dims are not needed for
+    # the chain (Parts 2-4 never read unified_dosages/salts), but the
+    # reference's TABLE 4/6 SQL still expects the lean CSVs to exist —
+    # empty frames with the right columns satisfy it
+    some_id = str(dims["drugbank_generics"]["drugbank_id"].dropna().iloc[0])
+    dims.setdefault("dosages", pd.DataFrame(
+        [(some_id, "tablet", "oral", "500 mg")],
+        columns=["drugbank_id", "form", "route", "strength"]))
+    dims.setdefault("salts", pd.DataFrame(
+        [(some_id, "hydrochloride", "probe")],
+        columns=["drugbank_id", "salt_name", "name_key"]))
+    n_detied = detie_brands(dims)
+    esoa, annex = build_corpus(args.scale, args.annex_density)
+    print(f"corpus: {len(esoa)} distinct eSOA texts, {len(annex)} annex rows; "
+          f"{n_detied} same-source duplicate brand rows de-tied (PARITY.md class 1)")
+
+    t0 = time.time()
+    build_reference_part1(dims, f"{SCRATCH}/outputs")
+    t_ref_p1 = time.time() - t0
+    print(f"reference Part 1: {t_ref_p1:.1f}s")
+
+    t0 = time.time()
+    ref = run_reference(esoa, annex)
+    t_ref = time.time() - t0
+    print(f"reference Parts 2-4: {t_ref:.1f}s  (reference chain total "
+          f"{t_ref_p1 + t_ref:.1f}s)")
+
+    t0 = time.time()
+    eng = run_engine(dims, esoa, annex)  # run_drugs_all = engine Parts 1-4
+    t_eng = time.time() - t0
+    print(f"engine FULL CHAIN (Parts 1-4): {t_eng:.1f}s")
+
+    annex_map = [
+        ("generic_name", "matched_generic_name", "generic_name"),
+        ("atc_code", "atc_code", "atc_primary"),
+        ("drugbank_id", "drugbank_id", "drugbank_id"),
+    ]
+    annex_diff, annex_counts = diff_frames(
+        ref["annex"].rename(columns={"Drug Code": "drug_code"}),
+        eng["annex"], "drug_code", annex_map,
+    )
+
+    ref_esoa = ref["esoa"].copy()
+    ref_esoa["ref_matched"] = ref_esoa["match_reason"].eq("matched")
+    eng_esoa = eng["esoa"].copy()
+    eng_esoa["eng_matched"] = eng_esoa["matched"].fillna(False)
+    esoa_map = [
+        ("matched", "ref_matched", "eng_matched"),
+        ("generic_name", "matched_generic_name", "generic_name"),
+        ("atc_code", "atc_code", "atc_primary"),
+        ("drugbank_id", "drugbank_id", "drugbank_id"),
+    ]
+    esoa_diff, esoa_counts = diff_frames(ref_esoa, eng_esoa, "raw_text", esoa_map)
+
+    bridge_map = [
+        ("drug_code", "drug_code", "drug_code"),
+        ("p4_reason", "drug_code_match_reason", "match_reason"),
+    ]
+    bridge_diff, bridge_counts = diff_frames(
+        ref["bridge"], eng["bridge"], "raw_text", bridge_map,
+    )
+
+    n_mismatch = len(annex_diff) + len(esoa_diff) + len(bridge_diff)
+
+    lines = [
+        "# DIFF_FULLCHAIN — reference END-TO-END vs engine END-TO-END",
+        "",
+        "Each side builds its OWN Part-1 unified reference from the same raw",
+        "dims and feeds its OWN Parts 2-4 — nothing shared but raw inputs",
+        "(closes the composition blind spot left by the two isolated",
+        "differentials; see script docstring).",
+        "",
+        f"Corpus: **{len(esoa)} distinct eSOA texts**, {len(annex)} Annex rows; "
+        f"{n_detied} same-source duplicate brand rows de-tied up front "
+        "(PARITY.md class 1) so the chain compares with NO allowlist.",
+        f"Reference chain wall: {t_ref_p1 + t_ref:.1f}s (Part 1 {t_ref_p1:.1f} + "
+        f"Parts 2-4 {t_ref:.1f}). Engine chain wall: {t_eng:.1f}s.",
+        "",
+        "| part | rows compared | columns | mismatching cells |",
+        "|---|---|---|---|",
+        f"| 2 annex | {len(ref['annex'])} | generic/atc/drugbank | {len(annex_diff)} |",
+        f"| 3 esoa | {len(ref_esoa)} | matched/generic/atc/drugbank | {len(esoa_diff)} |",
+        f"| 4 bridge | {len(ref['bridge'])} | drug_code/reason | {len(bridge_diff)} |",
+        "",
+        f"Per-column: annex {annex_counts}; esoa {esoa_counts}; bridge {bridge_counts}",
+        "",
+    ]
+    for name, d in [("annex", annex_diff), ("esoa", esoa_diff), ("bridge", bridge_diff)]:
+        if len(d):
+            lines.append(f"## {name} mismatches (first 80)")
+            lines.append("")
+            lines.append("| key | column | ref | eng |")
+            lines.append("|---|---|---|---|")
+            for _, row in d.head(80).iterrows():
+                lines.append(
+                    f"| {row['key']} | {row['column']} | {row['ref']} | {row['eng']} |"
+                )
+            lines.append("")
+    report = "\n".join(lines)
+    with open(args.out, "w") as f:
+        f.write(report + "\n")
+    print(report[:4000])
+    print(f"\nFULL-CHAIN TOTAL mismatching cells: {n_mismatch}  → {args.out}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0 if n_mismatch == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

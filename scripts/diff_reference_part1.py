@@ -74,9 +74,15 @@ def write_reference_inputs(dims: dict[str, pd.DataFrame], inputs_dir: str) -> No
 
     # synonyms_lean carries (drugbank_id, synonyms); the raw dim is
     # (synonym, generic_name) — map names to ids through the generics
-    # spine exactly like the engine's runner wiring does
-    syn = dims["synonyms"].merge(
-        g[["drugbank_id", "generic_name"]], on="generic_name", how="inner"
+    # spine exactly like the engine's runner wiring does. The join is
+    # case-INSENSITIVE (r9): the real lean export is keyed by
+    # drugbank_id from DrugBank itself, and the reference upper-trims
+    # every name — a case-sensitive synthesis silently emptied the
+    # table when dims carried Title-case spine names (caught by the
+    # full-chain differential).
+    syn = dims["synonyms"].assign(_k=dims["synonyms"]["generic_name"].str.upper()).merge(
+        g[["drugbank_id", "generic_name"]].assign(_k=g["generic_name"].str.upper()),
+        on="_k", how="inner", suffixes=("", "_spine"),
     )
     syn = syn.rename(columns={"synonym": "synonyms"})[["drugbank_id", "synonyms"]]
     syn.to_csv(f"{inputs_dir}/synonyms_lean.csv", index=False)
@@ -151,12 +157,13 @@ def run_engine(dims: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
     sdims = {k: spark.createDataFrame(v) for k, v in dims.items()}
     pnf_prepared = prepare_pnf(sdims["pnf"])
     # synonyms mapped to ids through the generics spine — the same
-    # derivation the reference input synthesis uses
-    syn_in = sdims["synonyms"].join(
-        sdims["drugbank_generics"].select("drugbank_id", "generic_name"),
-        "generic_name",
+    # derivation the reference input synthesis uses (case-insensitive,
+    # matching write_reference_inputs' r9 fix)
+    syn_in = sdims["synonyms"].alias("s").join(
+        sdims["drugbank_generics"].select("drugbank_id", "generic_name").alias("g"),
+        F.upper(F.col("s.generic_name")) == F.upper(F.col("g.generic_name")),
         "inner",
-    )
+    ).select("s.synonym", "s.generic_name", "g.drugbank_id")
     return {
         "pnf_prepared": pnf_prepared.toPandas(),
         "generics": build_unified_generics(

@@ -5,7 +5,10 @@ Imports ``__spark_entry__`` exactly as the driver does, runs
 against ``oracle_sql()[name]`` in DuckDB (row count + columns +
 order-insensitive values). Usage:
 
-    python scripts/driver_sim.py [sf_dir]   # default /root/testdata/sf0.01
+    python scripts/driver_sim.py [sf_dir] [name_substring]
+    # sf_dir default /root/testdata/sf0.01; the optional second arg
+    # filters to queries whose name contains it (fast iteration on one
+    # query — the full run is still the gate)
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        qs = {n: f for n, f in qs.items() if sys.argv[2] in n}
     con = duckdb_connection(sf_dir)
     failed, tol, rows_only = [], [], []
     for name in sorted(qs):
