@@ -311,14 +311,23 @@ def dose_keys_match_col(a: Column, b: Column) -> Column:
 def details_overlap_score(details: Column, cand_desc: Column) -> Column:
     """W3 tie-break (rank_candidate_for_drug_code, runners.py:959-1010):
     negative weight per eSOA detail found verbatim in the candidate
-    description; lower = better."""
+    description; lower = better.
+
+    NULL/empty details probe as the literal string "NAN" — the LIVE
+    reference behavior, not a choice: Part 4 reads Part 3's CSV, where
+    a null detail is a float NaN, and `str(row.get(f) or "")` on NaN
+    yields "NAN" (NaN is truthy), which then substring-matches any
+    candidate description containing it ("juNANtin"). r9 fuzz catch
+    (fuzz_part4_ranking_vs_reference seed 171: a null-details text
+    ranked a JUNANTIN candidate -28). Deterministic in the reference's
+    CSV-fed default chain, so matched verbatim; the parquet-fed
+    variant (None stays None) would skip the probe — the engine
+    follows the CSV path the reference's run_drugs_all.py uses."""
     desc = F.upper(cand_desc)
 
     def hit(field: str, weight: int) -> Column:
-        v = F.upper(details[field])
-        return F.when(v.isNotNull() & (v != "") & desc.contains(v), F.lit(weight)).otherwise(
-            F.lit(0)
-        )
+        v = F.coalesce(F.nullif(F.upper(details[field]), F.lit("")), F.lit("NAN"))
+        return F.when(desc.contains(v), F.lit(weight)).otherwise(F.lit(0))
 
     return (
         hit("release_details", -10)
@@ -541,13 +550,20 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
         esoa.filter(F.col("has_generic"))
         .select(
             "raw_text", "esoa_dose", "esoa_form", "esoa_route", "esoa_details",
-            F.explode("components").alias("component"),
+            F.posexplode("components").alias("comp_pos", "component"),
         )
         .join(index, "component")
-        # reference dedupes candidates per row by drug_code
-        # (runners.py:1183-1190); all non-component attrs are
-        # functionally determined by (raw_text, drug_code)
-        .dropDuplicates(["raw_text", "drug_code"])
+        # The reference dedupes candidates per row by drug_code KEEPING
+        # THE FIRST COLLECTION OCCURRENCE (runners.py:1183-1190), and
+        # its stable sort then breaks details-score ties by that
+        # collection order: component position FIRST, annex insertion
+        # order within a component. r9 fuzz catch
+        # (fuzz_part4_ranking_vs_reference, case 241 of the very first
+        # run): a tie spanning two components picked the other side's
+        # candidate under the old global-annex_order key. No explicit
+        # dedupe needed — comp_pos rides into the min_by rank struct
+        # below, which reproduces keep-first-occurrence exactly (all
+        # non-key attrs are functionally determined by drug_code).
     )
 
     # form/route predicates: Python only on the DISTINCT vocabulary
@@ -574,6 +590,7 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     flagged = cand.select(
         "raw_text",
         "drug_code",
+        "comp_pos",
         "annex_order",
         dose_keys_match_col(F.col("esoa_dose"), F.col("annex_dose")).alias("dose_ok"),
         "form_ok",
@@ -585,13 +602,21 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
 
     # W3 + flags in ONE grouped pass (map-side combinable; no window
     # sort over the fanout). Valid = dose ∧ form ∧ route
-    # (runners.py:1357-1365); best valid by (details_score,
-    # annex_order, drug_code) — annex_order reproduces the reference's
-    # stable-sort insertion-order tie-break (runners.py:1367-1371),
-    # drug_code is a final determinism backstop.
+    # (runners.py:1357-1365); best valid by (details_score, comp_pos,
+    # annex_order, drug_code) — the reference sorts STABLY over its
+    # per-component collection order, so score ties resolve by the
+    # eSOA component position first, then annex insertion order within
+    # the component (runners.py:1170-1190,1367-1371; r9 fuzz catch),
+    # drug_code as a final determinism backstop. A drug_code reached
+    # by several components appears once per component; min_by keeps
+    # the smallest comp_pos = the reference's dedupe-keep-first.
     valid = F.col("dose_ok") & F.col("form_ok") & F.col("route_ok")
     rank_key = F.when(
-        valid, F.struct(F.col("details_score"), F.col("annex_order"), F.col("drug_code"))
+        valid,
+        F.struct(
+            F.col("details_score"), F.col("comp_pos"),
+            F.col("annex_order"), F.col("drug_code"),
+        ),
     )
     summary = flagged.groupBy("raw_text").agg(
         F.min_by("drug_code", rank_key).alias("best_drug_code"),

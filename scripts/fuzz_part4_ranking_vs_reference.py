@@ -215,9 +215,25 @@ def main() -> int:
         columns={"Drug Code": "drug_code", "Drug Description": "drug_description"}
     )
     eng_annex["annex_order"] = range(len(eng_annex))
-    esoa_cols = list(esoa.columns)
-    sa = spark.createDataFrame(eng_annex.astype(object).where(pd.notna(eng_annex), None))
-    se = spark.createDataFrame(esoa.astype(object).where(pd.notna(esoa), None))
+    # all-None columns defeat type inference — give every column an
+    # explicit string/long schema (everything here is strings except
+    # the numeric dose columns and annex_order)
+    def schema_for(df, longs=(), doubles=()):
+        parts = []
+        for c in df.columns:
+            t = "bigint" if c in longs else ("double" if c in doubles else "string")
+            parts.append(f"`{c}` {t}")
+        return ", ".join(parts)
+
+    NUMS = ("drug_amount_mg", "concentration_mg_per_ml", "total_volume_ml")
+    sa = spark.createDataFrame(
+        eng_annex.astype(object).where(pd.notna(eng_annex), None).values.tolist(),
+        schema_for(eng_annex, longs=("annex_order",), doubles=NUMS),
+    )
+    se = spark.createDataFrame(
+        esoa.astype(object).where(pd.notna(esoa), None).values.tolist(),
+        schema_for(esoa, doubles=NUMS),
+    )
     got = {
         r["raw_text"]: (r["drug_code"], r["match_reason"])
         for r in bridge_to_drug_codes(se, sa).collect()

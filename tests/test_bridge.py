@@ -318,3 +318,57 @@ def test_w3_tie_break_annex_insertion_order(spark):
     )
     row2 = bridge_to_drug_codes(tagged, annex2).collect()[0]
     assert (row2.drug_code, row2.match_reason) == ("A1", "matched_perfect")
+
+
+def test_w3_tie_break_component_position_first(spark):
+    """Score ties spanning two eSOA components resolve by COMPONENT
+    position before annex order — the reference collects candidates
+    per component and its stable sort keeps that collection order
+    (runners.py:1170-1190,1367-1371; r9 fuzz catch: the old global
+    annex_order key picked the other component's candidate)."""
+    from pids_drg_esoa_spark.plans.bridge import bridge_to_drug_codes
+
+    tagged = spark.createDataFrame(
+        [("GENA + GENB 500 MG TABLET", "GENA + GENB", True)],
+        "raw_text string, generic_name string, matched boolean",
+    )
+    # GENB's row comes FIRST in the annex; GENA is the first component
+    annex = spark.createDataFrame(
+        [("B1", "GENB 500|MG|TABLET"), ("A2", "GENA 500|MG|TABLET")],
+        "drug_code string, drug_description string",
+    )
+    row = bridge_to_drug_codes(tagged, annex).collect()[0]
+    assert (row.drug_code, row.match_reason) == ("A2", "matched_perfect")
+
+
+def test_w3_null_details_probe_as_nan_literal(spark):
+    """A NULL eSOA detail field probes candidate descriptions as the
+    literal string 'NAN' — the reference's live CSV-fed behavior
+    (str(float('nan')) round-trip, runners.py:968-975; r9 fuzz catch
+    on 'juNANtin'). The NAN-bearing description must win the tie."""
+    from pids_drg_esoa_spark.plans.bridge import bridge_to_drug_codes
+
+    det = (" string, ".join([
+        "release_details", "type_details", "form_details",
+        "indication_details", "salt_details", "brand_details",
+        "alias_details", "iv_diluent_type", "iv_diluent_amount",
+    ]) + " string")
+    base = ("raw_text string, generic_name string, dose string, form string, "
+            "route string, drug_amount_mg double, concentration_mg_per_ml double, "
+            "total_volume_ml double, " + det)
+    tagged = spark.createDataFrame(
+        [tuple(["GENC 500 MG TABLET", "GENC", "500 MG", "TABLET", "ORAL",
+                None, None, None] + [None] * 9)],
+        base,
+    )
+    annex = spark.createDataFrame(
+        [tuple(["C1", "GENC 500 MG TABLET", "GENC", "500 MG", "TABLET", "ORAL",
+                None, None, None]),
+         tuple(["C2", "GENC 500 MG TABLET JUNANTIN GRADE", "GENC", "500 MG",
+                "TABLET", "ORAL", None, None, None])],
+        "drug_code string, drug_description string, generic_name string, "
+        "dose string, form string, route string, drug_amount_mg double, "
+        "concentration_mg_per_ml double, total_volume_ml double",
+    ).withColumn("iv_diluent_type", F.lit(None).cast("string"))
+    row = bridge_to_drug_codes(tagged, annex).collect()[0]
+    assert (row.drug_code, row.match_reason) == ("C2", "matched_perfect")
