@@ -196,3 +196,47 @@ def test_scalable_trainer_2k_merges(docs):
     ranks = [r for r, *_ in m2k]
     assert ranks == list(range(1, len(m2k) + 1))
     assert all(c >= 1 for *_ , c in m2k)
+
+
+def test_scalable_trainer_max_words_cutoff(spark, docs):
+    """The ``max_words`` frequency-cutoff path (r9, VERDICT #3): keep
+    the top-N words by (freq DESC, word ASC) and train on that
+    sub-vocabulary. Pin two properties:
+
+    1. EXACTNESS on the kept set: the cutoff run is byte-identical to
+       training on a corpus containing exactly those top-N words (the
+       cutoff is a corpus restriction, nothing more).
+    2. Measured drift vs the full-vocab table: top-N by frequency is
+       the standard web-scale practice, but its merge-table divergence
+       is characterized here, not assumed — the dominant early merges
+       (driven by high-frequency words) must agree; the tail may
+       reorder as dropped words stop contributing pair counts.
+    """
+    from pids_drg_esoa_spark.operators.bpe import bpe_train_scalable
+
+    wf = {r["word"]: int(r["freq"]) for r in word_counts(docs).collect()}
+    n_keep = max(4, 9 * len(wf) // 10)
+    assert len(wf) > n_keep  # the cutoff actually bites
+
+    cut = bpe_train_scalable(docs, 64, max_words=n_keep)
+
+    # property 1: identical to training on exactly the kept words
+    kept = sorted(sorted(wf.items(), key=lambda x: (-x[1], x[0]))[:n_keep])
+    kept_docs = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in kept], "text string"
+    )
+    direct = bpe_train_scalable(kept_docs, 64)
+    assert cut == direct
+
+    # property 2: drift characterization vs the full table
+    full = bpe_train_scalable(docs, 64)
+    full_pairs = {(l, r) for _, l, r, _ in full}
+    cut_pairs = {(l, r) for _, l, r, _ in cut}
+    overlap = len(full_pairs & cut_pairs) / max(len(full_pairs), 1)
+    # Measured on the sf corpora (V=31 at sf0.001): a 90% keep gives
+    # overlap ≈0.91; 50% keep degrades to ≈0.53 and 25% to 0.25 —
+    # i.e. drift scales with how hard the cutoff bites the pair mass,
+    # NOT a free lunch (the SCALE.md table records the curve). Pin a
+    # loose floor for the gentle cutoff so the test asserts "similar",
+    # not the corpus-specific number.
+    assert overlap >= 0.7, f"cutoff drift too large: overlap={overlap:.2f}"
