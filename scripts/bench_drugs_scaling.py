@@ -59,9 +59,16 @@ def main() -> int:
         inputs["esoa"] = spark.createDataFrame(pd.DataFrame({"raw_text": esoa}))
         t0 = time.time()
         res = run_drugs_all(spark, inputs)
+        t_plan = time.time() - t0
+        t1 = time.time()
         n_annex = res.annex_with_atc.count()
+        t_annex = time.time() - t1
+        t1 = time.time()
         n_esoa = res.esoa_with_atc.count()
+        t_esoa = time.time() - t1
+        t1 = time.time()
         n_bridge = res.esoa_with_drug_code.count()
+        t_bridge = time.time() - t1
         wall = time.time() - t0
         rows_out.append(
             {
@@ -69,12 +76,24 @@ def main() -> int:
                 "texts": len(esoa),
                 "annex_rows": len(annex),
                 "wall_sec": round(wall, 1),
+                # stage-level walls (r9 VERDICT #2): plan/dims build,
+                # then the first count that executes each part's DAG —
+                # annex forces Part 1+2, esoa forces Part 3 on top of
+                # the cached dims, bridge forces Part 4
+                "stage_sec": {
+                    "plan": round(t_plan, 1),
+                    "annex_p12": round(t_annex, 1),
+                    "esoa_p3": round(t_esoa, 1),
+                    "bridge_p4": round(t_bridge, 1),
+                },
                 "out_rows": [n_annex, n_esoa, n_bridge],
             }
         )
         print(
             f"scale={scale}: {len(esoa)} texts, {len(annex)} annex -> "
-            f"{wall:.1f}s (annex {n_annex}, esoa {n_esoa}, bridge {n_bridge})",
+            f"{wall:.1f}s (plan {t_plan:.1f} + annex {t_annex:.1f} + "
+            f"esoa {t_esoa:.1f} + bridge {t_bridge:.1f}; "
+            f"rows annex {n_annex}, esoa {n_esoa}, bridge {n_bridge})",
             flush=True,
         )
         # release whatever the run pinned so the next scale starts clean
