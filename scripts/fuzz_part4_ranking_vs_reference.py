@@ -135,12 +135,23 @@ def compose(n: int, seed: int) -> tuple[pd.DataFrame, pd.DataFrame]:
             dose, form, route = rng.choice(DOSES), rng.choice(FORMS), rng.choice(ROUTES)
         det = {f: (rng.choice(ws) if rng.random() < 0.3 else None)
                for f, ws in DETAILS.items()}
+        # structured dose columns (r9b): ~20% of rows exercise
+        # get_dose_key's STRUCTURED branch (drug_amount_mg ±
+        # concentration) instead of the dose-string parse — both
+        # sides read the same columns, so this probes the
+        # dose_key_from_columns twin's branch priority too
+        amg, conc, vol = None, None, None
+        if rng.random() < 0.2:
+            amg = float(rng.choice([250, 500, 750]))
+            if rng.random() < 0.5:
+                conc = float(rng.choice([50, 100]))
+                vol = float(rng.choice([5, 10])) if rng.random() < 0.7 else None
         esoa_rows.append({
             "raw_text": f"case{i:06d}",
             "generic_name": gen,
             "dose": dose, "form": form, "route": route,
-            "drug_amount_mg": None, "concentration_mg_per_ml": None,
-            "total_volume_ml": None, "iv_diluent_type": det["iv_diluent_type"],
+            "drug_amount_mg": amg, "concentration_mg_per_ml": conc,
+            "total_volume_ml": vol, "iv_diluent_type": det["iv_diluent_type"],
             "brand_details": None,
             **{k: v for k, v in det.items() if k != "iv_diluent_type"},
         })
