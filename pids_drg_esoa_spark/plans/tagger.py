@@ -699,6 +699,11 @@ def _token_matches(
             ),
             fb.key == F.col("bkey"), "left_anti",
         )
+    # persist, NOT localCheckpoint: an r9 A/B on the sf0.1 tagger
+    # headline measured the eager checkpoint job costing MORE than the
+    # plan-size copies it saves (cold 28.1 s vs 23.5 s, warm 15.6 vs
+    # 14.7) — fb is a small relation behind broadcast anti-joins, so
+    # the lesson-#3 collapse does not pay here
     fb = _persist_tracked(fb)  # probed by all three fallback tiers
 
     def back(hits: DataFrame) -> DataFrame:
