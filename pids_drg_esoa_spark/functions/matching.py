@@ -294,23 +294,67 @@ def _default_multiword() -> frozenset[str]:
     return _DEFAULT_MULTIWORD
 
 
+def fuzzy_corrections_ref_py(
+    stripped: list[str],
+    ordered_keys: list[str],
+    key_hits: dict[str, list[tuple[str, bool]]],
+) -> dict[str, str]:
+    """The reference's fuzzy_corrections construction (tagger.py:
+    886-896), shape-for-shape: iterate the candidate hits in the
+    COLLECTION order (combination keys first — tagger.py:728-763 —
+    then each stripped token), dedupe by matched generic name keeping
+    the first occurrence (the unique_matches dedupe, tagger.py:
+    774-780; an earlier NON-fuzzy hit of the same name suppresses a
+    later fuzzy one), and assign each surviving FUZZY-matched name to
+    the FIRST stripped generic that has no correction yet. The
+    assignment is BLIND-POSITIONAL — the reference does not know which
+    component a fuzzy hit corrected, so a fuzzy hit for the SECOND
+    component lands on the first slot (r9 probe: that is exactly how
+    'ALBUPRIL + ALBOLOL' admits the combo generic — the fuzzy-matched
+    combination NAME takes slot 0 and enters the input set whole).
+
+    ``key_hits`` maps lowercase probe key → [(matched_name,
+    is_fuzzy)]; ``ordered_keys`` is the collection order (combo keys,
+    then stripped tokens). Within one key the hit order is immaterial:
+    the engine's cascade keeps a single tier per key, so a key's hits
+    are either all fuzzy (top-1) or all non-fuzzy."""
+    corrections: dict[str, str] = {}
+    seen: set[str] = set()
+    for k in ordered_keys:
+        for name, is_fuzzy in key_hits.get(k.lower(), ()):
+            nu = name.upper()
+            if nu in seen:
+                continue
+            seen.add(nu)
+            if not is_fuzzy:
+                continue
+            for sg in stripped:
+                if sg.upper() not in corrections:
+                    corrections[sg.upper()] = nu
+                    break
+    return corrections
+
+
 def normalized_input_set_py(
     stripped: list[str],
-    fuzzy_map: dict[str, str] | None,
+    corrections: dict[str, str] | None,
     syn_map: dict[str, str],
 ) -> tuple[list[str], int, str | None, str | None]:
     """The second half of the per-doc input construction
     (tagger.py:884-913), taking ALREADY-stripped generics — the Spark
     plan computes ``stripped_generics_py`` once per distinct text in
     the doc-enrich Arrow crossing and feeds this after the fuzzy tier
-    resolves. Returns (sorted normalized set, num_input, active,
-    vehicle)."""
+    resolves. ``corrections`` is the UPPER-keyed positional map built
+    by ``fuzzy_corrections_ref_py`` (r9: previously a key-accurate
+    lowercase map, which silently diverged from the reference's
+    blind-positional assignment on multi-component texts). Returns
+    (sorted normalized set, num_input, active, vehicle)."""
     from .tokens import apply_synonym_py
 
     norm: set[str] = set()
     for sg in stripped:
-        corrected = (fuzzy_map or {}).get(sg.lower())
-        n = corrected.upper() if corrected else apply_synonym_py(sg, syn_map)
+        corrected = (corrections or {}).get(sg.upper())
+        n = corrected if corrected else apply_synonym_py(sg, syn_map)
         if n and n not in _NORM_JUNK:
             norm.add(n)
     # combo-key synonyms (tagger.py:909-913): reference-shaped
@@ -336,14 +380,19 @@ def input_generics_normalized_py(
     """The per-doc inputs to candidate selection (tagger.py:884-920):
 
     returns (sorted normalized input set, num_input, active, vehicle,
-    mixture_component_key). ``fuzzy_map`` maps the POST-brand-swap
-    salt-stripped lowercase component (i.e. the stripped generic,
-    lowered — matching the reference, which keys fuzzy corrections by
-    stripped generic, tagger.py:888-896) to the fuzzy-matched dim
-    name; a corrected component enters the set as the matched name
-    verbatim (NOT synonym-normalized — reference tagger.py:900-905)."""
+    mixture_component_key). ``fuzzy_map`` maps the probe key
+    (lowercase) to the fuzzy-matched dim name; corrections are applied
+    through the reference's BLIND-POSITIONAL assignment
+    (``fuzzy_corrections_ref_py``) — a corrected name enters the set
+    verbatim (NOT synonym-normalized, reference tagger.py:900-905)."""
     sgs = stripped_generics_py(components, brand_map, multiword_generics)
-    norm, n, active, vehicle = normalized_input_set_py(sgs, fuzzy_map, syn_map)
+    key_hits = {
+        k.lower(): [(v, True)] for k, v in (fuzzy_map or {}).items()
+    }
+    corrections = fuzzy_corrections_ref_py(
+        sgs, [s.lower() for s in sgs], key_hits
+    )
+    norm, n, active, vehicle = normalized_input_set_py(sgs, corrections, syn_map)
     return norm, n, active, vehicle, mixture_component_key_py(sgs, syn_map)
 
 

@@ -310,23 +310,33 @@ _INPUT_SET_SCHEMA = T.StructType(
 
 def _make_input_set(syn_b):
     """Per-doc normalized input set (tagger.py:884-913): fuzzy
-    corrections (from the fuzzy tier's resolved hits) win over synonym
-    application; reference-shaped combo-key synonym rewrites join the
-    set. Runs once per DISTINCT text — the same dedupe-by-text contract
-    as the enrich crossing."""
+    corrections applied through the reference's BLIND-POSITIONAL
+    assignment (fuzzy_corrections_ref_py — collection order = combo
+    keys first, then stripped tokens; an earlier non-fuzzy hit of the
+    same name suppresses the correction); reference-shaped combo-key
+    synonym rewrites join the set. Runs once per DISTINCT text — the
+    same dedupe-by-text contract as the enrich crossing."""
+    from ..functions.matching import fuzzy_corrections_ref_py
 
     @F.pandas_udf(_INPUT_SET_SCHEMA)
     def _input_set(
-        stripped: pd.Series, fz_keys: pd.Series, fz_names: pd.Series
+        stripped: pd.Series, combo_keys: pd.Series,
+        hit_keys: pd.Series, hit_names: pd.Series, hit_fuzzy: pd.Series,
     ) -> pd.DataFrame:
         syn = syn_b.value
         rows = []
-        for sg, fk, fv in zip(stripped, fz_keys, fz_names):
+        for sg, cks, hk, hn, hf in zip(
+            stripped, combo_keys, hit_keys, hit_names, hit_fuzzy
+        ):
             sgs = list(sg) if sg is not None else []
-            fuzzy = (
-                dict(zip(list(fk), list(fv))) if fk is not None and len(fk) else None
-            )
-            rows.append(normalized_input_set_py(sgs, fuzzy, syn))
+            key_hits: dict[str, list[tuple[str, bool]]] = {}
+            if hk is not None and len(hk):
+                for k, n, f in zip(list(hk), list(hn), list(hf)):
+                    key_hits.setdefault(k, []).append((n, bool(f)))
+            ordered = [c.lower() for c in (list(cks) if cks is not None else [])]
+            ordered += [s.lower() for s in sgs]
+            corrections = fuzzy_corrections_ref_py(sgs, ordered, key_hits)
+            rows.append(normalized_input_set_py(sgs, corrections, syn))
         return pd.DataFrame(
             rows, columns=["input_set", "num_input", "active", "vehicle"]
         )
@@ -550,7 +560,20 @@ def _token_matches(
     ``keys`` INDEPENDENTLY (all broadcast joins, one pass over the
     fact side) and a final per-(raw_text, key) argmin over tier_order
     keeps exactly the rows the miss-cascade would have kept."""
+    # ``is_combo`` marks COMBINATION-key probes (r9): the reference's
+    # cache (batch_lookup_generics) treats every unique string the
+    # same — exact/prefix/fuzzy — so combo keys ride those tiers, but
+    # the MULTIWORD-CONTAINMENT tier models a TOKENIZE-TIME feature
+    # (extract_generic_tokens) that never sees combo keys, and the
+    # synonym→mixture fallback iterates stripped tokens only
+    # (tagger.py:783-804). Both are restricted to token-origin keys
+    # below (regression-caught by the differential: the normalized
+    # combo key 'AMOXICILLIN + CLAVULANIC ACID' word-contained the
+    # single generic and stole the win from the mixture).
+    if "is_combo" not in keys.columns:
+        keys = keys.withColumn("is_combo", F.lit(False))
     keys = _persist_tracked(keys)  # probed by every tier
+    keys_tok = keys.filter(~F.col("is_combo"))
     # reference_text = the dim row's raw text (unified.reference_text)
     # — the W1 details probe targets it alongside the generic name
     # (scoring.py:331-376); dims without the column yield null = the
@@ -735,17 +758,25 @@ def _token_matches(
     # as an exact token; fuzzy would miss once the junk outweighs the
     # name). Bounded like prefix: |distinct keys| × |multiword dim
     # names| broadcast probe; longest (most specific) names first.
+    # TOKEN-ORIGIN keys only (r9): this tier models tokenize-time
+    # behavior, which combination keys never receive.
     mwg = g.filter(F.col("gkey").contains(" "))
-    cont = fb.join(
+    if per_distinct:
+        fb_mw = fb.join(keys_tok.select("key").distinct(), "key", "left_semi")
+        back_mw = lambda hits: keys_tok.join(hits, "key")  # noqa: E731
+    else:
+        fb_mw = fb.filter(~F.col("is_combo"))
+        back_mw = lambda hits: hits  # noqa: E731
+    cont = fb_mw.join(
         mwg,
-        (fb.key != F.col("gkey"))
-        & F.concat(F.lit(" "), fb.key, F.lit(" ")).contains(
+        (fb_mw.key != F.col("gkey"))
+        & F.concat(F.lit(" "), fb_mw.key, F.lit(" ")).contains(
             F.concat(F.lit(" "), F.col("gkey"), F.lit(" "))
         ),
     )
     wm = W.partitionBy(*wkey).orderBy(F.desc(F.length("gkey")), F.asc("gkey"))
     cont_hits = cont.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= 3)
-    tiers.append(tier(back(cont_hits), 5, PRIORITY_TOKEN, "multiword"))
+    tiers.append(tier(back_mw(cont_hits), 5, PRIORITY_TOKEN, "multiword"))
 
     # Fuzzy tier: length-band blocking only — lossless for ratio ≥ 85
     # (|len a − len b| ≤ 0.15·(len a + len b) is implied by the
@@ -788,9 +819,11 @@ def _token_matches(
                 F.lower("generic_name").alias("starget"),
             )
         )
+        # token-origin keys only (r9): the reference's fallback
+        # iterates stripped_generics, never combination keys
         tiers.append(
             tier(
-                keys.join(syn2, keys.key == F.col("skey3"))
+                keys_tok.join(syn2, keys_tok.key == F.col("skey3"))
                 .join(mxn, F.col("starget") == F.col("mkey")),
                 7, PRIORITY_TOKEN, "synonym_mixture",
             )
@@ -1004,9 +1037,17 @@ def w1_select_best(
         # payload columns that are NOT part of the reference tuple but
         # ride along in the output: order them too, so a dim carrying
         # duplicate names with different provenance/reference text
-        # still yields a deterministic winner
+        # still yields a deterministic winner. match_reason/gm_reason
+        # joined r9: one generic can now carry BOTH an exact and a
+        # fuzzy candidate row (combo-key variants probe independently),
+        # and without these keys the emitted reason was tie-arbitrary
+        # (the reference's own output reason is just 'matched' —
+        # tagger.py:_build_result_dict — so this column is engine-side
+        # payload with a deterministic rule, not a parity surface)
         F.asc_nulls_last("reference_text"),
         F.asc_nulls_last("sources"),
+        F.asc_nulls_last("match_reason"),
+        F.asc_nulls_last("gm_reason"),
     )
     return (
         ranked_input.withColumn("atc_priority", atc_priority)
@@ -1207,12 +1248,30 @@ def _tag_descriptions_impl(
     # the 'ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE' multiword token
     # must probe UNstripped or the combination-named dim row is only
     # reachable via prefix (diff-adjudicated).
+    # Probe keys = stripped tokens AND combination keys: the reference
+    # feeds BOTH through the same exact→prefix→fuzzy cache
+    # (batch_lookup_generics over unique_generics, which includes
+    # build_combination_keys output — tagger.py:654-680,700-705), so a
+    # combo key can FUZZY-match a combination-named dim generic
+    # ('ALBUPRIL + ALBOLOL' → 'ALBUPRIL + ALBUOLOL' @ ratio 97). r9
+    # probe-caught: the engine's former combo tier was exact-only, so
+    # every typo'd-component combination came back unmatched where the
+    # reference matched.
     keys = (
-        docs.select("raw_text", F.explode("stripped").alias("component"))
+        docs.select(
+            "raw_text", F.explode("stripped").alias("component"),
+        ).withColumn("is_combo", F.lit(False))
+        .unionByName(
+            docs.select(
+                "raw_text", F.explode("combo_keys").alias("component"),
+            ).withColumn("is_combo", F.lit(True))
+        )
         .withColumn("key", F.lower("component"))
         .filter(F.col("key") != "")
-        .select("raw_text", "key")
-        .distinct()
+        # a string probed both as a token and as a combo key keeps the
+        # token origin (superset of tiers)
+        .groupBy("raw_text", "key")
+        .agg(F.min(F.col("is_combo").cast("int")).cast("boolean").alias("is_combo"))
     )
     # Pre-strip the brand-swap targets driver-side through the FULL
     # reference chain (pure-salt + multiword guard + single salt
@@ -1253,40 +1312,12 @@ def _tag_descriptions_impl(
         "sources",
     )
 
-    # Combination-key lookups against the GENERICS dim (reference
-    # tagger.py:654-680,728-763): 'A + B' / 'A AND B' / sorted /
-    # reversed / synonym-rewritten keys probe unified names directly.
-    # The per-token cascade can NEVER reach these rows when a component
-    # exact-hits its single-drug dim (the argmin drops the prefix-tier
-    # combo sibling), so combination-named dim entries — with their
-    # drugbank_id and ATC — need this per-DOC tier.
-    ref_col2 = (
-        F.col("reference_text")
-        if "reference_text" in generics_dim.columns
-        else F.lit(None).cast("string")
-    )
-    src_col2 = (
-        F.col("source") if "source" in generics_dim.columns
-        else F.lit(None).cast("string")
-    )
-    gu = F.broadcast(
-        generics_dim.select(
-            F.upper("generic_name").alias("ukey"),
-            "generic_name", "drugbank_id", ref_col2.alias("reference_text"),
-            src_col2.alias("sources"),
-        )
-    )
-    combo_key_hits = (
-        docs.select("raw_text", F.explode("combo_keys").alias("ck"))
-        .join(gu, F.col("ck") == F.col("ukey"))
-        .select(
-            "raw_text", "generic_name", "drugbank_id", "reference_text",
-            F.lit("combo_key").alias("match_reason"),
-            "sources",
-        )
-        .dropDuplicates()
-    )
-    token_cand = token_cand.unionByName(combo_key_hits)
+    # Combination-key lookups ride the SAME tier cascade as single
+    # tokens now (the keys relation above unions combo_keys in), so
+    # combination-named dim entries are reachable exact AND
+    # prefix/fuzzy — the former exact-only per-DOC tier is subsumed
+    # (r9; keeping it would duplicate candidate rows under a second
+    # match_reason label and make the W1 rank-1 payload tie).
 
     # no_match vs no_candidates (reference tagger.py:826-876 +
     # result assembly): a doc whose cache hits yielded at least one
@@ -1311,19 +1342,27 @@ def _tag_descriptions_impl(
     # Per-doc selection inputs (scoring.py:203-310): normalized input
     # set with fuzzy corrections folded in, active/vehicle components,
     # and the reference's input-shape flags (tagger.py:915-920).
-    fuzzy_pairs = (
-        token_hits.filter(F.col("match_reason") == "fuzzy")
+    # ALL hits per doc (not only fuzzy): the blind-positional
+    # corrections need non-fuzzy hits too — an earlier exact/synonym
+    # hit of the same name suppresses a later fuzzy correction
+    # (reference unique_matches dedupe, tagger.py:774-780)
+    hit_pairs = (
+        token_hits
         .groupBy("raw_text")
         .agg(
-            F.collect_list("key").alias("fz_keys"),
-            F.collect_list("generic_name").alias("fz_names"),
+            F.collect_list("key").alias("hit_keys"),
+            F.collect_list("generic_name").alias("hit_names"),
+            F.collect_list((F.col("match_reason") == "fuzzy")).alias("hit_fuzzy"),
         )
     )
     input_set_udf = _make_input_set(syn_b)
     doc_inputs = _persist_tracked(
-        docs.select("raw_text", "stripped")
-        .join(fuzzy_pairs, "raw_text", "left")
-        .withColumn("gm", input_set_udf("stripped", "fz_keys", "fz_names"))
+        docs.select("raw_text", "stripped", "combo_keys")
+        .join(hit_pairs, "raw_text", "left")
+        .withColumn(
+            "gm",
+            input_set_udf("stripped", "combo_keys", "hit_keys", "hit_names", "hit_fuzzy"),
+        )
         .select(
             "raw_text",
             F.col("gm.input_set").alias("input_set"),

@@ -99,6 +99,15 @@ def build_dims() -> dict[str, pd.DataFrame]:
         mix_rows.append(
             (f"DBMIXS{i:03d}", f"{a.title()} + {b.title()}", f"{a.lower()} + {b.lower()}")
         )
+    # combo-NAMED generics in the spine (r9): the reference probes
+    # combination keys through its exact->prefix->fuzzy cache, so a
+    # typo'd component must still admit these rows (the engine's
+    # combo keys ride the shared tier cascade; corpus texts below
+    # carry the typo variants)
+    for i in range(2, len(names) - 6, 16):
+        a, b = names[i], names[i + 5]
+        dbg_rows.append((f"DBCMB{i:03d}", f"{a.title()} + {b.title()}"))
+        dba_rows.append((f"DBCMB{i:03d}", f"{a} + {b}", synth_atc(i + 200)))
 
     def cat(key: str, rows: list, cols: list[str]) -> pd.DataFrame:
         extra = pd.DataFrame(rows, columns=cols)
@@ -203,6 +212,15 @@ def build_corpus(
         d = 50 * (1 + i % 10)
         texts.append(f"{a} + {b} {d}MG TAB")
         texts.append(f"{a} + {b} SYRUP")
+    # combo-named GENERICS with typo'd components (r9): the fuzzy
+    # combo-key path + the blind-positional fuzzy_corrections twin
+    for i in range(2, len(names) - 6, 16):
+        a, b = names[i], names[i + 5]
+        d = 50 * (1 + i % 10)
+        texts.append(f"{a} + {b} {d} MG TABLET")              # exact
+        texts.append(f"{a} + {b[:3]}{b[4:]} {d} MG TABLET")   # typo 2nd
+        texts.append(f"{a[:3]}{a[4:]} + {b} {d} MG TABLET")   # typo 1st
+        texts.append(f"{b} + {a} {d} MG TABLET")              # reversed
     for i in range(150):
         texts.append(f"ZZGIBBER{chr(65 + i % 26)}{chr(65 + (i // 26) % 26)} {10 + i}MG TAB")
 

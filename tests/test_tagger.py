@@ -505,7 +505,37 @@ def test_combo_key_tier_reaches_combination_dim(spark, dims):
     assert row.generic_name == "AMOXICILLIN AND CLAVULANIC ACID"
     assert row.drugbank_id == "DB99001"
     assert row.atc_primary == "J01CR02"
-    assert row.match_reason == "combo_key"
+    # r9: combo keys ride the shared tier cascade now, so the exact
+    # combo hit carries the cascade's reason (was 'combo_key')
+    assert row.match_reason == "exact"
+
+
+def test_combo_key_fuzzy_reaches_combination_dim(spark, dims):
+    """r9 probe-caught surface: the reference probes combination keys
+    through the SAME exact->prefix->fuzzy cache as single tokens
+    (batch_lookup_generics over unique_generics incl. combo keys), so
+    a typo'd component still admits the combination-named dim row —
+    the fuzzy-matched combination NAME enters the input set through
+    the blind-positional fuzzy_corrections assignment
+    (tagger.py:886-896) and passes the F33 whole-name path."""
+    generics = spark.createDataFrame(
+        [
+            ("AMOXICILLIN", "DB01060"),
+            ("AMOXICILLIN AND CLAVULANIC ACID", "DB99001"),
+        ],
+        "generic_name string, drugbank_id string",
+    )
+    atc = spark.createDataFrame(
+        [("AMOXICILLIN AND CLAVULANIC ACID", "J01CR02", True)],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    d = dict(dims, generics_dim=generics, atc_dim=atc, mixtures_dim=None,
+             brands_dim=None, synonyms_dim=None)
+    out = _tag(spark, d, ["AMOXICILLIN + CLAVULANC ACID 625MG TAB"])  # typo'd 2nd comp
+    row = out["AMOXICILLIN + CLAVULANC ACID 625MG TAB"]
+    assert row.matched
+    assert row.generic_name == "AMOXICILLIN AND CLAVULANIC ACID"
+    assert row.atc_primary == "J01CR02"
 
 
 def test_fallback_probe_gate_parity(spark, dims, monkeypatch):
