@@ -112,7 +112,19 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
 
     from ..functions.tokens import normalize_generic_combination_py
 
-    def multiword_hits(t: str, gname: str | None, multiword) -> list[str]:
+    import re as _re
+
+    # reference tokenizer.py:982-1002 (normalize_tokens) and 976-1001
+    # (extract_generic_tokens): the trailing-salt multiword table and
+    # the cation exception set, verbatim
+    _TRAILING_SALT_WORDS = {
+        "SODIUM PHOSPHATE", "DISODIUM PHOSPHATE", "SODIUM SUCCINATE",
+        "SODIUM SULFATE", "POTASSIUM PHOSPHATE", "CALCIUM PHOSPHATE",
+        "MAGNESIUM SULFATE", "SODIUM CHLORIDE",
+    }
+    _CATIONS = {"SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM"}
+
+    def multiword_hits(t: str, gname: str | None, multiword) -> tuple[list[str], list[str]]:
         """Reference extract_generic_tokens' multiword matching
         (tokenizer.py:1113-1200 via tagger.py:606-620): any multiword
         DIM name — including '+'-combination names like 'ALUMINUM
@@ -120,13 +132,48 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         (or in the F15-cleaned name) becomes ONE lookup token, which is
         what lets combination-named unified rows exact-hit with their
         ATC/DrugBank payload. Longest-first with substring dedup, the
-        reference's order."""
-        hay = " " + " ".join(((gname or "") + " ; " + (t or "")).upper().split()) + " "
-        hits: list[str] = []
+        reference's order.
+
+        Returns (prepend, append) — r9 randomized-corpus catch: the
+        reference's token ORDER is load-bearing (fuzzy-correction
+        slots assign positionally, and stripped[0]/[1] are the IV
+        active/vehicle). normalize_tokens PREPENDS multiword matches
+        (longest-first, tokenizer.py:1004-1014) — so 'MAGNESIUM
+        HYDROXIDE' leads the token list for 'ALUMINUM HYROXIDE +
+        MAGNESIUM HYDROXIDE' — EXCEPT trailing-salt multiwords
+        ('DRUG SODIUM PHOSPHATE' shapes, the table above), which
+        normalize skips entirely: with ' IN ' before them (IV
+        solutions) the positional pre-pass still emits them at their
+        text position (≈ append — something precedes them by
+        definition), and WITHOUT ' IN ' neither pass emits them at
+        all ('SODIUM PHOSPHATE' in 'DEXAMETHASONE SODIUM PHOSPHATE'
+        never probes)."""
+        tu = (t or "").upper()
+        hay = " " + " ".join(((gname or "") + " ; " + tu).split()) + " "
+        salt_paren = {
+            m.group(1).strip().upper()
+            for m in _re.finditer(r"\(\s*as\s+([^)]+)\)", tu, _re.IGNORECASE)
+        }
+        prepend: list[str] = []
+        append: list[str] = []
         for mw in multiword:  # pre-sorted longest-first by the caller
-            if f" {mw} " in hay and not any(mw in h for h in hits):
-                hits.append(mw)
-        return hits
+            if f" {mw} " not in hay or any(mw in h for h in prepend + append):
+                continue
+            if any(mw in sc or sc in mw for sc in salt_paren):
+                continue  # inside a '( as …)' pattern: skipped by both passes
+            if mw in _TRAILING_SALT_WORDS:
+                pos = tu.find(mw)
+                before = tu[:pos].strip() if pos >= 0 else ""
+                if before:
+                    # the bare-substring check is the reference's own
+                    # (runners… tokenizer.py:994-1001 has no padding)
+                    if " IN " in before:
+                        append.append(mw)  # IV base solution: positional
+                        continue
+                    if before.split()[-1] not in _CATIONS:
+                        continue  # trailing salt suffix: never a token
+            prepend.append(mw)
+        return prepend, append
 
     def merge_clean(t: str, details: dict, comps: list[str]) -> list[str]:
         """Reference tagger.py:604-619: when the F15 extractor yields a
@@ -208,16 +255,24 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             for t, d, c in zip(text, details, components)
         ]
         # multiword dim names found in the text join the token list —
-        # APPENDED, so the component order (stripped[0]=active,
-        # stripped[1]=vehicle for IV solutions) stays the extract's
+        # Reference ORDER (r9): multiwords passing normalize_tokens'
+        # gates PREPEND (longest-first); trailing-salt multiwords with
+        # ' IN ' before them are positional — the IV base solution
+        # stays AFTER the active, so stripped[0]=active/[1]=vehicle
+        # holds exactly as before for IV shapes.
         mw_sorted = sorted(multiword, key=len, reverse=True)
-        hits_per_doc = [
-            [m.lower() for m in multiword_hits(t, d.get("generic_name"), mw_sorted)]
+        hits_split_per_doc = [
+            multiword_hits(t, d.get("generic_name"), mw_sorted)
             for t, d in zip(text, details)
         ]
+        hits_per_doc = [
+            [m.lower() for m in pre + post] for pre, post in hits_split_per_doc
+        ]
         merged = [
-            list(dict.fromkeys(comps + hits))
-            for comps, hits in zip(merged, hits_per_doc)
+            list(dict.fromkeys(
+                [m.lower() for m in pre] + comps + [m.lower() for m in post]
+            ))
+            for comps, (pre, post) in zip(merged, hits_split_per_doc)
         ]
         # vaccine canonical name becomes the PRIMARY lookup token
         # (reference tagger.py:608-610 prepend)
@@ -245,7 +300,21 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             'sodium' — re-emitting it exact-hits single-cation dim
             rows (e.g. PNF F6 bases) the reference never sees as
             candidates (diff-adjudicated on SODIUM CHLORIDE INJECTION
-            USP once Part-1 F6 went verbatim)."""
+            USP once Part-1 F6 went verbatim).
+
+            Standalone SALT-category words are DROPPED (r9,
+            randomized-corpus fuzz catch): the reference's probe
+            tokens are categorize_tokens' GENERIC bucket
+            (tokenizer.py generic_tokens), so a bare SODIUM — whether
+            a single token or the residue of splitting an unknown
+            'DRUG SODIUM' phrase — never probes ('Qouetiamycin Sodium'
+            exact-hit the single-cation SODIUM dim row here while the
+            reference fuzzy-matched QUETIAMYCIN). Phrases kept whole
+            (multiword dims, pure-salt compounds, vaccines,
+            '+'-combinations) bypass, same as the reference's
+            multiword pre-pass and PURE_SALT re-add."""
+            from ..functions.tokens import _SALT_UPPER
+
             out: list[str] = []
             for c in comps:
                 if (
@@ -265,7 +334,16 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                             pat = f" {m} "
                             while pat in residue:
                                 residue = residue.replace(pat, " ")
-                    out.extend(w for w in residue.split() if w)
+                    out.extend(
+                        w for w in residue.split()
+                        if w and w.upper() not in _SALT_UPPER
+                    )
+                elif (
+                    " " not in c
+                    and c.upper() in _SALT_UPPER
+                    and c.upper() != (vn or "").upper()
+                ):
+                    continue  # standalone salt word: salt category, never generic
                 else:
                     out.append(c)
             return list(dict.fromkeys(out))
@@ -647,9 +725,16 @@ def _token_matches(
                     F.lower(strip_salt_suffix(F.col("generic_name"))).alias("target_key"),
                 )
             )
+        # token-origin keys only (r9): the reference's brand→generic
+        # swap is a TOKENIZE-TIME step (_swap_brand per token,
+        # tagger.py:624-647), never a cache probe — a space-joined
+        # combination-key variant must not resolve through a multiword
+        # BRAND name (randomized-corpus fuzz catch: 'SINECOD FORTE'
+        # as a plain text matched BUTAMIRATE here while the
+        # reference's per-token swap never fires on it)
         tiers.append(
             tier(
-                keys.join(br, keys.key == F.col("bkey"))
+                keys_tok.join(br, keys_tok.key == F.col("bkey"))
                 .join(g, F.col("target_key") == F.col("gkey")),
                 0, PRIORITY_BRAND, "brand",
             )
@@ -715,13 +800,27 @@ def _token_matches(
         _singular_key(fb.key) == F.col("_sg"), "left_anti",
     )
     if brands_dim is not None:
-        fb = fb.join(
-            F.broadcast(
-                br.join(g, F.col("target_key") == F.col("gkey"), "left_semi")
-                .select("bkey")
-            ),
-            fb.key == F.col("bkey"), "left_anti",
+        # brand hits exist for TOKEN-origin keys only (the brand tier
+        # is keys_tok), so only those keys short-circuit — a combo key
+        # that merely collides with a brand name keeps its fallback
+        # eligibility (the reference probes it through prefix/fuzzy
+        # like any cache key)
+        br_resolved = F.broadcast(
+            br.join(g, F.col("target_key") == F.col("gkey"), "left_semi")
+            .select("bkey")
         )
+        if per_distinct:
+            tok_brand_keys = (
+                keys_tok.select("key").distinct()
+                .join(br_resolved, F.col("key") == F.col("bkey"), "left_semi")
+            )
+            fb = fb.join(tok_brand_keys, "key", "left_anti")
+        else:
+            fb = fb.join(
+                br_resolved,
+                (fb.key == F.col("bkey")) & (~fb.is_combo),
+                "left_anti",
+            )
     # persist, NOT localCheckpoint: an r9 A/B on the sf0.1 tagger
     # headline measured the eager checkpoint job costing MORE than the
     # plan-size copies it saves (cold 28.1 s vs 23.5 s, warm 15.6 vs
@@ -932,8 +1031,24 @@ def w1_select_best(
     # combo flag is False (is_combination_atc(None) → False).
     acode = F.coalesce(F.col("atc_code"), F.lit("None"))
     combo_int = F.coalesce(F.col("is_combination_atc").cast("int"), F.lit(0))
+    # Mixture-SOURCED candidates never attach ATC by name (r9
+    # randomized-corpus catch): the reference's mixture rows carry no
+    # atc_code — the post-scoring fallback builds its result dict
+    # straight from the mixtures table (tagger.py:991-1014) and the
+    # synonym→mixture candidates set atc None explicitly — so a
+    # combination that exists BOTH as a mixture and as an ATC-bearing
+    # generic emits a NULL ATC when matched through the MIXTURE path
+    # ('MAGNESIUM HYDROXIDE + ALUMINUM HYDROXIDE' reversed-order text:
+    # reference atc None, engine formerly A02AD01 via the name join).
+    # Gating the join also keeps the rank keys reference-true (the
+    # no-ATC candidate shape: tie key str(None), combo flag False).
+    mixture_sourced = F.col("sources").eqNullSafe(F.lit("mixtures"))
     with_atc = (
-        all_cand.join(atc, all_cand.generic_name == F.col("atc_generic"), "left")
+        all_cand.join(
+            atc,
+            (all_cand.generic_name == F.col("atc_generic")) & ~mixture_sourced,
+            "left",
+        )
         .groupBy(
             "raw_text", "generic_name", "drugbank_id", "reference_text",
             "match_priority", "match_reason", "gm_reason",

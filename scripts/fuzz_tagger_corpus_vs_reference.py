@@ -1,0 +1,158 @@
+"""Randomized-corpus tagger fuzz: compose adversarial eSOA texts from
+the differential dims' OWN vocabulary (typos anywhere, multi-component
+combinations, synonym/brand tokens, salt tails, junk, parentheticals,
+case noise) and run the REFERENCE pipeline in-place vs the engine's
+`run_drugs_all` on each composed corpus — the same compare as
+`scripts/diff_reference.py`, but with a fresh randomized corpus per
+seed instead of the fixed generator (r9: the fixed corpus's gaps are
+exactly where the round's divergences hid — no combo-with-typo texts
+existed until one was probed by hand).
+
+Stresses specifically the round-9 surfaces: combination keys through
+the exact→prefix→fuzzy cache, the blind-positional fuzzy_corrections
+assignment, the tier-0 short-circuit, and mixture/brand/synonym
+interactions under typos.
+
+Usage: python scripts/fuzz_tagger_corpus_vs_reference.py [n] [seed]
+Exit 0 iff 0 mismatching cells across Parts 3 and 4.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+import scripts.diff_reference as dr  # noqa: E402
+
+dr.SCRATCH = "/tmp/fuzz_tagger_corpus"
+
+
+def typo(rng: random.Random, w: str) -> str:
+    if len(w) < 5:
+        return w
+    i = rng.randrange(1, len(w) - 1)
+    mode = rng.random()
+    if mode < 0.4:
+        return w[:i] + w[i + 1:]              # deletion
+    if mode < 0.7:
+        return w[:i] + w[i + 1] + w[i] + w[i + 2:]  # transposition
+    return w[:i] + rng.choice("AEIOU") + w[i:]      # insertion
+
+
+def compose_texts(dims: dict[str, pd.DataFrame], n: int, rng: random.Random) -> list[str]:
+    names = dr.synth_names()
+    combos = [
+        str(r["generic_name"]).upper()
+        for _, r in dims["drugbank_generics"].iterrows()
+        if " + " in str(r["generic_name"])
+    ]
+    mixtures = [str(r["mixture_name"]).upper() for _, r in dims["mixtures"].iterrows()]
+    brands = [str(r["brand_name"]).upper() for _, r in dims["fda_brands"].iterrows()]
+    synonyms = [str(r["synonym"]).upper() for _, r in dims["synonyms"].iterrows()]
+    salts = ["HYDROCHLORIDE", "SULFATE", "SODIUM", "MALEATE", "TRIHYDRATE"]
+    forms = ["TAB", "TABLET", "CAPSULE", "SYRUP", "VIAL", "NEBULE", "CREAM"]
+
+    texts: list[str] = []
+    while len(texts) < n:
+        r = rng.random()
+        dose = f"{rng.choice([50, 100, 250, 500, 625])}{rng.choice([' MG', 'MG'])}"
+        form = rng.choice(forms)
+        if r < 0.30:  # single generic, maybe typo'd / salted / parenthetical
+            g = rng.choice(names)
+            if rng.random() < 0.4:
+                g = typo(rng, g)
+            if rng.random() < 0.3:
+                g = f"{g} {rng.choice(salts)}"
+            if rng.random() < 0.15:
+                g = f"{g} ( as {rng.choice(salts)})"
+            texts.append(f"{g} {dose} {form}")
+        elif r < 0.50:  # combination from combo-named dims/mixtures, typos anywhere
+            src = rng.choice(combos + mixtures) if (combos or mixtures) else rng.choice(names)
+            comps = [c.strip() for c in src.split("+")]
+            if rng.random() < 0.6:
+                k = rng.randrange(len(comps))
+                comps[k] = typo(rng, comps[k])
+            if rng.random() < 0.3:
+                comps = comps[::-1]
+            texts.append(f"{' + '.join(comps)} {dose} {form}")
+        elif r < 0.65:  # synthesized combination of random singles
+            k = rng.choice([2, 2, 3])
+            comps = rng.sample(names, k)
+            if rng.random() < 0.4:
+                j = rng.randrange(k)
+                comps[j] = typo(rng, comps[j])
+            texts.append(f"{' + '.join(comps)} {dose} {form}")
+        elif r < 0.78:  # brand / synonym tokens, maybe typo'd
+            t = rng.choice(brands + synonyms) if (brands or synonyms) else rng.choice(names)
+            if rng.random() < 0.3:
+                t = typo(rng, t)
+            texts.append(f"{t} {dose} {form}")
+        elif r < 0.88:  # IV-ish shapes
+            g = rng.choice(names)
+            veh = rng.choice(["SODIUM CHLORIDE", "DEXTROSE", "WATER"])
+            texts.append(f"{rng.choice(['5%', '0.9%', '10%'])} {g} IN {veh} 1 L BOTTLE")
+        else:  # junk / near-junk
+            texts.append(
+                rng.choice([
+                    f"ZZNONSENSE{rng.randrange(999)} {dose}",
+                    f"{rng.choice(names)[:4]} {dose}",
+                    f"{dose} {form}",
+                ])
+            )
+        if rng.random() < 0.2:
+            texts[-1] = texts[-1].title()
+    # dedupe preserving order
+    seen: set[str] = set()
+    return [t for t in texts if not (t in seen or seen.add(t))]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    rng = random.Random(seed)
+
+    shutil.rmtree(dr.SCRATCH, ignore_errors=True)
+    os.makedirs(dr.SCRATCH, exist_ok=True)
+    dims = dr.build_dims()
+    texts = compose_texts(dims, n, rng)
+    _, annex = dr.build_corpus(1, 16)  # dense annex, fixed
+    print(f"{len(texts)} composed texts, {len(annex)} annex rows (seed {seed})")
+
+    dr.write_unified_csvs(dims, f"{dr.SCRATCH}/outputs")
+    ref = dr.run_reference(texts, annex)
+    eng = dr.run_engine(dims, texts, annex)
+
+    ref_esoa = ref["esoa"].copy()
+    ref_esoa["ref_matched"] = ref_esoa["match_reason"].eq("matched")
+    eng_esoa = eng["esoa"].copy()
+    eng_esoa["eng_matched"] = eng_esoa["matched"].fillna(False)
+    esoa_diff, esoa_counts = dr.diff_frames(
+        ref_esoa, eng_esoa, "raw_text",
+        [("matched", "ref_matched", "eng_matched"),
+         ("generic_name", "matched_generic_name", "generic_name"),
+         ("atc_code", "atc_code", "atc_primary"),
+         ("drugbank_id", "drugbank_id", "drugbank_id")],
+    )
+    bridge_diff, bridge_counts = dr.diff_frames(
+        ref["bridge"], eng["bridge"], "raw_text",
+        [("drug_code", "drug_code", "drug_code"),
+         ("p4_reason", "drug_code_match_reason", "match_reason")],
+    )
+    bad = len(esoa_diff) + len(bridge_diff)
+    for _, row in pd.concat([esoa_diff, bridge_diff]).head(40).iterrows():
+        print(f"  {row['key']} | {row['column']}: ref {row['ref']!r} eng {row['eng']!r}")
+    print(f"esoa {esoa_counts}; bridge {bridge_counts}")
+    print(f"TOTAL mismatching cells: {bad}")
+    shutil.rmtree(dr.SCRATCH, ignore_errors=True)
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,7 +94,12 @@ def test_tiers_and_selection(spark, dims):
     assert mix.generic_name == "AMOXICILLIN + CLAVULANIC ACID"
     assert mix.match_reason == "combination_key"
     assert mix.drugbank_id == "DBMIX01"
-    assert mix.atc_primary == "J01CR02"
+    # r9: mixture-SOURCED matches carry NO ATC — the reference's
+    # mixture fallback builds its result dict straight from the
+    # mixtures table (tagger.py:991-1014), which has no atc_code;
+    # probe-verified on the reversed-order combination. The old
+    # expectation (name-joined J01CR02) was an engine invention.
+    assert mix.atc_primary is None
 
     salt = out["AMLODIPINE ( as BESILATE) 5MG TAB"]
     assert (salt.generic_name, salt.match_reason) == ("AMLODIPINE", "exact")
