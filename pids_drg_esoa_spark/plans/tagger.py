@@ -286,7 +286,9 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         ]
         from ..functions.constants import PURE_SALT_COMPOUNDS
 
-        def word_expand(comps: list[str], vn: str | None, hits: list[str]) -> list[str]:
+        def word_expand(
+            comps: list[str], vn: str | None, hits: list[str], has_plus: bool = False
+        ) -> list[str]:
             """Reference token granularity: unknown multi-word phrases
             arrive ONE WORD PER TOKEN from extract_generic_tokens —
             only multiword DIM names, pure-salt compounds, vaccine
@@ -313,9 +315,14 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             (multiword dims, pure-salt compounds, vaccines,
             '+'-combinations) bypass, same as the reference's
             multiword pre-pass and PURE_SALT re-add."""
-            from ..functions.tokens import _SALT_UPPER
+            from ..functions.tokens import _SALT_UPPER, STOPWORDS
 
+            _STOP_LOWER = frozenset(w.lower() for w in STOPWORDS)
             out: list[str] = []
+            glued: list[str] = []
+            _SKIP_COMBO_FIRST = {
+                "DILUENT", "SOLVENT", "DOSE", "DOSES", "VIAL", "AMPULE", "SYRINGE",
+            }
             for c in comps:
                 if (
                     " " in c
@@ -338,19 +345,51 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                         w for w in residue.split()
                         if w and w.upper() not in _SALT_UPPER
                     )
+                    # reference '+'-block (tokenizer.py:1063-1100): on
+                    # combination texts each part's GLUED multi-word
+                    # remainder ALSO joins generic_tokens (appended
+                    # after the word-level tokens) — 'CLAVULANIC ACAID'
+                    # rides alongside CLAVULANIC + ACAID, and the
+                    # combination keys built from it are what let the
+                    # reference fuzzy-rescue typo'd multiword
+                    # components (r9 randomized-corpus catch, seed
+                    # 2024). The block's SECOND PASS filters salt and
+                    # stopword words out of a multi-word glue (so
+                    # 'MAGNESIUM YHDROXIDE' glues to just 'YHDROXIDE' —
+                    # dedupe absorbs it) while a SINGLE-word salt part
+                    # is kept ('ACID + ZINC' keeps ZINC). Non-'+'
+                    # texts never glue (SINECOD FORTE stays two
+                    # tokens).
+                    if (
+                        has_plus
+                        and c.split()[0].upper() not in _SKIP_COMBO_FIRST
+                    ):
+                        gw = [
+                            w for w in c.split()
+                            if w.upper() not in _SALT_UPPER
+                            and w.lower() not in _STOP_LOWER
+                        ]
+                        if gw:
+                            glued.append(" ".join(gw))
                 elif (
                     " " not in c
                     and c.upper() in _SALT_UPPER
                     and c.upper() != (vn or "").upper()
+                    and not has_plus
                 ):
-                    continue  # standalone salt word: salt category, never generic
+                    # standalone salt word: salt category, never a
+                    # generic token — EXCEPT as a whole '+'-part, which
+                    # the reference's combination block keeps when the
+                    # part is a single word (tokenizer.py:1084-1087,
+                    # "ZINC alone should be kept")
+                    continue
                 else:
                     out.append(c)
-            return list(dict.fromkeys(out))
+            return list(dict.fromkeys(out + glued))
 
         merged = [
-            word_expand(c, vn, hits)
-            for c, (vn, _), hits in zip(merged, vac, hits_per_doc)
+            word_expand(c, vn, hits, has_plus=("+" in t))
+            for c, (vn, _), hits, t in zip(merged, vac, hits_per_doc, text)
         ]
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged

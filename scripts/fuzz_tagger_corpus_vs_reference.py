@@ -127,12 +127,49 @@ def main() -> int:
 
     dr.write_unified_csvs(dims, f"{dr.SCRATCH}/outputs")
     ref = dr.run_reference(texts, annex)
+
+    # Order-ambiguity adjudication: the reference's fuzzy lookup keeps
+    # top-1 by (score DESC, first-seen in cached_generics_list) — and
+    # that list is a DuckDB SELECT DISTINCT, i.e. engine-internal hash
+    # order (PARITY.md class 1's mechanism). Equal-ratio fuzzy ties
+    # ('DEXASTATIN + KETOSARTAN' hits two combo generics at 86.96)
+    # therefore have no reproducible reference survivor. Re-run the
+    # reference with the candidate list REVERSED; rows that flip are
+    # excluded as order-ambiguous (the engine's deterministic rule is
+    # ratio DESC, length, lexical).
+    sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts import tagger as rtag
+
+    orig_load = rtag.UnifiedTagger.load
+
+    def load_reversed(self):
+        orig_load(self)
+        self.cached_generics_list = list(reversed(self.cached_generics_list))
+
+    rtag.UnifiedTagger.load = load_reversed
+    try:
+        ref_b = dr.run_reference(texts, annex)
+    finally:
+        rtag.UnifiedTagger.load = orig_load
+    ra = ref["esoa"].set_index("raw_text")
+    rb = ref_b["esoa"].set_index("raw_text")
+    ambiguous = {
+        t for t in ra.index
+        if (str(ra.loc[t].get("matched_generic_name")), str(ra.loc[t].get("atc_code")))
+        != (str(rb.loc[t].get("matched_generic_name")), str(rb.loc[t].get("atc_code")))
+    }
+    if ambiguous:
+        print(f"{len(ambiguous)} order-ambiguous rows excluded "
+              "(reference fuzzy-tie survivor = DuckDB DISTINCT order)")
+
     eng = dr.run_engine(dims, texts, annex)
 
     ref_esoa = ref["esoa"].copy()
     ref_esoa["ref_matched"] = ref_esoa["match_reason"].eq("matched")
     eng_esoa = eng["esoa"].copy()
     eng_esoa["eng_matched"] = eng_esoa["matched"].fillna(False)
+    ref_esoa = ref_esoa[~ref_esoa["raw_text"].isin(ambiguous)]
+    eng_esoa = eng_esoa[~eng_esoa["raw_text"].isin(ambiguous)]
     esoa_diff, esoa_counts = dr.diff_frames(
         ref_esoa, eng_esoa, "raw_text",
         [("matched", "ref_matched", "eng_matched"),
@@ -141,7 +178,9 @@ def main() -> int:
          ("drugbank_id", "drugbank_id", "drugbank_id")],
     )
     bridge_diff, bridge_counts = dr.diff_frames(
-        ref["bridge"], eng["bridge"], "raw_text",
+        ref["bridge"][~ref["bridge"]["raw_text"].isin(ambiguous)],
+        eng["bridge"][~eng["bridge"]["raw_text"].isin(ambiguous)],
+        "raw_text",
         [("drug_code", "drug_code", "drug_code"),
          ("p4_reason", "drug_code_match_reason", "match_reason")],
     )
