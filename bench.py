@@ -74,22 +74,45 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(timings_warm.values()), 3)
     total_best = round(sum(timings_best.values()), 3)
+    # round-over-round continuity: the 19 queries present since r8
+    # (movers diagnosed on this subtotal, not on totals that change
+    # when headlines are added)
+    new_since_r8 = {"tagger_w1_rank_headline"}
+    cont = [n for n in timings if n not in new_since_r8]
+    cont_cold = round(sum(timings[n] for n in cont), 3)
+    cont_warm = round(sum(timings_warm[n] for n in cont), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # verbose detail goes to STDERR (humans, SCALE.md) — the contract
+    # is ONE JSON line on stdout
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_warm": total_warm,
+                "metric": "headline_queries_detail",
                 "queries_warm": timings_warm,
-                "value_best": total_best,
                 "queries_best": timings_best,
-                "sf": float(sf) if sf else None,
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    # compact canonical line LAST — the driver records the final ~2000
+    # chars of output, and r9's single verbose line outgrew that
+    # window ("parsed": null); this one is self-sufficient and small
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_warm": total_warm,
+        "value_best": total_best,
+        "continuity_19_cold": cont_cold,
+        "continuity_19_warm": cont_warm,
+        "sf": float(sf) if sf else None,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the canonical line inside the capture
+        compact["queries"] = {"truncated": "see headline_queries_detail line"}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

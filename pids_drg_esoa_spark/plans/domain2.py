@@ -589,3 +589,87 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_descriptions(esoa, generics, flag_combination_atc(atc)).select(
         "raw_text", "generic_name", "atc_codes", "atc_primary", "matched"
     )
+
+
+_COMBO_SUBSTR_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 30 AS k FROM part),
+c AS (
+  SELECT k, k % 2 AS m,
+    CASE k % 3
+      WHEN 0 THEN 'CALCIUM CARBONATE + MAGNESIUM CARBONATE'
+      WHEN 1 THEN 'ALUMINIUM HYDROXIDE + MAGNESIUM HYDROXIDE'
+      ELSE 'FERROUS SULFATE + ZINC SULFATE'
+    END AS combo,
+    CASE k % 3 WHEN 0 THEN 'A02AC10' WHEN 1 THEN 'A02AD01' ELSE 'B03AE10' END AS atc
+  FROM ks
+)
+SELECT
+  CASE WHEN m = 0 THEN substr(combo, 1, 1) || combo
+       ELSE substr(combo, 1, 3) || 'X' || substr(combo, 4) END
+    || ' ' || (100 + 10 * k) || ' MG TABLET' AS raw_text,
+  m = 0 AS matched,
+  CASE WHEN m = 0 THEN combo END AS generic_matched,
+  CASE WHEN m = 0 THEN atc END AS atc_primary
+FROM c
+"""
+
+
+@register("tagger_combo_typo_substring_planted", oracle=_COMBO_SUBSTR_ORACLE)
+def tagger_combo_typo_substring_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the r9 corpus-fuzz find (seeds 77/2024/99991, the one open
+    PARITY.md divergence): the reference's multiword detection is
+    BARE-SUBSTRING (tokenizer.py:1174 / normalize_tokens), so a
+    combination text whose typo leaves the clean combination name
+    intact as a substring (first letter duplicated: 'CCALCIUM
+    CARBONATE + MAGNESIUM CARBONATE') still exact-resolves through the
+    multiword pre-pass, rescued further by the PURE_SALT_COMPOUNDS
+    re-add (tokenizer.py:1214-1231) which keeps the '+'-block from
+    stripping the combination token. A typo that BREAKS the substring
+    ('CALXCIUM …') stays unmatched — no fuzzy tier reaches it (all
+    combo-key probes score < 85 against the combination name)."""
+    from ..pipelines.runner import flag_combination_atc
+
+    from .tagger import tag_descriptions
+
+    p = table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 30).alias("k")).distinct()
+    k = F.col("k")
+    m = k % 2
+    combo = (
+        F.when(k % 3 == 0, F.lit("CALCIUM CARBONATE + MAGNESIUM CARBONATE"))
+        .when(k % 3 == 1, F.lit("ALUMINIUM HYDROXIDE + MAGNESIUM HYDROXIDE"))
+        .otherwise(F.lit("FERROUS SULFATE + ZINC SULFATE"))
+    )
+    atc_code = (
+        F.when(k % 3 == 0, F.lit("A02AC10"))
+        .when(k % 3 == 1, F.lit("A02AD01"))
+        .otherwise(F.lit("B03AE10"))
+    )
+    rows = ks.select(k.alias("k"), combo.alias("combo_s"), atc_code.alias("atc_s"))
+    esoa = rows.select(
+        F.concat(
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(F.substring("combo_s", 1, 1), F.col("combo_s")),
+            ).otherwise(
+                F.concat(
+                    F.substring("combo_s", 1, 3), F.lit("X"), F.expr("substring(combo_s, 4)")
+                )
+            ),
+            F.lit(" "),
+            (100 + 10 * F.col("k")).cast("string"),
+            F.lit(" MG TABLET"),
+        ).alias("raw_text")
+    )
+    generics = rows.select(F.col("combo_s").alias("generic_name")).distinct().withColumn(
+        "drugbank_id", F.concat(F.lit("DBC"), F.substring("generic_name", 1, 3))
+    )
+    atc = rows.select(
+        F.col("combo_s").alias("generic_name"), F.col("atc_s").alias("atc_code")
+    ).distinct()
+    return tag_descriptions(esoa, generics, flag_combination_atc(atc)).select(
+        "raw_text",
+        "matched",
+        F.when(F.col("matched"), F.col("generic_name")).alias("generic_matched"),
+        F.when(F.col("matched"), F.col("atc_primary")).alias("atc_primary"),
+    )

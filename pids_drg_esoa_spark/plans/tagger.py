@@ -123,8 +123,13 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         "MAGNESIUM SULFATE", "SODIUM CHLORIDE",
     }
     _CATIONS = {"SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM"}
+    from ..functions.constants import PURE_SALT_COMPOUNDS as _PSC
 
-    def multiword_hits(t: str, gname: str | None, multiword) -> tuple[list[str], list[str]]:
+    _PURE_SALT_SORTED = sorted(p.upper() for p in _PSC)
+
+    def multiword_hits(
+        t: str, gname: str | None, multiword
+    ) -> tuple[list[str], list[str], list[str]]:
         """Reference extract_generic_tokens' multiword matching
         (tokenizer.py:1113-1200 via tagger.py:606-620): any multiword
         DIM name — including '+'-combination names like 'ALUMINUM
@@ -147,7 +152,26 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         text position (≈ append — something precedes them by
         definition), and WITHOUT ' IN ' neither pass emits them at
         all ('SODIUM PHOSPHATE' in 'DEXAMETHASONE SODIUM PHOSPHATE'
-        never probes)."""
+        never probes).
+
+        Containment is BARE-SUBSTRING, the reference's own test
+        (tokenizer.py:1174 `if mw in text_upper` and normalize_tokens'
+        `if mwg in text`) — NOT word-boundary. This is what lets a
+        combination text whose typo leaves the clean multiword intact
+        as a substring ('AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE')
+        still resolve (r9 corpus-fuzz find, seeds 77/2024/99991; was
+        the one open divergence in PARITY.md).
+
+        Third return list: the reference's PURE_SALT_COMPOUNDS re-add
+        (tokenizer.py:1214-1231) — pure-salt vocabulary names found as
+        bare substrings of the text join the token list APPENDED after
+        the word-level tokens (exact-membership dedup only, unlike the
+        multiword pass's substring dedup), gated by the same
+        '( as …)' content test (psc IN content, one-directional) and
+        the trailing-salt table. The reference iterates a SET here, so
+        multi-re-add relative order is hash-dependent (PARITY.md
+        watchlist); engine rule: first-occurrence text position, then
+        lexical."""
         tu = (t or "").upper()
         hay = " " + " ".join(((gname or "") + " ; " + tu).split()) + " "
         salt_paren = {
@@ -157,7 +181,7 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         prepend: list[str] = []
         append: list[str] = []
         for mw in multiword:  # pre-sorted longest-first by the caller
-            if f" {mw} " not in hay or any(mw in h for h in prepend + append):
+            if mw not in hay or any(mw in h for h in prepend + append):
                 continue
             if any(mw in sc or sc in mw for sc in salt_paren):
                 continue  # inside a '( as …)' pattern: skipped by both passes
@@ -173,7 +197,32 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     if before.split()[-1] not in _CATIONS:
                         continue  # trailing salt suffix: never a token
             prepend.append(mw)
-        return prepend, append
+        # PURE_SALT_COMPOUNDS re-add (reference tokenizer.py:1214-1231):
+        # bare-substring over the TEXT only (not the cleaned gname — the
+        # reference runs this inside extract_generic_tokens per input,
+        # and the raw-text call is the one whose token list survives),
+        # exact-membership dedup (a psc that is a substring of a matched
+        # combo multiword still re-adds — that is what emits the
+        # corrected singles for a typo'd combination), '( as …)'
+        # one-directional content gate, trailing-salt gate.
+        salt_readd: list[str] = []
+        emitted = set(prepend) | set(append)
+        psc_order = sorted(
+            (p for p in _PURE_SALT_SORTED if p in tu),
+            key=lambda p: (tu.find(p), p),
+        )
+        for psc in psc_order:
+            if psc in emitted or psc in salt_readd:
+                continue
+            if any(psc in sc for sc in salt_paren):
+                continue
+            if psc in _TRAILING_SALT_WORDS:
+                pos = tu.find(psc)
+                before = tu[:pos].strip() if pos >= 0 else ""
+                if before and " IN " not in before and before.split()[-1] not in _CATIONS:
+                    continue
+            salt_readd.append(psc)
+        return prepend, append, salt_readd
 
     def merge_clean(t: str, details: dict, comps: list[str]) -> list[str]:
         """Reference tagger.py:604-619: when the F15 extractor yields a
@@ -266,13 +315,17 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             for t, d in zip(text, details)
         ]
         hits_per_doc = [
-            [m.lower() for m in pre + post] for pre, post in hits_split_per_doc
+            [m.lower() for m in pre + post] for pre, post, _ in hits_split_per_doc
         ]
+        # salt re-adds merge AFTER the word-level components (reference
+        # appends them after matched-multiword insertion, before the
+        # '+'-block's glued parts)
         merged = [
             list(dict.fromkeys(
                 [m.lower() for m in pre] + comps + [m.lower() for m in post]
+                + [m.lower() for m in salts]
             ))
-            for comps, (pre, post) in zip(merged, hits_split_per_doc)
+            for comps, (pre, post, salts) in zip(merged, hits_split_per_doc)
         ]
         # vaccine canonical name becomes the PRIMARY lookup token
         # (reference tagger.py:608-610 prepend)
@@ -341,9 +394,23 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                             pat = f" {m} "
                             while pat in residue:
                                 residue = residue.replace(pat, " ")
+                            # reference normalize_tokens consumes the
+                            # RAW substring (`text.replace(mwg, " ")`,
+                            # tokenizer.py:1013) — a multiword claimed
+                            # as a bare substring inside a typo'd word
+                            # ('AALUMINUM HYDROXIDE' claiming 'ALUMINUM
+                            # HYDROXIDE') leaves only the fragment,
+                            # which categorize drops at len<2. A
+                            # '+'-combination hit spans components, so
+                            # its ' + '-separated parts stand in for
+                            # the whole-text replace at this
+                            # per-component granularity.
+                            for frag in ([m] if " + " not in m else m.split(" + ")):
+                                if frag and frag in residue:
+                                    residue = residue.replace(frag, " ")
                     out.extend(
                         w for w in residue.split()
-                        if w and w.upper() not in _SALT_UPPER
+                        if w and len(w) > 1 and w.upper() not in _SALT_UPPER
                     )
                     # reference '+'-block (tokenizer.py:1063-1100): on
                     # combination texts each part's GLUED multi-word

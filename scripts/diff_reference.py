@@ -221,6 +221,22 @@ def build_corpus(
         texts.append(f"{a} + {b[:3]}{b[4:]} {d} MG TABLET")   # typo 2nd
         texts.append(f"{a[:3]}{a[4:]} + {b} {d} MG TABLET")   # typo 1st
         texts.append(f"{b} + {a} {d} MG TABLET")              # reversed
+    # typo'd-FIRST-WORD multiword combinations (r10, the seeds-77/2024/
+    # 99991 corner): the reference's multiword detection is bare-
+    # substring, so a typo that leaves the clean combination name
+    # intact as a substring (first letter duplicated) still resolves;
+    # a typo that breaks the substring stays unmatched. Both shapes
+    # are permanent corpus members now.
+    texts.append("AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB")
+    texts.append("ALUMINUM HYDROXIDE + MMAGNESIUM HYDROXIDE 320 MG TABLET")
+    texts.append("ALUXMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB")
+    texts.append("AAMOXICILLIN + CLAVULANIC ACID 625 MG TABLET")
+    texts.append("XPARACETAMOL 500 MG TABLET")  # single-generic glued-prefix substring
+    for i in range(2, len(names) - 6, 32):
+        a, b = names[i], names[i + 5]
+        d = 50 * (1 + i % 10)
+        texts.append(f"{a[0]}{a} + {b} {d} MG TABLET")   # dup'd first letter, 1st comp
+        texts.append(f"{a} + {b[0]}{b} {d} MG TABLET")   # dup'd first letter, 2nd comp
     for i in range(150):
         texts.append(f"ZZGIBBER{chr(65 + i % 26)}{chr(65 + (i // 26) % 26)} {10 + i}MG TAB")
 

@@ -113,6 +113,61 @@ def compose_texts(dims: dict[str, pd.DataFrame], n: int, rng: random.Random) -> 
     return [t for t in texts if not (t in seen or seen.add(t))]
 
 
+_REF_RUNNER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["PIPELINE_RAW_DIR"] = {raw!r}
+os.environ["PIPELINE_INPUTS_DIR"] = {inp!r}
+os.environ["PIPELINE_OUTPUTS_DIR"] = {out!r}
+from scripts.diff_reference import install_rapidfuzz_shim
+install_rapidfuzz_shim()
+sys.path.insert(0, "/root/reference")
+if {reverse!r} == "yes":
+    from pipelines.drugs.scripts import tagger as rtag
+    _orig_load = rtag.UnifiedTagger.load
+    def _load_reversed(self):
+        _orig_load(self)
+        self.cached_generics_list = list(reversed(self.cached_generics_list))
+    rtag.UnifiedTagger.load = _load_reversed
+from pipelines.drugs.scripts import runners as ref_runners
+ref_runners.run_annex_f_tagging(verbose=False)
+ref_runners.run_esoa_tagging(verbose=False, show_progress=False)
+ref_runners.run_esoa_to_drug_code(verbose=False)
+"""
+
+
+def run_reference_sub(tag: str, hashseed: str, reverse: bool) -> dict[str, pd.DataFrame]:
+    """Reference Parts 2-4 in a SUBPROCESS under a fixed PYTHONHASHSEED
+    (the runners bind PIPELINE_* env at import, so env is set before
+    any reference import), optionally with the fuzzy candidate list
+    reversed."""
+    import subprocess
+
+    raw_d = f"{dr.SCRATCH}/raw_{tag}"
+    in_d = f"{dr.SCRATCH}/inputs_{tag}"
+    out_d = f"{dr.SCRATCH}/outputs_{tag}"
+    for d in (raw_d, in_d):
+        os.makedirs(d, exist_ok=True)
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.copytree(f"{dr.SCRATCH}/outputs", out_d)
+    shutil.copy(f"{dr.SCRATCH}/raw_annex_f.csv", f"{raw_d}/annex_f.csv")
+    shutil.copy(f"{dr.SCRATCH}/esoa_combined.csv", f"{in_d}/esoa_combined.csv")
+    code = _REF_RUNNER.format(
+        repo=REPO, raw=raw_d, inp=in_d, out=out_d,
+        reverse="yes" if reverse else "no",
+    )
+    env = dict(os.environ, PYTHONHASHSEED=hashseed)
+    res = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True)
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr.decode()[-2000:])
+        raise RuntimeError(f"reference subprocess {tag} failed")
+    return {
+        "annex": pd.read_csv(f"{out_d}/annex_f_with_atc.csv"),
+        "esoa": pd.read_csv(f"{out_d}/esoa_with_atc.csv"),
+        "bridge": pd.read_csv(f"{out_d}/esoa_with_drug_code.csv"),
+    }
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 13
@@ -126,41 +181,50 @@ def main() -> int:
     print(f"{len(texts)} composed texts, {len(annex)} annex rows (seed {seed})")
 
     dr.write_unified_csvs(dims, f"{dr.SCRATCH}/outputs")
-    ref = dr.run_reference(texts, annex)
 
-    # Order-ambiguity adjudication: the reference's fuzzy lookup keeps
-    # top-1 by (score DESC, first-seen in cached_generics_list) — and
-    # that list is a DuckDB SELECT DISTINCT, i.e. engine-internal hash
-    # order (PARITY.md class 1's mechanism). Equal-ratio fuzzy ties
-    # ('DEXASTATIN + KETOSARTAN' hits two combo generics at 86.96)
-    # therefore have no reproducible reference survivor. Re-run the
-    # reference with the candidate list REVERSED; rows that flip are
-    # excluded as order-ambiguous (the engine's deterministic rule is
-    # ratio DESC, length, lexical).
-    sys.path.insert(0, "/root/reference")
-    from pipelines.drugs.scripts import tagger as rtag
-
-    orig_load = rtag.UnifiedTagger.load
-
-    def load_reversed(self):
-        orig_load(self)
-        self.cached_generics_list = list(reversed(self.cached_generics_list))
-
-    rtag.UnifiedTagger.load = load_reversed
-    try:
-        ref_b = dr.run_reference(texts, annex)
-    finally:
-        rtag.UnifiedTagger.load = orig_load
+    # Order-ambiguity adjudication, two reference-internal mechanisms:
+    # (1) the fuzzy lookup keeps top-1 by (score DESC, first-seen in
+    #     cached_generics_list) — a DuckDB SELECT DISTINCT, i.e.
+    #     engine-internal hash order (PARITY.md class 1/3 mechanism);
+    #     perturbed by REVERSING the cached list.
+    # (2) equal-score W1 ties whose candidates arrive through
+    #     DIFFERENT probe keys resolve by candidate-collection order,
+    #     which rides Python SET iteration (combination-key set,
+    #     get_all_name_variants) — PYTHONHASHSEED-dependent (r10
+    #     measured flip: 'DEXASTATIN + KETOSARTAN 100MG TABLET' →
+    #     M03CA61 at hashseed 0/1, S08EF14 at 42); perturbed by
+    #     running under two fixed PYTHONHASHSEEDs in subprocesses.
+    # Rows that flip under EITHER perturbation are excluded as
+    # order-ambiguous; the engine's deterministic tie rules stand in.
+    pd.DataFrame(annex, columns=["Drug Code", "Drug Description"]).to_csv(
+        f"{dr.SCRATCH}/raw_annex_f.csv", index=False
+    )
+    pd.DataFrame({"raw_text": texts}).to_csv(
+        f"{dr.SCRATCH}/esoa_combined.csv", index=False
+    )
+    ref = run_reference_sub("a", "0", reverse=False)
+    ref_hs = run_reference_sub("b", "42", reverse=False)
+    ref_rev = run_reference_sub("c", "0", reverse=True)
+    ambiguous: set[str] = set()
     ra = ref["esoa"].set_index("raw_text")
-    rb = ref_b["esoa"].set_index("raw_text")
-    ambiguous = {
-        t for t in ra.index
-        if (str(ra.loc[t].get("matched_generic_name")), str(ra.loc[t].get("atc_code")))
-        != (str(rb.loc[t].get("matched_generic_name")), str(rb.loc[t].get("atc_code")))
-    }
+    for alt in (ref_hs, ref_rev):
+        rb = alt["esoa"].set_index("raw_text")
+        for t in ra.index:
+            if (str(ra.loc[t].get("matched_generic_name")), str(ra.loc[t].get("atc_code"))) != (
+                str(rb.loc[t].get("matched_generic_name")), str(rb.loc[t].get("atc_code"))
+            ):
+                ambiguous.add(t)
+    ba = ref["bridge"].set_index("raw_text")
+    for alt in (ref_hs, ref_rev):
+        bb = alt["bridge"].set_index("raw_text")
+        for t in ba.index:
+            if (str(ba.loc[t].get("drug_code")), str(ba.loc[t].get("drug_code_match_reason"))) != (
+                str(bb.loc[t].get("drug_code")), str(bb.loc[t].get("drug_code_match_reason"))
+            ):
+                ambiguous.add(t)
     if ambiguous:
         print(f"{len(ambiguous)} order-ambiguous rows excluded "
-              "(reference fuzzy-tie survivor = DuckDB DISTINCT order)")
+              "(reference survivor = hash-seed / DISTINCT order)")
 
     eng = dr.run_engine(dims, texts, annex)
 

@@ -1,0 +1,184 @@
+"""Promote-or-retire probe for PARITY.md's Part-4 synonym-variant
+watchlist entry: construct the deliberate variant-reachable tie — one
+eSOA component (PARACETAMOL) whose two annex candidates are reachable
+ONLY through different `get_all_name_variants` elements (one annex row
+keyed under PARACETAMOL, one under ACETAMINOPHEN — a static
+ALL_DRUG_SYNONYMS pair), equal dose/form/route, zero details score —
+and run the LIVE reference's Part 4 (runners.run_esoa_to_drug_code)
+under many PYTHONHASHSEEDs. `variants` is a SET (runners.py:363-372)
+iterated at candidate collection (runners.py:1177), so if the stable
+sort's tie survives to collection order the winner flips with the
+hash seed.
+
+Also prints the engine's deterministic pick (bridge_to_drug_codes
+rank key: details_score, comp_pos, annex_order, drug_code).
+
+Usage: python scripts/measure_part4_variant_tie.py [n_seeds]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+SCRATCH = "/tmp/measure_p4_variant_tie"
+
+_REF_RUNNER = r"""
+import os, sys
+import pandas as pd
+sys.path.insert(0, {repo!r})
+from scripts.diff_reference import install_rapidfuzz_shim
+install_rapidfuzz_shim()
+os.environ.setdefault("PIPELINE_RAW_DIR", {scratch!r})
+os.environ.setdefault("PIPELINE_INPUTS_DIR", {scratch!r})
+os.environ.setdefault("PIPELINE_OUTPUTS_DIR", {scratch!r})
+sys.path.insert(0, "/root/reference")
+from pathlib import Path
+from pipelines.drugs.scripts.runners import run_esoa_to_drug_code
+run_esoa_to_drug_code(
+    esoa_path=Path({scratch!r}) / "esoa_with_atc.csv",
+    annex_path=Path({scratch!r}) / "annex_f_with_atc.csv",
+    output_path=Path({scratch!r}) / "out_{tag}.csv",
+    verbose=False,
+)
+"""
+
+DETAIL_COLS = [
+    "release_details", "type_details", "form_details", "indication_details",
+    "salt_details", "alias_details", "iv_diluent_type", "iv_diluent_amount",
+]
+
+
+def _compose(pair: tuple[str, str]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Two gate-identical annex rows, one keyed under each name of the
+    pair; one eSOA row whose Part-3 generic is pair[0]."""
+    esoa_name, annex_alt = pair
+    annex = pd.DataFrame(
+        [
+            {
+                "Drug Code": "DVAR00", "Drug Description": f"{esoa_name} 500 MG TABLET",
+                "matched_generic_name": esoa_name, "dose": "500 MG",
+                "form": "TABLET", "route": "ORAL",
+            },
+            {
+                "Drug Code": "DVAR01", "Drug Description": f"{annex_alt} 500 MG TABLET",
+                "matched_generic_name": annex_alt, "dose": "500 MG",
+                "form": "TABLET", "route": "ORAL",
+            },
+        ]
+    )
+    for c in ("drug_amount_mg", "concentration_mg_per_ml", "total_volume_ml",
+              "iv_diluent_type", "atc_code", "drugbank_id"):
+        annex[c] = None
+    esoa = pd.DataFrame(
+        [
+            {
+                "raw_text": "variant-tie-probe", "generic_name": esoa_name,
+                "dose": "500 MG", "form": "TABLET", "route": "ORAL",
+                "drug_amount_mg": None, "concentration_mg_per_ml": None,
+                "total_volume_ml": None, "brand_details": None,
+                **{c: None for c in DETAIL_COLS},
+            }
+        ]
+    )
+    return annex, esoa
+
+
+def _measure(annex: pd.DataFrame, esoa: pd.DataFrame, n_seeds: int, tag: str) -> dict:
+    annex.to_csv(f"{SCRATCH}/annex_f_with_atc.csv", index=False)
+    esoa.to_csv(f"{SCRATCH}/esoa_with_atc.csv", index=False)
+    winners: dict[str, list[str]] = {}
+    for hs in range(n_seeds):
+        code = _REF_RUNNER.format(repo=REPO, scratch=SCRATCH, tag=f"{tag}h{hs}")
+        env = dict(os.environ, PYTHONHASHSEED=str(hs))
+        res = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True)
+        if res.returncode != 0:
+            sys.stderr.write(res.stderr.decode()[-1500:])
+            raise RuntimeError("reference subprocess failed")
+        out = pd.read_csv(f"{SCRATCH}/out_{tag}h{hs}.csv", dtype=str)
+        cr = f"{out.iloc[0]['drug_code']}|{out.iloc[0]['drug_code_match_reason']}"
+        winners.setdefault(cr, []).append(str(hs))
+    return winners
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    # (a) SYMMETRIC static pair: the annex build double-indexes each
+    # row under its forward synonym (runners.py:1078-1082), so BOTH
+    # candidates appear in EVERY variant's lookup list in annex order
+    # and dedup-by-first-drug_code keeps annex order — variant-set
+    # iteration is unobservable. Expect: no flip.
+    # (b) TRIANGLE: GLUCOSE has NO forward entry (it is only a VALUE:
+    # D5/D5W/D10/D10W/DEXTROSE → GLUCOSE), so a DEXTROSE-keyed annex
+    # row is reachable from variants(GLUCOSE) both via lookup[GLUCOSE]
+    # (forward-indexed) and via lookup[DEXTROSE] (direct) while a
+    # GLUCOSE-keyed row is ONLY in lookup[GLUCOSE] — candidate order
+    # now depends on which variant the SET yields first. Expect: flip.
+    for label, pair in (
+        ("symmetric PARACETAMOL/ACETAMINOPHEN", ("PARACETAMOL", "ACETAMINOPHEN")),
+        ("triangle GLUCOSE/DEXTROSE", ("GLUCOSE", "DEXTROSE")),
+    ):
+        annex, esoa = _compose(pair)
+        winners = _measure(annex, esoa, n_seeds, pair[0][:3].lower())
+        print(f"[{label}] reference winners across PYTHONHASHSEEDs:")
+        for w, seeds in sorted(winners.items()):
+            print(f"  {w}: seeds {','.join(seeds)}")
+        print(f"[{label}] VERDICT: "
+              f"{'FLIP MEASURED' if len(winners) > 1 else 'no flip'}")
+
+    annex, esoa = _compose(("GLUCOSE", "DEXTROSE"))
+    annex.to_csv(f"{SCRATCH}/annex_f_with_atc.csv", index=False)
+    esoa.to_csv(f"{SCRATCH}/esoa_with_atc.csv", index=False)
+
+    # engine side
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .appName("measure_p4_variant_tie")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pids_drg_esoa_spark.plans.bridge import bridge_to_drug_codes
+
+    eng_annex = annex.rename(
+        columns={
+            "Drug Code": "drug_code", "Drug Description": "drug_description",
+            "matched_generic_name": "generic_name",
+        }
+    )
+    eng_annex["annex_order"] = range(len(eng_annex))
+
+    def schema_for(df, longs=(), doubles=()):
+        return ", ".join(
+            f"`{c}` " + ("bigint" if c in longs else "double" if c in doubles else "string")
+            for c in df.columns
+        )
+
+    NUMS = ("drug_amount_mg", "concentration_mg_per_ml", "total_volume_ml")
+    sa = spark.createDataFrame(
+        eng_annex.astype(object).where(pd.notna(eng_annex), None).values.tolist(),
+        schema_for(eng_annex, longs=("annex_order",), doubles=NUMS),
+    )
+    se = spark.createDataFrame(
+        esoa.astype(object).where(pd.notna(esoa), None).values.tolist(),
+        schema_for(esoa, doubles=NUMS),
+    )
+    got = bridge_to_drug_codes(se, sa).collect()[0]
+    print(f"engine pick: {got['drug_code']}|{got['match_reason']}")
+    flipped = len(winners) > 1
+    print(f"VERDICT: {'FLIP MEASURED — promote watchlist entry' if flipped else 'no flip'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

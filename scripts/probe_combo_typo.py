@@ -1,0 +1,121 @@
+"""One-off probe: how does the LIVE reference resolve a combination
+text whose FIRST WORD inside a multiword component is typo'd
+(`AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB`)?
+
+Introspects tokenize -> stripped_generics -> unique_generics ->
+generic_cache hits -> unique_matches so the engine can mirror the
+exact mechanism (VERDICT r9 "What's wrong" #1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+import scripts.diff_reference as dr  # noqa: E402
+
+dr.SCRATCH = "/tmp/probe_combo_typo"
+
+TEXTS = [
+    "AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB",
+]
+if len(sys.argv) > 1:
+    TEXTS = [sys.argv[1]]
+
+
+def main() -> int:
+    shutil.rmtree(dr.SCRATCH, ignore_errors=True)
+    os.makedirs(dr.SCRATCH, exist_ok=True)
+    dims = dr.build_dims()
+    out_d = f"{dr.SCRATCH}/outputs"
+    dr.write_unified_csvs(dims, out_d)
+    os.environ["PIPELINE_RAW_DIR"] = f"{dr.SCRATCH}/raw"
+    os.environ["PIPELINE_INPUTS_DIR"] = f"{dr.SCRATCH}/inputs"
+    os.environ["PIPELINE_OUTPUTS_DIR"] = out_d
+    dr.install_rapidfuzz_shim()
+    sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts import lookup as rlook
+    from pipelines.drugs.scripts.tagger import UnifiedTagger
+
+    tagger = UnifiedTagger(outputs_dir=out_d, inputs_dir=f"{dr.SCRATCH}/inputs", verbose=False)
+    tagger.load()
+
+    # Instrument batch_lookup_generics to show what keys are probed and
+    # which resolve via fuzzy.
+    orig_batch = rlook.batch_lookup_generics
+    captured = {}
+
+    probed_sets = []
+
+    def spy_batch(unique_generics, con, synonyms, enable_fuzzy=True, cached_generics=None):
+        probed_sets.append(set(unique_generics))
+        cache = orig_batch(unique_generics, con, synonyms,
+                           enable_fuzzy=enable_fuzzy, cached_generics=cached_generics)
+        captured.update(cache)
+        return cache
+
+    rlook.batch_lookup_generics = spy_batch
+    import pipelines.drugs.scripts.tagger as rtag
+    rtag.batch_lookup_generics = spy_batch
+
+    from pipelines.drugs.scripts import tokenizer as rtok
+    orig_egt = rtok.extract_generic_tokens
+    egt_calls = []
+
+    def spy_egt(text, multiword_generics=None):
+        toks, gts = orig_egt(text, multiword_generics)
+        egt_calls.append((text, list(gts)))
+        return toks, gts
+
+    rtok.extract_generic_tokens = spy_egt
+    rtag.extract_generic_tokens = spy_egt
+
+    orig_details = rtok.extract_drug_details
+    det_calls = []
+
+    def spy_details(t):
+        d = orig_details(t)
+        det_calls.append((t, dict(d)))
+        return d
+
+    rtok.extract_drug_details = spy_details
+    rtag.extract_drug_details = spy_details
+
+    for text in TEXTS:
+        res = tagger.tag_batch(pd.DataFrame({"raw_text": [text]}), "raw_text",
+                               show_progress=False)
+        r = res.iloc[0].to_dict()
+        print(f"TEXT: {text}")
+        for t, gts in egt_calls:
+            print(f"  extract_generic_tokens({t!r}) -> generic_tokens={gts}")
+        for t, d in det_calls:
+            print(f"  extract_drug_details({t!r}) -> generic_name={d.get('generic_name')!r} "
+                  f"_clean_tokens={d.get('_clean_tokens')!r}")
+        egt_calls.clear()
+        det_calls.clear()
+        interesting = {k: v for k, v in captured.items() if v}
+        for k, v in sorted(interesting.items()):
+            tags = [(m.get("generic_name"), m.get("atc_code"), m.get("fuzzy_match"),
+                     m.get("match_type")) for m in v]
+            print(f"  cache[{k!r}] -> {tags}")
+        empty = [k for k, v in captured.items() if not v]
+        print(f"  probed-but-empty keys: {sorted(empty)}")
+        if isinstance(r, dict):
+            keep = {k: r.get(k) for k in
+                    ("matched_generic_name", "generic_name", "atc_code", "drugbank_id",
+                     "match_reason", "match_score", "sources")}
+            print(f"  RESULT: {keep}")
+        else:
+            print(f"  RESULT: {r}")
+        captured.clear()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

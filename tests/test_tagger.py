@@ -579,3 +579,48 @@ def test_fallback_probe_gate_parity(spark, dims, monkeypatch):
     monkeypatch.setattr(T, "_PER_DISTINCT_MIN_PAIRS", 0)  # force per-distinct
     large = run()
     assert small == large and len(small) == len(texts)
+
+
+def test_multiword_bare_substring_typo_combo(spark):
+    """r10 (PARITY.md's one open divergence, corpus-fuzz seeds
+    77/2024/99991): the reference's multiword detection is
+    BARE-SUBSTRING (tokenizer.py:1174, normalize_tokens), so a typo
+    that leaves the clean combination name intact as a substring
+    (first letter duplicated) still exact-resolves — rescued from the
+    '+'-block's combo-token removal by the PURE_SALT_COMPOUNDS re-add
+    (tokenizer.py:1214-1231). A substring-breaking typo stays
+    unmatched."""
+    generics = spark.createDataFrame(
+        [
+            ("ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE", "DB06723"),
+            # the singles ride every real spine; without them the
+            # PREFIX tier reaches the combo from a bare single probe
+            ("ALUMINUM HYDROXIDE", "DB06724"),
+            ("MAGNESIUM HYDROXIDE", "DB09104"),
+        ],
+        "generic_name string, drugbank_id string",
+    )
+    atc = spark.createDataFrame(
+        [("ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE", "A02AD01", True)],
+        "generic_name string, atc_code string, is_combination_atc boolean",
+    )
+    d = dict(generics_dim=generics, atc_dim=atc)
+    out = _tag(
+        spark, d,
+        [
+            "AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB",   # substring intact
+            # 2nd-comp dup BREAKS the combo substring ('+ MMAGNESIUM'):
+            # singles pure-salt re-add + exact-hit but the combination
+            # gate rejects non-combo candidates → no_match (probed
+            # against the live reference, r10)
+            "ALUMINUM HYDROXIDE + MMAGNESIUM HYDROXIDE 320 MG TABLET",
+            "ALUXMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB",   # substring broken
+        ],
+    )
+    hit = out["AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB"]
+    assert hit.matched and hit.generic_name == "ALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE"
+    assert hit.atc_primary == "A02AD01" and hit.drugbank_id == "DB06723"
+    hit2 = out["ALUMINUM HYDROXIDE + MMAGNESIUM HYDROXIDE 320 MG TABLET"]
+    assert not hit2.matched
+    broken = out["ALUXMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB"]
+    assert not broken.matched
