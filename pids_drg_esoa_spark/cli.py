@@ -178,6 +178,19 @@ def main(argv: list[str] | None = None) -> int:
         stem: read_table_prefer_parquet(spark, os.path.join(base, stem))
         for stem in PIPELINE_INPUTS[args.item_ref_code]
     }
+    # labs catalogs: the reference's setdefault lookup keeps the first
+    # FILE ROW per normalized key (match_labs.py:29-36), so the dims
+    # carry their file position into _first_wins. They are small
+    # single-file dims — coalesce(1) makes monotonically_increasing_id
+    # the exact file order (labs fuzz, r10).
+    from pyspark.sql import functions as F
+
+    for stem in ("labs_master", "diagnostics"):
+        if stem in inputs and "_row_order" not in inputs[stem].columns:
+            inputs[stem] = (
+                inputs[stem].coalesce(1)
+                .withColumn("_row_order", F.monotonically_increasing_id())
+            )
     pipe = get_pipeline(args.item_ref_code)
     ctx = PipelineContext(spark=spark, inputs=inputs)
     timings: dict[str, float] = {}

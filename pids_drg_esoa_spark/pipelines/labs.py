@@ -40,10 +40,14 @@ def prepare_labs(esoa: DataFrame) -> DataFrame:
         # reference's pd.to_numeric(errors='coerce') mask KEEPS
         # non-numeric ids (prepare_labs.py:42-44); only the numbered
         # range is excluded
+        # try_cast DOUBLE, not long: pd.to_numeric parses FLOAT and
+        # scientific shapes ('1540.0', '1540.5', '1.6e3' → 1600) and
+        # excludes them when the numeric value lands in [1540, 1896]
+        # — a long cast NULLs them and kept them (labs fuzz seed 11)
         # try_cast: ANSI mode makes a plain cast THROW on 'LAB-001'
         .filter(
             ~F.coalesce(
-                F.col("ITEM_NUMBER").try_cast("long").between(lo, hi), F.lit(False)
+                F.col("ITEM_NUMBER").try_cast("double").between(lo, hi), F.lit(False)
             )
         )
         .filter(F.col("DESCRIPTION").isNotNull() & (F.trim("DESCRIPTION") != ""))
@@ -52,9 +56,21 @@ def prepare_labs(esoa: DataFrame) -> DataFrame:
 
 
 def _first_wins(df: DataFrame, key: str, order: str) -> DataFrame:
-    """Deterministic replacement for dict-setdefault first-wins."""
-    w = W.partitionBy(key).orderBy(order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    """The reference's dict-setdefault first-wins (match_labs.py:29-36)
+    keeps the FIRST FILE ROW per normalized key. When the dim carries a
+    `_row_order` column (file position — the labs dims are
+    driver-readable small catalogs, so attaching it is exact), the
+    engine matches that rule verbatim; otherwise it falls back to the
+    deterministic min-key survivor (labs fuzz seed 11: with shuffled
+    master file order the two rules pick different survivors — the
+    file order IS an input property, not nondeterminism)."""
+    order_col = "_row_order" if "_row_order" in df.columns else order
+    w = W.partitionBy(key).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *(["_row_order"] if "_row_order" in df.columns else []))
+    )
 
 
 def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFrame) -> DataFrame:
@@ -67,6 +83,7 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
             F.col("ITEM_NUMBER").alias("master_item_number"),
             F.col("DESCRIPTION").alias("master_description"),
             F.col("IS_OFFICIAL").alias("master_is_official"),
+            *(["_row_order"] if "_row_order" in master.columns else []),
         ),
         "desc_norm",
         "master_item_number",
@@ -81,6 +98,7 @@ def match_labs(esoa_prepared: DataFrame, master: DataFrame, diagnostics: DataFra
             F.col("code").alias("diag_code"),
             F.col("desc").alias("diag_description"),
             *[F.col(c).alias(f"diag_{c}") for c in diag_extra],
+            *(["_row_order"] if "_row_order" in diagnostics.columns else []),
         ),
         "desc_norm",
         "diag_code",

@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# pandas default na_values (pandas._libs.parsers.STR_NA_VALUES), the
+# reference's pd.read_csv(dtype=str) missing-value sentinels; '' is
+# already NULL under Spark's default nullValue
+_PANDAS_NA_SENTINELS = (
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -42,6 +52,22 @@ def read_csv(
     renames = {c: c.lstrip("﻿") for c in df.columns if c.startswith("﻿")}
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
+    # pandas-NA parity: every reference CSV read is pd.read_csv, whose
+    # default na_values maps these literal strings to missing (labs
+    # fuzz: an ITEM_NUMBER cell 'nan' is NaN to the reference but a
+    # live string to a raw Spark CSV scan). Spark's nullValue option
+    # takes one sentinel, so map the set column-wise (JVM-side `isin`,
+    # codegen-friendly — no UDF).
+    df = df.select(
+        *[
+            F.when(F.col(f"`{c}`").isin(*_PANDAS_NA_SENTINELS), None)
+            .otherwise(F.col(f"`{c}`"))
+            .alias(c)
+            if t == "string"
+            else F.col(f"`{c}`")
+            for c, t in df.dtypes
+        ]
+    )
     missing = set(required) - set(df.columns)
     if missing:
         raise ValueError(f"{path}: missing required columns {sorted(missing)}")

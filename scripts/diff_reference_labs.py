@@ -126,14 +126,28 @@ def run_engine(master_rows, diag_rows, esoa) -> pd.DataFrame:
     from pids_drg_esoa_spark.session import get_spark
 
     spark = get_spark(app_name="diffref_labs")
-    esoa_df = spark.createDataFrame(
-        esoa, "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string"
+    # the eSOA side enters through the engine's S1 CSV scan — the same
+    # file representation the reference reads with pd.read_csv, so the
+    # pandas-NA sentinel mapping ('nan' → missing) is exercised too
+    from pids_drg_esoa_spark.sources.readers import read_csv
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    esoa_csv = str(Path(SCRATCH, "esoa_engine.csv"))
+    pd.DataFrame(esoa, columns=["ITEM_NUMBER", "ITEM_REF_CODE", "DESCRIPTION"]).to_csv(
+        esoa_csv, index=False
     )
+    esoa_df = read_csv(spark, esoa_csv)
+    # file position rides along: the reference's setdefault lookup
+    # keeps the first FILE ROW per normalized key, and _first_wins
+    # consumes _row_order to match it
     master = spark.createDataFrame(
-        master_rows, "ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string"
+        [(i, *r) for i, r in enumerate(master_rows)],
+        "_row_order long, ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string",
     )
     diag = spark.createDataFrame(
-        diag_rows, "code string, desc string, cat string, spec string, etc string, misc string"
+        [(i, *r) for i, r in enumerate(diag_rows)],
+        "_row_order long, code string, desc string, cat string, spec string,"
+        " etc string, misc string",
     )
     return match_labs(prepare_labs(esoa_df), master, diag).toPandas()
 

@@ -102,3 +102,65 @@ def test_labs_pipeline_with_xlsx_diagnostics(spark, tmp_path):
     assert write_excel_report(ctx.artifacts["esoa_matched_labs"], report, sheet="matched")
     header, rows = read_xlsx(report)
     assert "match_source" in header and len(rows) == 4
+
+
+def test_prepare_range_excludes_float_and_scientific_ids(spark):
+    """r10 labs-fuzz find: the reference's range mask is
+    pd.to_numeric(errors='coerce') — FLOAT semantics — so '1540.0',
+    '1540.5' and '1.6e3' (=1600) are numeric and excluded, while
+    '1,540' / '1540x' fail the parse and are kept. A long cast NULLed
+    the float shapes and kept them."""
+    esoa = spark.createDataFrame(
+        [(i, "LaboratoryAndDiagnostic", f"desc {i}") for i in
+         ["1539", "1540", "1896", "1897", "1540.0", "1540.5", "1.6e3",
+          " 1540 ", "1,540", "-1540", "0001540", "LAB-77"]],
+        "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string",
+    )
+    kept = {r.ITEM_NUMBER for r in prepare_labs(esoa).collect()}
+    assert kept == {"1539", "1897", "1,540", "-1540", "LAB-77"}
+
+
+def test_master_first_wins_is_file_row_order(spark):
+    """r10 labs-fuzz find: the reference's lookup keeps the first FILE
+    ROW per normalized key (dict setdefault) — with _row_order present
+    the engine matches that; the min-item-number survivor is only the
+    no-order fallback."""
+    from pids_drg_esoa_spark.pipelines.labs import match_labs
+
+    esoa = spark.createDataFrame(
+        [("1", "LaboratoryAndDiagnostic", "LIPID - PANEL")],
+        "ITEM_NUMBER string, ITEM_REF_CODE string, DESCRIPTION string",
+    )
+    master = spark.createDataFrame(
+        [
+            # file order: L9 first (wins), L1 second despite min key
+            (0, "L9", "Lipid Panel", "N"),
+            (1, "L1", "LIPID/PANEL", "Y"),
+        ],
+        "_row_order long, ITEM_NUMBER string, DESCRIPTION string, IS_OFFICIAL string",
+    )
+    diagnostics = spark.createDataFrame(
+        [], "code string, desc string, cat string, spec string, etc string, misc string"
+    )
+    out = match_labs(prepare_labs(esoa), master, diagnostics).collect()[0]
+    assert out.master_item_number == "L9"
+    assert out.standard_description == "Lipid Panel"
+
+    # no _row_order column → deterministic min-key fallback
+    out2 = match_labs(
+        prepare_labs(esoa), master.drop("_row_order"), diagnostics
+    ).collect()[0]
+    assert out2.master_item_number == "L1"
+
+
+def test_read_csv_maps_pandas_na_sentinels(spark, tmp_path):
+    """r10 labs-fuzz find: every reference CSV enters through
+    pd.read_csv, whose default na_values turns the literal strings
+    'nan'/'NA'/'NULL'/... into missing; the engine's S1 scan now does
+    the same."""
+    from pids_drg_esoa_spark.sources.readers import read_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\nnan,1\nNULL,2\nN/A,3\nkeep,4\nnanx,5\n")
+    rows = {r.b: r.a for r in read_csv(spark, str(p)).collect()}
+    assert rows == {"1": None, "2": None, "3": None, "4": "keep", "5": "nanx"}
