@@ -1,0 +1,153 @@
+"""Promote-or-retire probe for PARITY.md's PURE_SALT_COMPOUNDS re-add
+watchlist entry.
+
+Mechanism (reference tokenizer.py:1214-1231): pure-salt compounds that
+appear in the text but were NOT extracted as generic tokens are
+re-added by iterating the PURE_SALT_COMPOUNDS **set** — so when TWO
+salts are re-added to one text their relative order in generic_tokens
+(→ stripped_generics) is PYTHONHASHSEED-dependent. The order is
+observable through the IV active/vehicle positional semantics
+(scoring.py:250-266: active = stripped[0], vehicle = stripped[1]; a
+candidate matching ONLY the vehicle is skipped).
+
+Deliberate construction: the '*'-junction keeps both salts as raw
+TEXT substrings while breaking token adjacency (split_with_parentheses
+splits on [\\s,;]+ only, so detect_compound_salts never joins them;
+the junction token 'LACTATE*POTASSIUM' categorizes OTHER via the
+asterisk rule and the leading '5%' demotes mid-text 'SODIUM' to the
+SALT category) — both salts reach generic_tokens EXCLUSIVELY through
+the set-iteration re-add loop, landing at positions [1] and [2]
+behind the stable ' IN '-handler active phrase at [0]. The text is
+IV-shaped (' IN ', >1 inputs, no '+'), and exactly ONE salt resolves
+(synonym SODIUM LACTATE → LACTOFOO, a dim generic with an ATC): the
+vehicle slot is stripped[1] = whichever salt the seed iterates first,
+so seeds that put SODIUM LACTATE at [1] vehicle-skip the only
+candidate (scoring.py:258-266) → matched/unmatched flips.
+
+Usage: python scripts/measure_salt_readd_tie.py [n_seeds]
+Prints per-seed reference output + the engine's deterministic pick.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+import scripts.diff_reference as dr  # noqa: E402
+
+SCRATCH = "/tmp/measure_salt_readd_tie"
+dr.SCRATCH = SCRATCH
+
+TEXT = "5% SODIUM LACTATE*POTASSIUM CITRATE IN 1 L BOTTLE"
+
+_REF_RUNNER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["PIPELINE_RAW_DIR"] = {raw!r}
+os.environ["PIPELINE_INPUTS_DIR"] = {inp!r}
+os.environ["PIPELINE_OUTPUTS_DIR"] = {out!r}
+from scripts.diff_reference import install_rapidfuzz_shim
+install_rapidfuzz_shim()
+sys.path.insert(0, "/root/reference")
+from pipelines.drugs.scripts import runners as ref_runners
+ref_runners.run_esoa_tagging(verbose=False, show_progress=False)
+"""
+
+
+def build_probe_dims() -> dict[str, pd.DataFrame]:
+    """Tiny dims: one single-word generic LACTOFOO (with ATC) reachable
+    only through the synonym SODIUM LACTATE; one unrelated filler
+    generic so every unified builder sees a nonempty frame. No dim
+    name contains either probe salt, so neither is a multiword generic
+    (and neither is in the static MULTIWORD_GENERICS constant)."""
+    return {
+        "pnf": pd.DataFrame(
+            [("FOOBARDRUG", "Oral:", "N01AB01", "50 mg tablet")],
+            columns=["Molecule", "Route", "ATC Code", "Technical Specifications"],
+        ),
+        "drugbank_generics": pd.DataFrame(
+            [("DB90001", "Lactofoo"), ("DB90002", "Foobardrug")],
+            columns=["drugbank_id", "generic_name"],
+        ),
+        "drugbank_atc": pd.DataFrame(
+            [("DB90001", "LACTOFOO", "B05XA99"), ("DB90002", "FOOBARDRUG", "N01AB01")],
+            columns=["drugbank_id", "generic_name", "atc_code"],
+        ),
+        "who_atc": pd.DataFrame(
+            [("N01AB01", "FOOBARDRUG")], columns=["atc_code", "atc_name"]
+        ),
+        "fda_brands": pd.DataFrame(
+            [("BRFOOBAR", "FOOBARDRUG")], columns=["brand_name", "generic_name"]
+        ),
+        "drugbank_brands": pd.DataFrame(
+            [("DBFOOBARX", "Foobardrug", "DB90002")],
+            columns=["brand_name", "generic_name", "drugbank_id"],
+        ),
+        "mixtures": pd.DataFrame(
+            [("DBMIX000", "Lactofoo + Foobardrug", "lactofoo + foobardrug")],
+            columns=["drugbank_id", "mixture_name", "component_generics"],
+        ),
+        "synonyms": pd.DataFrame(
+            [("SODIUM LACTATE", "Lactofoo")], columns=["synonym", "generic_name"]
+        ),
+    }
+
+
+def run_ref(tag: str, hashseed: str) -> pd.Series:
+    raw_d, in_d, out_d = f"{SCRATCH}/raw_{tag}", f"{SCRATCH}/inputs_{tag}", f"{SCRATCH}/outputs_{tag}"
+    for d in (raw_d, in_d):
+        os.makedirs(d, exist_ok=True)
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.copytree(f"{SCRATCH}/outputs", out_d)
+    shutil.copy(f"{SCRATCH}/esoa_combined.csv", f"{in_d}/esoa_combined.csv")
+    code = _REF_RUNNER.format(repo=REPO, raw=raw_d, inp=in_d, out=out_d)
+    env = dict(os.environ, PYTHONHASHSEED=hashseed)
+    res = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True)
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr.decode()[-2000:])
+        raise RuntimeError(f"reference subprocess seed={hashseed} failed")
+    out = pd.read_csv(f"{out_d}/esoa_with_atc.csv")
+    return out[out["raw_text"] == TEXT].iloc[0]
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    dims = build_probe_dims()
+    dr.write_unified_csvs(dims, f"{SCRATCH}/outputs")
+    pd.DataFrame({"raw_text": [TEXT]}).to_csv(f"{SCRATCH}/esoa_combined.csv", index=False)
+
+    outcomes: dict[str, list[int]] = {}
+    for s in range(n_seeds):
+        row = run_ref(f"s{s}", str(s))
+        key = f"match_reason={row.get('match_reason')!r} generic={row.get('matched_generic_name')!r} atc={row.get('atc_code')!r}"
+        outcomes.setdefault(key, []).append(s)
+    print(f"text: {TEXT}")
+    for k, seeds in sorted(outcomes.items()):
+        print(f"  ref [{len(seeds):>2}/{n_seeds} seeds {seeds}]: {k}")
+
+    # Engine (deterministic rule: re-added salts in first-occurrence
+    # text position order → SODIUM LACTATE is the active slot)
+    eng = dr.run_engine(dims, [TEXT], [("D00X00", "FOOBARDRUG 50 MG TABLET")])
+    erow = eng["esoa"][eng["esoa"]["raw_text"] == TEXT].iloc[0]
+    print(
+        f"  engine (deterministic): matched={erow.get('matched')!r} "
+        f"generic={erow.get('generic_name')!r} atc={erow.get('atc_primary')!r}"
+    )
+    flipped = len(outcomes) > 1
+    print("REFERENCE FLIPS with PYTHONHASHSEED" if flipped
+          else "no flip observed — watchlist entry stands (or retire with proof)")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
