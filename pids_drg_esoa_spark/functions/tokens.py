@@ -85,6 +85,10 @@ _SALT_UPPER: frozenset[str] = frozenset(t.upper() for t in SALT_TOKENS)
 # longest-first single-suffix scan; equal-length ties can't both be
 # suffixes of one ending, so tie order is immaterial
 _SALT_UPPER_SORTED: list[str] = sorted(_SALT_UPPER, key=len, reverse=True)
+# one C-level endswith(tuple) prefilter replaces ~150 per-call concat+
+# endswith probes on the (common) no-salt-suffix path (r10 hot-path
+# measurement: 72K calls per 20K-text tag() batch)
+_SALT_SUFFIXES_TUPLE: tuple[str, ...] = tuple(" " + s for s in _SALT_UPPER_SORTED)
 _PURE_SALT_UPPER: frozenset[str] = frozenset(p.upper() for p in PURE_SALT_COMPOUNDS)
 
 
@@ -98,12 +102,13 @@ def strip_salt_suffix_pair_py(name: str | None) -> tuple[str, str | None]:
     up = name.upper()
     if up in _PURE_SALT_UPPER:
         return up, None
-    for suffix in _SALT_UPPER_SORTED:
-        if up.endswith(" " + suffix):
-            base = up[: -len(suffix) - 1].strip()
-            if base.endswith(" AS"):
-                base = base[:-3].strip()
-            return base, suffix
+    if up.endswith(_SALT_SUFFIXES_TUPLE):
+        for suffix in _SALT_UPPER_SORTED:
+            if up.endswith(" " + suffix):
+                base = up[: -len(suffix) - 1].strip()
+                if base.endswith(" AS"):
+                    base = base[:-3].strip()
+                return base, suffix
     if " AS " in up:
         head, tail = up.split(" AS ", 1)
         tail = tail.strip()
@@ -645,6 +650,110 @@ _SALT_AS_RE = re.compile(r"\(\s*as\s+([^)]+)\)", re.IGNORECASE)
 _NORM_STRIP_CHARS = ".,;:!?\"'()[]{}"
 
 
+class SubstringMatcher:
+    """Multi-pattern substring matcher (character trie, walked from
+    every text position): ``find(text)`` returns the SET of patterns
+    that occur as bare substrings of ``text`` — the exact predicate
+    the multiword loops below test with ``pattern in text``, but in
+    ~O(len(text)) dict probes instead of O(|patterns|) scans per
+    text. r10 scale fix: the per-text linear scan of the multiword-
+    generics vocabulary (~8K dim names at sf0.1, Heaps-growing with
+    the corpus) was the single largest CPU item of the whole tagger
+    (18.6 s of per-text ``sorted`` + 10 s of per-text substring scans
+    for 20K texts — ~29,000 CPU-s at the 15M-text scale point).
+
+    A trie-per-position walk is used instead of full Aho-Corasick:
+    drug texts are short (~25-60 chars) and most positions fall off
+    the trie at depth 1, so the scan is equally fast while the build
+    (which each Python worker pays once per broadcast vocabulary)
+    skips the BFS failure-link pass entirely."""
+
+    __slots__ = ("_root",)
+    _END = "\0"  # terminal marker; drug vocabulary never contains NUL
+
+    def __init__(self, patterns) -> None:
+        root: dict = {}
+        end = self._END
+        for p in patterns:
+            d = root
+            for ch in p:
+                nxt = d.get(ch)
+                if nxt is None:
+                    nxt = {}
+                    d[ch] = nxt
+                d = nxt
+            d[end] = p
+        self._root = root
+
+    def find(self, text: str) -> set[str]:
+        root = self._root
+        end = self._END
+        hits: set[str] = set()
+        n = len(text)
+        for i in range(n):
+            d = root.get(text[i])
+            j = i + 1
+            while d is not None:
+                p = d.get(end)
+                if p is not None:
+                    hits.add(p)
+                if j >= n:
+                    break
+                d = d.get(text[j])
+                j += 1
+        return hits
+
+
+# Prep cache for multiword-generics sets: (len-desc sorted tuple,
+# SubstringMatcher). Two tiers:
+# - object IDENTITY (the broadcast value is one object per worker
+#   process, so repeat tasks of one tagger call hit without hashing);
+# - content fingerprint (len, hash) + full equality verify — each
+#   tagger CALL broadcasts a fresh object, but long-lived Python
+#   workers serve MANY calls (bench loops, test suites, per-trigger
+#   streaming), and rebuilding an 8K-pattern trie per call per worker
+#   measured ~19 CPU-s per tag() at sf0.1. frozenset caches its hash,
+#   so the fingerprint probe is O(N) once per new object, then O(1).
+# Strong references to the keyed objects are held, so id() cannot be
+# reused while cached. Content keying also makes the equal-length tie
+# order of the sort a function of CONTENT, not of which equal set
+# object arrived first.
+_MW_PREP_CACHE: dict[int, tuple] = {}
+_MW_FP_CACHE: dict[tuple, tuple] = {}
+_MW_PREP_MAX = 8
+# below this many patterns the trie build costs more than the plain
+# scans it saves
+_MW_MATCHER_MIN_PATTERNS = 64
+
+
+def multiword_prep(multiword) -> tuple[tuple[str, ...], "SubstringMatcher | None"]:
+    key = id(multiword)
+    hit = _MW_PREP_CACHE.get(key)
+    if hit is not None and hit[0] is multiword:
+        return hit[1], hit[2]
+    try:
+        fp = (len(multiword), hash(multiword))
+    except TypeError:
+        fp = None
+    if fp is not None:
+        fhit = _MW_FP_CACHE.get(fp)
+        if fhit is not None and fhit[0] == multiword:
+            _MW_PREP_CACHE[key] = (multiword, fhit[1], fhit[2])
+            return fhit[1], fhit[2]
+    ordered = tuple(sorted(multiword, key=len, reverse=True))
+    matcher = (
+        SubstringMatcher(ordered) if len(ordered) >= _MW_MATCHER_MIN_PATTERNS else None
+    )
+    if len(_MW_PREP_CACHE) >= _MW_PREP_MAX:
+        _MW_PREP_CACHE.clear()
+    if len(_MW_FP_CACHE) >= _MW_PREP_MAX:
+        _MW_FP_CACHE.clear()
+    _MW_PREP_CACHE[key] = (multiword, ordered, matcher)
+    if fp is not None:
+        _MW_FP_CACHE[fp] = (multiword, ordered, matcher)
+    return ordered, matcher
+
+
 def normalize_tokens_py(
     tokens: list[str],
     drop_stopwords: bool = True,
@@ -680,14 +789,29 @@ def normalize_tokens_py(
     # repeated multiword is appended once — unlike the tagger's
     # word-boundary multiword_hits (plans/tagger.py:127), which twins
     # the DIFFERENT matcher in tokenizer.py:1172. Do not "fix" either.
-    for mwg in sorted(multiword_generics, key=len, reverse=True):
-        if mwg in text:
-            if any(mwg in sc or sc in mwg for sc in salt_pattern_content):
-                continue
-            if is_trailing_salt(mwg):
-                continue
-            result.append(mwg)
-            text = text.replace(mwg, " ")
+    #
+    # r10: the scan rides multiword_prep — the sorted order is the
+    # same object's sort cached once per worker, and the automaton's
+    # `mwg in present` is exactly `mwg in text` because `present` is
+    # recomputed from the MUTATED text after every replacement (a
+    # replace can both destroy and CREATE substring matches for
+    # later-order patterns; refreshing keeps the single-pass loop
+    # bit-identical to the plain scan).
+    if multiword_generics:
+        ordered_mw, matcher = multiword_prep(multiword_generics)
+        present = matcher.find(text) if matcher is not None else None
+        if present is None or present:
+            for mwg in ordered_mw:
+                if (mwg not in present) if present is not None else (mwg not in text):
+                    continue
+                if any(mwg in sc or sc in mwg for sc in salt_pattern_content):
+                    continue
+                if is_trailing_salt(mwg):
+                    continue
+                result.append(mwg)
+                text = text.replace(mwg, " ")
+                if present is not None:
+                    present = matcher.find(text)
 
     for tok in re.split(r"[\s,;]+", text):
         if not tok:

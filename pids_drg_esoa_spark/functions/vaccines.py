@@ -302,6 +302,23 @@ def normalize_vaccine_name_py(text: str | None) -> tuple[str | None, str | None]
     return None, None
 
 
+# r10 hot-path constants (these scans run once per text inside the
+# doc-enrich crossing): the sorts and regex compilations are
+# text-independent, so they happen once at import instead of per call.
+_COMPONENT_KEYWORDS_SORTED = sorted(
+    VACCINE_COMPONENT_KEYWORDS.items(), key=lambda kv: -len(kv[0])
+)
+_WORDRUN_RE = re.compile(r"[A-Za-z0-9_]+")
+_ACRONYMS_SCAN = [
+    (
+        a,
+        bool(re.fullmatch(r"[A-Za-z0-9_]+", a)),
+        re.compile(rf"\b{re.escape(a)}\b"),
+    )
+    for a in sorted(VACCINE_ACRONYM_TO_COMPONENTS, key=len, reverse=True)
+]
+
+
 def normalize_vaccine_components_py(text: str | None) -> list[str]:
     """Reference normalize_vaccine_components (:1619-1636): SUBSTRING
     scan of component keywords, longest first, consuming matched spans.
@@ -311,9 +328,7 @@ def normalize_vaccine_components_py(text: str | None) -> list[str]:
         return []
     up = text.upper()
     components: list[str] = []
-    for keyword, normalized in sorted(
-        VACCINE_COMPONENT_KEYWORDS.items(), key=lambda kv: -len(kv[0])
-    ):
+    for keyword, normalized in _COMPONENT_KEYWORDS_SORTED:
         if keyword in up:
             if normalized not in components:
                 components.append(normalized)
@@ -339,8 +354,18 @@ def match_vaccine_text_py(text: str | None) -> tuple[str | None, list[str] | Non
     if not text:
         return None, None
     up = text.upper()
-    for acronym in sorted(VACCINE_ACRONYM_TO_COMPONENTS, key=len, reverse=True):
-        if re.search(rf"\b{re.escape(acronym)}\b", up):
+    # r10 hot-path form of the same longest-first scan: for acronyms
+    # that are pure word-characters, `\bACR\b` matches iff ACR is a
+    # maximal word-char run of the text — one findall + set probes
+    # instead of 62 regex searches per text. Non-wordlike acronyms
+    # (the DTP-HIB hyphen family) keep their precompiled regex, gated
+    # by the necessary substring condition.
+    toks = frozenset(_WORDRUN_RE.findall(up))
+    for acronym, wordlike, rx in _ACRONYMS_SCAN:
+        if wordlike:
+            if acronym in toks:
+                return acronym, list(VACCINE_ACRONYM_TO_COMPONENTS[acronym])
+        elif acronym in up and rx.search(up):
             return acronym, list(VACCINE_ACRONYM_TO_COMPONENTS[acronym])
     components = normalize_vaccine_components_py(text)
     if components:

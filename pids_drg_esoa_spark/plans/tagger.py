@@ -128,7 +128,7 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     _PURE_SALT_SORTED = sorted(p.upper() for p in _PSC)
 
     def multiword_hits(
-        t: str, gname: str | None, multiword
+        t: str, gname: str | None, multiword, matcher=None
     ) -> tuple[list[str], list[str], list[str]]:
         """Reference extract_generic_tokens' multiword matching
         (tokenizer.py:1113-1200 via tagger.py:606-620): any multiword
@@ -180,7 +180,15 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         }
         prepend: list[str] = []
         append: list[str] = []
-        for mw in multiword:  # pre-sorted longest-first by the caller
+        # r10: `hay` is never mutated, so one automaton scan replaces
+        # the per-text O(|dim multiwords|) substring sweep — candidates
+        # keep the pre-sorted longest-first order
+        if matcher is not None:
+            present = matcher.find(hay)
+            candidates = [m for m in multiword if m in present] if present else ()
+        else:
+            candidates = multiword
+        for mw in candidates:  # pre-sorted longest-first by the caller
             if mw not in hay or any(mw in h for h in prepend + append):
                 continue
             if any(mw in sc or sc in mw for sc in salt_paren):
@@ -288,7 +296,13 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         # gates consume these columns, so skipping normalize_tokens
         # diverges on e.g. 'X 1 g VIAL' annex rows (r6 dense-annex
         # differential finding).
-        mw_upper = frozenset(m.upper() for m in multiword)
+        # build_multiword_generics_py uppercases its members, so the
+        # broadcast set IS the upper set — reusing the broadcast object
+        # (not a fresh per-batch frozenset) is what lets the
+        # multiword_prep identity cache hold across tasks in a worker
+        from ..functions.tokens import multiword_prep
+
+        mw_upper = multiword
         cats = [
             categorize_tokens_py(
                 normalize_tokens_py(
@@ -309,9 +323,9 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
         # ' IN ' before them are positional — the IV base solution
         # stays AFTER the active, so stripped[0]=active/[1]=vehicle
         # holds exactly as before for IV shapes.
-        mw_sorted = sorted(multiword, key=len, reverse=True)
+        mw_sorted, mw_matcher = multiword_prep(multiword)
         hits_split_per_doc = [
-            multiword_hits(t, d.get("generic_name"), mw_sorted)
+            multiword_hits(t, d.get("generic_name"), mw_sorted, mw_matcher)
             for t, d in zip(text, details)
         ]
         hits_per_doc = [
@@ -338,6 +352,14 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             for (vn, _), comps in zip(vac, merged)
         ]
         from ..functions.constants import PURE_SALT_COMPOUNDS
+        from ..functions.tokens import _SALT_UPPER, STOPWORDS
+
+        # batch-scope constants for word_expand (r10: these were
+        # rebuilt per CALL — 20K stopword-frozenset builds per batch)
+        _STOP_LOWER = frozenset(w.lower() for w in STOPWORDS)
+        _SKIP_COMBO_FIRST = {
+            "DILUENT", "SOLVENT", "DOSE", "DOSES", "VIAL", "AMPULE", "SYRINGE",
+        }
 
         def word_expand(
             comps: list[str], vn: str | None, hits: list[str], has_plus: bool = False
@@ -368,14 +390,8 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
             (multiword dims, pure-salt compounds, vaccines,
             '+'-combinations) bypass, same as the reference's
             multiword pre-pass and PURE_SALT re-add."""
-            from ..functions.tokens import _SALT_UPPER, STOPWORDS
-
-            _STOP_LOWER = frozenset(w.lower() for w in STOPWORDS)
             out: list[str] = []
             glued: list[str] = []
-            _SKIP_COMBO_FIRST = {
-                "DILUENT", "SOLVENT", "DOSE", "DOSES", "VIAL", "AMPULE", "SYRINGE",
-            }
             for c in comps:
                 if (
                     " " in c
