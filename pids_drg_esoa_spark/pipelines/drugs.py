@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 
 from ..functions.dose import parse_dose, to_mg, ratio_mg_per_ml
 from ..functions.routes_forms import p1_form_col
-from ..functions.text import normalize_text, slug_id
+from ..functions.text import clean_atc, normalize_text, slug_id
 from ..functions.tokens import extract_base_and_salts
 from ..functions.constants import ROUTE_LABEL_EXPANSION
 from ..functions.vocab_full import CANONICAL_ATC_MAPPINGS_FULL, CANONICAL_GENERICS_FULL
@@ -479,7 +479,6 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         if _spec_candidates else F.lit("")
     )
     base_salts = extract_base_and_salts(F.col("Molecule"))
-    dose = parse_dose(spec_col)
     # UNKNOWN labels yield a NULL route (map_route_token returns [] and
     # pandas explode([]) keeps the row with NaN — round-7 Part-1
     # parity); the row survives via explode_outer below. No raw-label
@@ -500,11 +499,27 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         .withColumn("generic_normalized", F.upper(F.col("_bs.base")))
         .withColumn("salt_form", F.array_join("_bs.salts", " + "))
         .withColumn("generic_id", slug_id(F.col("_bs.base")))
-        .withColumn("atc_code", F.upper(F.trim("ATC Code")))
-        .withColumn("dose", dose)
-        .withColumn("strength_mg", to_mg(dose["strength"], dose["unit"]))
+        # clean_atc = NBSP→space + trim, NO uppercase (text_utils.py:
+        # 126-130 — codes pass through in source casing; r10 Part-1
+        # fuzz catch: ' n02be01 ' stays lowercase in the reference's
+        # pnf_prepared AND its unified_atc PNF leg)
+        .withColumn("atc_code", clean_atc(F.col("ATC Code")))
+        # the reference parses dose from _parse_src = normalize_text(
+        # (generic_normalized + ' ' + tech).strip()) (prepare.py:
+        # 97-103), NOT from the raw spec — r10 Part-1 fuzz catch:
+        # '1,000 mg sachet' normalizes comma→space so the amount regex
+        # reads '000 mg' → 0.0, while the raw text read '1,000' as a
+        # comma DECIMAL → 1.0; and a dose-shaped fragment in the
+        # MOLECULE itself ('X 10% SOLUTION') contributes when the spec
+        # carries none
+        .withColumn(
+            "_parse_src",
+            normalize_text(F.trim(F.concat(F.col("generic_normalized"), F.lit(" "), spec_col))),
+        )
+        .withColumn("dose", parse_dose(F.col("_parse_src")))
+        .withColumn("strength_mg", to_mg(F.col("dose.strength"), F.col("dose.unit")))
         .withColumn("ratio_mg_per_ml", ratio_mg_per_ml(
-            to_mg(dose["strength"], dose["unit"]), dose["per_val"]))
+            to_mg(F.col("dose.strength"), F.col("dose.unit")), F.col("dose.per_val")))
         # reference scalar columns (prepare.py:101-110): the dose
         # struct broken out for downstream consumers + the parsed form
         # from _parse_src = normalize(generic_normalized + ' ' + tech)
@@ -513,11 +528,15 @@ def prepare_pnf(pnf_raw: DataFrame) -> DataFrame:
         # reference routes_forms.py:51-57), NOT the F25 position-first
         # parser the tagger uses; computed from the RAW columns in one
         # pandas_udf so no F6 subtree is re-inlined (see p1_form_col).
-        .withColumn("strength", dose["strength"])
-        .withColumn("unit", dose["unit"])
+        .withColumn("strength", F.col("dose.strength"))
+        .withColumn("unit", F.col("dose.unit"))
         .withColumn("form", p1_form_col(F.col("Molecule"), spec_col))
         .withColumn("route", F.explode_outer(routes))
-        .drop("_bs")
+        .drop("_bs", "_parse_src")
+        # reference prepare.py:124-125: rows whose generic_name is
+        # empty (blank Molecule) are dropped AFTER the route explode
+        # (r10 Part-1 fuzz catch: the engine kept them)
+        .filter(F.col("generic_name").isNotNull() & (F.col("generic_name") != ""))
     )
     return d
 

@@ -223,71 +223,10 @@ def diff_keyed(
     return bad
 
 
-def main() -> int:
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    os.makedirs(SCRATCH)
-    dims = build_dims()
-    # pin the route-label surface the build_dims corpus doesn't cover:
-    # a multi-route expansion label beyond Oral:/Inj.:/IV:, and an
-    # UNKNOWN label (map_route_token → [] → pandas explode keeps the
-    # row with a NaN route; the engine mirrors via explode_outer)
-    dims["pnf"] = pd.concat(
-        [
-            dims["pnf"],
-            pd.DataFrame(
-                [
-                    ("ZZROUTEPROBE A", "Oral/Inj.:", "Z99ZZ01", "10 mg tablet"),
-                    ("ZZROUTEPROBE B", "Buccal:", "Z99ZZ02", "20 mg tablet"),
-                    # r9 (ADVICE): half-integer strengths so the
-                    # unified_dosages PNF-leg 'INT MG'/'INT UNIT'
-                    # serialization actually exercises the rounding
-                    # mode (DuckDB DOUBLE→INTEGER = banker's; engine
-                    # bround HALF_EVEN: 0.5→0, 1.5→2, 2.5→2)
-                    ("ZZHALFPROBE A", "Oral:", "Z99ZZ03", "0.5 mg tablet"),
-                    ("ZZHALFPROBE B", "Oral:", "Z99ZZ04", "1.5 mg tablet"),
-                    ("ZZHALFPROBE C", "Oral:", "Z99ZZ05", "2.5 mg tablet"),
-                    ("ZZHALFPROBE D", "Inj.:", "Z99ZZ06", "1.5 iu vial"),
-                ],
-                columns=["Molecule", "Route", "ATC Code", "Technical Specifications"],
-            ),
-        ],
-        ignore_index=True,
-    )
-    # dosages/salts lean dims (r8): real rows so the reference's
-    # TABLE 4/6 SQL paths execute — ids from the generics spine plus
-    # an unknown id (LEFT JOIN → '' generic), messy whitespace/case,
-    # exact duplicates (DISTINCT), and NULL/empty cells (filters)
-    import random as _random
-
-    rng = _random.Random(81)
-    ids = sorted(
-        {str(x) for x in dims["drugbank_generics"]["drugbank_id"].dropna().tolist()}
-    )
-    forms = ["tablet", "Capsule ", "SOLUTION", None, "syrup"]
-    routes = ["oral", " Intravenous", None, "topical"]
-    strengths = ["500 mg", " 250 MG ", "10 mg/5 mL", "1 g", None]
-    dos_rows, salt_rows = [], []
-    for i, dbid in enumerate(ids):
-        for _ in range(rng.choice([0, 1, 1, 2])):
-            dos_rows.append(
-                (dbid, rng.choice(forms), rng.choice(routes), rng.choice(strengths))
-            )
-        if i % 3 == 0:
-            salt_rows.append(
-                (dbid, rng.choice(["hydrochloride", "Sulfate ", "sodium", ""]), f"salt{i}")
-            )
-            if i % 6 == 0:
-                salt_rows.append(salt_rows[-1])
-    dos_rows.append(("DBUNKNOWN1", "tablet", "oral", "500 mg"))
-    dos_rows.append((None, "tablet", "oral", "1 g"))
-    salt_rows.append((None, "sodium", "orphankey"))
-    dims["dosages"] = pd.DataFrame(
-        dos_rows, columns=["drugbank_id", "form", "route", "strength"]
-    )
-    dims["salts"] = pd.DataFrame(
-        salt_rows, columns=["drugbank_id", "salt_name", "name_key"]
-    )
-
+def compare_outputs(dims: dict[str, pd.DataFrame]) -> int:
+    """Run reference + engine Part 1 on `dims` and print/count every
+    unexplained divergence (adjudicated PARITY classes excluded).
+    Shared by main() and scripts/fuzz_part1_vs_reference.py."""
     ref = run_reference(dims)
     eng = run_engine(dims)
     report: list[str] = []
@@ -297,13 +236,74 @@ def main() -> int:
     rp, ep = ref["pnf_prepared"].copy(), eng["pnf_prepared"].copy()
     for df in (rp, ep):
         df["_k"] = df["raw_molecule"].map(_norm).astype(str) + "||" + df["route"].map(_norm).astype(str)
+    # r10 (randomized Part-1 fuzz): the full dose struct rides the
+    # same keyed compare — the engine carries it as ONE struct column
+    # (SURVEY P1), flattened here to the reference's scalar names
+    def _dget(d, k):
+        if d is None:
+            return None
+        try:
+            return d[k]
+        except (TypeError, KeyError):
+            return getattr(d, k, None)
+
+    if "dose" in ep.columns:
+        for ref_c, eng_k in (
+            ("dose_kind", "kind"), ("strength", "strength"), ("unit", "unit"),
+            ("per_val", "per_val"), ("per_unit", "per_unit"), ("pct", "pct"),
+        ):
+            ep[ref_c] = ep["dose"].map(lambda d, k=eng_k: _dget(d, k))
     shared = ["generic_name", "generic_normalized", "salt_form", "generic_id",
-              "atc_code", "strength_mg", "ratio_mg_per_ml"]
+              "atc_code", "strength_mg", "ratio_mg_per_ml",
+              "dose_kind", "strength", "unit", "per_val", "per_unit", "pct"]
     # normalize float formatting for string compare ('5.0' vs '5')
     for df in (rp, ep):
-        for c in ("strength_mg", "ratio_mg_per_ml"):
+        for c in ("strength_mg", "ratio_mg_per_ml", "strength", "per_val", "pct"):
             df[c] = pd.to_numeric(df[c], errors="coerce").round(6).astype(str)
     bad += diff_keyed("pnf_prepared", rp, ep, "_k", shared, report)
+    # The reference's pnf_prepared also materializes the 7 F15 details
+    # columns (prepare.py:83-91; never read downstream — the unified
+    # build re-derives its own). The engine deliberately omits them,
+    # so verify them against the engine's F15 TWIN on the raw
+    # molecule: composition-level check that the fuzzed-verbatim twin
+    # agrees with what prepare.py actually wrote for THIS corpus.
+    from pids_drg_esoa_spark.functions.details import extract_drug_details_py
+
+    detail_cols = ["salt_details", "brand_details", "indication_details",
+                   "alias_details", "type_details", "release_details",
+                   "form_details"]
+    seen_mols: set = set()
+    for _, r in rp.iterrows():
+        mol = r.get("raw_molecule")
+        if mol in seen_mols:
+            continue
+        seen_mols.add(mol)
+        twin = extract_drug_details_py(str(mol) if mol is not None else "")
+        for c in detail_cols:
+            rv, tv = _norm(r.get(c)), _norm(twin.get(c))
+            if rv != tv:
+                bad += 1
+                report.append(
+                    f"pnf_prepared details: {mol!r}.{c}: ref {rv!r} twin {tv!r}"
+                )
+    # form: compared with the PARITY.md class-2 adjudication — the
+    # reference's FORM_WORDS scan order is hash-randomized among
+    # equal-length words, so an equal-length form disagreement where
+    # BOTH words appear in the parse source is the measured tie class
+    form_report: list[str] = []
+    form_bad = diff_keyed("pnf_prepared", rp, ep, "_k", ["form"], form_report)
+    form_ties = 0
+    for line in list(form_report):
+        m = re.match(r"pnf_prepared: .*\.form: ref '(.+)' eng '(.+)'", line)
+        if m and len(m.group(1)) == len(m.group(2)):
+            form_ties += 1
+            form_bad -= 1
+            form_report.remove(line)
+    if form_ties:
+        print(f"  pnf_prepared: {form_ties} equal-length form-word ties "
+              "(reference FORM_WORDS order hash-randomized — adjudicated)")
+    report.extend(form_report)
+    bad += form_bad
 
     bad += diff_keyed("unified_generics", ref["generics"], eng["generics"],
                       "generic_name", ["drugbank_id", "source"], report)
@@ -344,6 +344,7 @@ def main() -> int:
     brand_bad = diff_keyed("unified_brands", ref["brands"], eng["brands"],
                            "brand_name", ["generic_name", "drugbank_id"], brand_report)
     ties = 0
+    tied_brands: set[str] = set()
     for line in list(brand_report):
         m = re.match(r"unified_brands: '(.+)'\.generic_name: ref '(.+)' eng '(.+)'", line)
         if m:
@@ -353,7 +354,18 @@ def main() -> int:
                     ties += 1
                     brand_bad -= 1
                     brand_report.remove(line)
+                    tied_brands.add(b)
                     break
+    # a tied brand's OTHER columns (drugbank_id follows whichever
+    # generic survived) are the same nondeterministic survivor — strip
+    # every remaining line of an adjudicated brand (r10: the fuzz
+    # surfaced dangling .drugbank_id lines for generic-adjudicated
+    # brands)
+    for line in list(brand_report):
+        m = re.match(r"unified_brands: '(.+)'\.(\w+): ", line)
+        if m and m.group(1) in tied_brands:
+            brand_bad -= 1
+            brand_report.remove(line)
     if ties:
         print(f"  unified_brands: {ties} same-source keep='first' ties "
               "(reference survivor nondeterministic post-DISTINCT — adjudicated)")
@@ -429,7 +441,75 @@ def main() -> int:
     if len(report) > 80:
         print(f"  ... and {len(report) - 80} more")
     print(f"\nPART-1 TOTAL mismatches: {bad}")
-    return 0 if bad == 0 else 1
+    return bad
+
+
+def main() -> int:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+    dims = build_dims()
+    # pin the route-label surface the build_dims corpus doesn't cover:
+    # a multi-route expansion label beyond Oral:/Inj.:/IV:, and an
+    # UNKNOWN label (map_route_token → [] → pandas explode keeps the
+    # row with a NaN route; the engine mirrors via explode_outer)
+    dims["pnf"] = pd.concat(
+        [
+            dims["pnf"],
+            pd.DataFrame(
+                [
+                    ("ZZROUTEPROBE A", "Oral/Inj.:", "Z99ZZ01", "10 mg tablet"),
+                    ("ZZROUTEPROBE B", "Buccal:", "Z99ZZ02", "20 mg tablet"),
+                    # r9 (ADVICE): half-integer strengths so the
+                    # unified_dosages PNF-leg 'INT MG'/'INT UNIT'
+                    # serialization actually exercises the rounding
+                    # mode (DuckDB DOUBLE→INTEGER = banker's; engine
+                    # bround HALF_EVEN: 0.5→0, 1.5→2, 2.5→2)
+                    ("ZZHALFPROBE A", "Oral:", "Z99ZZ03", "0.5 mg tablet"),
+                    ("ZZHALFPROBE B", "Oral:", "Z99ZZ04", "1.5 mg tablet"),
+                    ("ZZHALFPROBE C", "Oral:", "Z99ZZ05", "2.5 mg tablet"),
+                    ("ZZHALFPROBE D", "Inj.:", "Z99ZZ06", "1.5 iu vial"),
+                ],
+                columns=["Molecule", "Route", "ATC Code", "Technical Specifications"],
+            ),
+        ],
+        ignore_index=True,
+    )
+    # dosages/salts lean dims (r8): real rows so the reference's
+    # TABLE 4/6 SQL paths execute — ids from the generics spine plus
+    # an unknown id (LEFT JOIN → '' generic), messy whitespace/case,
+    # exact duplicates (DISTINCT), and NULL/empty cells (filters)
+    import random as _random
+
+    rng = _random.Random(81)
+    ids = sorted(
+        {str(x) for x in dims["drugbank_generics"]["drugbank_id"].dropna().tolist()}
+    )
+    forms = ["tablet", "Capsule ", "SOLUTION", None, "syrup"]
+    routes = ["oral", " Intravenous", None, "topical"]
+    strengths = ["500 mg", " 250 MG ", "10 mg/5 mL", "1 g", None]
+    dos_rows, salt_rows = [], []
+    for i, dbid in enumerate(ids):
+        for _ in range(rng.choice([0, 1, 1, 2])):
+            dos_rows.append(
+                (dbid, rng.choice(forms), rng.choice(routes), rng.choice(strengths))
+            )
+        if i % 3 == 0:
+            salt_rows.append(
+                (dbid, rng.choice(["hydrochloride", "Sulfate ", "sodium", ""]), f"salt{i}")
+            )
+            if i % 6 == 0:
+                salt_rows.append(salt_rows[-1])
+    dos_rows.append(("DBUNKNOWN1", "tablet", "oral", "500 mg"))
+    dos_rows.append((None, "tablet", "oral", "1 g"))
+    salt_rows.append((None, "sodium", "orphankey"))
+    dims["dosages"] = pd.DataFrame(
+        dos_rows, columns=["drugbank_id", "form", "route", "strength"]
+    )
+    dims["salts"] = pd.DataFrame(
+        salt_rows, columns=["drugbank_id", "salt_name", "name_key"]
+    )
+
+    return 0 if compare_outputs(dims) == 0 else 1
 
 
 if __name__ == "__main__":

@@ -162,3 +162,33 @@ def test_flag_combination_atc_null_code_is_false(spark):
     )
     got = {r.generic_name: r.is_combination_atc for r in flag_combination_atc(atc).collect()}
     assert got == {"PARACETAMOL": False, "COAMOXICLAV": True, "X": False}
+
+
+def test_prepare_pnf_r10_fuzz_pins(spark):
+    """Pins the three round-10 Part-1 fuzz finds
+    (scripts/fuzz_part1_vs_reference.py vs the live prepare.py):
+    (1) atc_code is clean_atc = NBSP+trim only, NEVER uppercased;
+    (2) dose parses from normalize_text(generic_normalized+' '+spec)
+        — '1,000 mg' reads '000 mg' → 0.0, not comma-decimal 1.0;
+        the molecule contributes only its F6 BASE, so a dose-shaped
+        molecule tail ('10% SOLUTION') does NOT parse when the spec
+        is empty;
+    (3) blank-Molecule rows are dropped (prepare.py:124-125)."""
+    from pids_drg_esoa_spark.pipelines.drugs import prepare_pnf
+
+    pnf = spark.createDataFrame(
+        [
+            ("KETOXETINE", "Oral:", " n02be01 ", "1,000 mg sachet"),
+            ("DEXAPINE 10% SOLUTION", "IV:", "B05XA99", None),
+            ("", "Oral:", "Z99ZZ01", "500 mg tablet"),
+        ],
+        ["Molecule", "Route", "ATC Code", "Technical Specifications"],
+    )
+    rows = {r.raw_molecule: r for r in prepare_pnf(pnf).collect()}
+    assert set(rows) == {"KETOXETINE", "DEXAPINE 10% SOLUTION"}  # blank dropped
+    k = rows["KETOXETINE"]
+    assert k.atc_code == "n02be01"  # trimmed, NOT uppercased
+    assert k.strength == 0.0 and k.unit == "mg"  # '1 000 mg' → 000
+    d = rows["DEXAPINE 10% SOLUTION"]
+    # parse src is the F6 base 'DEXAPINE' + '' → no dose at all
+    assert d.dose.pct is None and d.dose.kind is None
