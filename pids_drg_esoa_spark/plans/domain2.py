@@ -673,3 +673,60 @@ def tagger_combo_typo_substring_planted(spark: SparkSession, sf_dir: str) -> Dat
         F.when(F.col("matched"), F.col("generic_name")).alias("generic_matched"),
         F.when(F.col("matched"), F.col("atc_primary")).alias("atc_primary"),
     )
+
+
+_P1_PREPARE_ORACLE = """
+WITH ks AS (SELECT DISTINCT p_partkey % 5 AS k FROM part WHERE p_partkey % 5 <> 2)
+SELECT
+  CASE k WHEN 0 THEN 'GENALPHA' WHEN 1 THEN 'GENBETA'
+         WHEN 3 THEN 'GENGAMMA HYDROCHLORIDE'
+         ELSE 'GENDELTA 10% SOLUTION' END                          AS raw_molecule,
+  CASE k WHEN 0 THEN 'GENALPHA' WHEN 1 THEN 'GENBETA'
+         WHEN 3 THEN 'GENGAMMA' ELSE 'GENDELTA' END                AS generic_normalized,
+  CASE k WHEN 3 THEN 'HYDROCHLORIDE' ELSE '' END                   AS salt_form,
+  CASE k WHEN 0 THEN 'N02BE01' WHEN 1 THEN 'n02be01'
+         ELSE 'B05XA03' END                                        AS atc_code,
+  CASE k WHEN 0 THEN 500.0 WHEN 1 THEN 0.0 WHEN 3 THEN 10.0 END    AS strength,
+  CASE WHEN k IN (0, 1, 3) THEN 'mg' END                           AS unit,
+  CASE k WHEN 0 THEN 500.0 WHEN 1 THEN 0.0 WHEN 3 THEN 10.0 END    AS strength_mg,
+  CASE k WHEN 3 THEN 2.0 END                                       AS ratio_mg_per_ml,
+  CASE WHEN k IN (0, 1) THEN 'oral' ELSE 'intravenous' END         AS route,
+  CASE k WHEN 0 THEN 'tablet' WHEN 1 THEN 'sachet' WHEN 3 THEN 'vial' END AS form
+FROM ks
+"""
+
+
+@register("p1_prepare_pnf_planted", oracle=_P1_PREPARE_ORACLE)
+def p1_prepare_pnf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the round-10 Part-1 fuzz finds under the driver's oracle
+    gate (scripts/fuzz_part1_vs_reference.py vs live prepare.py):
+    k=1 — atc_code is clean_atc (trim/NBSP, NEVER uppercased:
+    ' n02be01 ' stays lowercase) and the dose parses from
+    normalize_text(generic_normalized + ' ' + spec), so '1,000 mg'
+    reads '000 mg' → strength 0.0, not comma-decimal 1.0;
+    k=2 — a blank Molecule row is DROPPED (prepare.py:124-125);
+    k=3 — F6 base/salt split + mg/5 mL ratio (10/5 = 2.0) + the IV:
+    route-label expansion;
+    k=4 — the parse source is the F6 BASE, so a dose-shaped molecule
+    tail ('10% SOLUTION') contributes NOTHING when the spec is empty."""
+    from ..pipelines.drugs import prepare_pnf
+
+    ks = table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 5).alias("k")
+    ).distinct()
+    k = F.col("k")
+    pnf = ks.select(
+        F.when(k == 0, "GENALPHA").when(k == 1, "GENBETA").when(k == 2, "")
+        .when(k == 3, "GENGAMMA HYDROCHLORIDE")
+        .otherwise("GENDELTA 10% SOLUTION").alias("Molecule"),
+        F.when(k.isin(0, 1, 2), "Oral:").otherwise("IV:").alias("Route"),
+        F.when(k == 0, "N02BE01").when(k == 1, " n02be01 ")
+        .when(k == 2, "Z99ZZ09").otherwise("B05XA03").alias("ATC Code"),
+        F.when(k == 0, "500 mg tablet").when(k == 1, "1,000 mg sachet")
+        .when(k == 2, "500 mg tablet").when(k == 3, "10 mg/5 mL vial")
+        .otherwise("").alias("Technical Specifications"),
+    )
+    return prepare_pnf(pnf).select(
+        "raw_molecule", "generic_normalized", "salt_form", "atc_code",
+        "strength", "unit", "strength_mg", "ratio_mg_per_ml", "route", "form",
+    )
