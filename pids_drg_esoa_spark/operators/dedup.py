@@ -37,11 +37,16 @@ N_BANDS = 4  # rows-per-band r=2 → P(candidate) = 1-(1-j^2)^4
 _SEMI_FILTER_MIN_DOCS = 100_000
 
 # Below this doc count the minhash pipeline skips persisting its
-# shingle/signature intermediates: cache first-touch materialization
-# costs more than recomputing the explode/agg subtrees (r6 best-of-2
-# measurements — 5K docs: 3.3 s none vs 4.0 s both; 15K: 4.3 vs 5.3;
-# 25K: ~tie; 50K: 13.0 none vs 7.9 both). Crossover ≈ 20-25K.
-_PERSIST_MIN_DOCS = 20_000
+# shingle/signature intermediates: persist ALWAYS (r10 re-measure).
+# The r6 crossover (~20-25K docs, below which recompute beat persist)
+# was an artifact of SINGLE-PARTITION materialization — a small
+# parquet corpus arrived as one partition, so cache first-touch ran
+# one-core while the recomputes rode the (also one-core) scan. With
+# word_shingles' parallelism pin the materialization is parallel and
+# persist wins at every measured size (warm best-of-3, sf0.1 5K docs:
+# 0.88 s persist vs 1.42 s recompute; sf0.001 500 docs: 0.90 vs
+# 1.15). Gate kept as a named constant so the r6 shape is restorable.
+_PERSIST_MIN_DOCS = 0
 
 
 # ---------------------------------------------------------------------------
@@ -49,7 +54,19 @@ _PERSIST_MIN_DOCS = 20_000
 # ---------------------------------------------------------------------------
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, sh).
-    Narrow (explode) — no shuffle; shingling scales linearly."""
+    Narrow (explode) — no shuffle at scale; shingling scales linearly.
+
+    Small-input parallelism pin (r10): a corpus read from one small
+    parquet file arrives as ONE partition, and the shingle explode +
+    the downstream 8×md5 signature pass are CPU-heavy per byte — the
+    sf0.1 bench measured the two scan-chain stages running 2.3 s and
+    1.6 s on a single core while 31 sat idle (AQE only reasons about
+    bytes). Widening is gated on the CURRENT partition count, so a
+    production-scale input (partitions ≥ cores) never pays the extra
+    shuffle — same rule as the tagger's _pin_parallelism."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -294,7 +311,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare). Signature is one agg pass; banding makes candidate
     generation a (band,key) equi-self-join — the shape that survives
     100 TB (Broder minhashing + banding as in MMDS ch.3)."""
-    verified, _ = minhash_verified_pairs(table(spark, sf_dir, "documents"))
+    verified, caches = minhash_verified_pairs(table(spark, sf_dir, "documents"))
+    # tagger-convention exposure: batch sessions may leave these
+    # cached (the CacheManager dedups equal plans, so repeat calls
+    # reuse ONE entry per corpus); per-trigger callers unpersist
+    verified.persisted_intermediates = caches
     return verified
 
 
