@@ -289,6 +289,21 @@ DILUENT_CLASSES: dict[str, str] = {
     "5% dextrose": "D5_WATER",
 }
 
+# Form-modifier words dropped from generic tokens when they appear
+# AFTER a form word (reference FORM_MODIFIER_IGNORE,
+# unified_constants.py:106-120 — 'CAPSULE SOFT GELATIN' must not
+# probe GELATIN as a drug). Verbatim; r10, ported for the
+# extract_generic_tokens twin's tail filter.
+FORM_MODIFIER_IGNORE: frozenset[str] = frozenset({
+    "GELATIN", "STARCH", "CELLULOSE", "LACTOSE",
+    "COATED", "FILM", "ENTERIC", "SUGAR", "HARD", "LIQUID",
+    "FILLED", "EXTENDED", "SUSTAINED", "MODIFIED", "DELAYED",
+    "IMMEDIATE", "CONTROLLED", "DISPERSIBLE", "CHEWABLE",
+    "EFFERVESCENT", "SUBLINGUAL", "BUCCAL", "ORALLY",
+    "DISINTEGRATING", "FREEZE", "DRIED", "LYOPHILIZED",
+    "DEPOT", "RETARD",
+})
+
 # Element drugs can be generics in their own right even though they
 # appear in salt vocabulary (reference ELEMENT_DRUGS,
 # unified_constants.py:315-319) — 'ZINC 10 MG TABLET' is a zinc

@@ -29,11 +29,13 @@ from pyspark.sql import types as T
 
 from .constants import (
     FORM_CANON,
+    FORM_MODIFIER_IGNORE,
     MULTIWORD_GENERICS,
     PURE_SALT_COMPOUNDS,
     ROUTE_CANON,
     SALT_TOKENS,
     STOPWORDS,
+    UNIT_TOKENS,
 )
 from .text import normalize_text_py
 
@@ -823,6 +825,251 @@ def normalize_tokens_py(
             continue
         result.append(tok)
     return result
+
+
+# ---------------------------------------------------------------------------
+# F18 (reference form): tokenizer.detect_compound_salts
+# (tokenizer.py:929-954) — join ADJACENT tokens whose pair is a known
+# PURE_SALT_COMPOUND, emitting the UPPER compound. Distinct from the
+# combination extractor's ion-merge twin above (detect_compound_
+# salts_py joins any two PURE_IONS and keeps case — that is the shape
+# the combination normalizer chain was adjudicated with); the
+# extract_generic_tokens twin below needs the reference's own rule.
+# ---------------------------------------------------------------------------
+def detect_compound_salts_ref_py(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    skip = False
+    for i, tok in enumerate(tokens):
+        if skip:
+            skip = False
+            continue
+        if i + 1 < len(tokens):
+            compound = f"{tok.upper()} {tokens[i + 1].upper()}"
+            if compound in _PURE_SALT_UPPER:
+                out.append(compound)
+                skip = True
+                continue
+        out.append(tok)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# extract_generic_tokens twin (reference tokenizer.py:1113-1393) —
+# the FULL per-text token extractor: multiword pre-pass (positional
+# salt-pattern ranges, trailing-salt gate, substring dedup, text-order
+# insert), the split→compound→normalize→categorize chain, the
+# PURE_SALT_COMPOUNDS re-add, the '+'-combination block, the ' IN '
+# IV reorder, and the form-modifier tail filter. r10: the doc-enrich
+# crossing previously APPROXIMATED this composition (multiword_hits +
+# word_expand + merge_clean); the corpus fuzz's double-pure-salt IV
+# shapes exposed the approximation's clean-pass hole (the reference
+# re-runs THIS function on the F15-cleaned name, where a leading
+# element-drug token like SODIUM categorizes as a generic), so the
+# twin now exists verbatim and is fuzzed directly against the live
+# reference (scripts/fuzz_extract_tokens_vs_reference.py).
+#
+# Deterministic stand-ins for the reference's set-iteration orders
+# (PARITY.md classes 2/6): equal-length multiword ties follow the
+# content-deterministic multiword_prep order; pure-salt re-adds
+# follow first text occurrence, then lexical.
+# ---------------------------------------------------------------------------
+_EXTRACT_TRAIL_CATIONS = frozenset({"SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM"})
+_EXTRACT_SKIP_COMBO = frozenset({"DILUENT", "SOLVENT", "DOSE", "DOSES", "VIAL", "AMPULE", "SYRINGE"})
+_EXTRACT_COMBO_FORMS = frozenset({"TABLET", "CAPSULE", "SOLUTION", "INJECTION", "SYRUP", "OINTMENT", "CREAM"})
+_EXTRACT_IN_SKIP = frozenset({"SOLUTION", "BOTTLE", "BAG", "VIAL", "AMPULE", "L", "ML", "WATER"})
+_EXTRACT_FORM_WORDS = frozenset({
+    "CAPSULE", "CAPSULES", "TABLET", "TABLETS", "SOLUTION", "SOLUTIONS",
+    "SUSPENSION", "CREAM", "OINTMENT", "GEL", "LOTION", "POWDER",
+})
+_STOPWORDS_UPPER = frozenset(w.upper() for w in STOPWORDS)
+_UNIT_UPPER = frozenset(u.upper() for u in UNIT_TOKENS)
+_PSC_UPPER_SORTED = sorted(_PURE_SALT_UPPER)
+_SALT_AS_RANGE_RE = re.compile(r"\(\s*as\s+[^)]+\)", re.IGNORECASE)
+_EMPTY_PAREN_RE = re.compile(r"\(\s*\)")
+
+
+def extract_generic_tokens_py(
+    text: str | None,
+    multiword_generics: frozenset[str] = frozenset(),
+) -> tuple[list[str], list[str]]:
+    """Returns (all_tokens, generic_tokens) — tokenizer.py:1113-1393."""
+    if not text:
+        return [], []
+    text_upper = text.upper()
+
+    salt_ranges = [(m.start(), m.end()) for m in _SALT_AS_RANGE_RE.finditer(text_upper)]
+
+    def in_salt_range(pos: int, length: int) -> bool:
+        end = pos + length
+        return any(pos >= a and end <= b for a, b in salt_ranges)
+
+    def is_trailing_salt_suffix(mw: str) -> bool:
+        if mw not in _TRAILING_SALT_WORDS:
+            return False
+        pos = text_upper.find(mw)
+        if pos < 0:
+            return False
+        before = text_upper[:pos].strip()
+        if before and len(before.split()) >= 1:
+            if " IN " in before:
+                return False
+            if before.split()[-1] not in _EXTRACT_TRAIL_CATIONS:
+                return True
+        return False
+
+    # --- multiword pre-pass (1126-1198): bare-substring, longest-first
+    matched_multiword: list[tuple[int, str]] = []
+    if multiword_generics:
+        ordered, matcher = multiword_prep(multiword_generics)
+        present = matcher.find(text_upper) if matcher is not None else None
+        for mw in ordered:
+            if (mw not in present) if present is not None else (mw not in text_upper):
+                continue
+            pos = text_upper.find(mw)
+            if in_salt_range(pos, len(mw)):
+                continue
+            if is_trailing_salt_suffix(mw):
+                continue
+            if any(mw in existing for _, existing in matched_multiword):
+                continue
+            matched_multiword.append((pos, mw))
+        matched_multiword.sort(key=lambda x: x[0])
+
+    # --- tokenize chain (1192-1198)
+    raw_tokens = split_with_parentheses_py(text)
+    raw_tokens = detect_compound_salts_ref_py(raw_tokens)
+    tokens = normalize_tokens_py(
+        raw_tokens, drop_stopwords=True,
+        multiword_generics=multiword_generics, original_text=text,
+    )
+    generic_tokens = list(categorize_tokens_py(tokens)["generic"].keys())
+
+    # --- insert matched multiwords at text positions (1200-1212)
+    for pos, mw in matched_multiword:
+        if mw not in generic_tokens:
+            inserted = False
+            for i, gt in enumerate(generic_tokens):
+                if text_upper.find(gt) > pos:
+                    generic_tokens.insert(i, mw)
+                    inserted = True
+                    break
+            if not inserted:
+                generic_tokens.append(mw)
+
+    # --- PURE_SALT_COMPOUNDS re-add (1214-1231); engine order rule =
+    # first text occurrence then lexical (PARITY class 6)
+    salt_content = {
+        m.group(1).strip() for m in _SALT_AS_RE.finditer(text_upper)
+    }
+    for psc in sorted(
+        (p for p in _PSC_UPPER_SORTED if p in text_upper),
+        key=lambda p: (text_upper.find(p), p),
+    ):
+        if psc in generic_tokens:
+            continue
+        if any(psc in sc for sc in salt_content):
+            continue
+        if is_trailing_salt_suffix(psc):
+            continue
+        generic_tokens.append(psc)
+
+    # --- '+' combination block (1234-1293)
+    if "+" in text_upper:
+        added_parts: list[str] = []
+        for part in text_upper.split("+"):
+            part = part.strip()
+            pw = part.split()
+            if pw and pw[0] in _EXTRACT_SKIP_COMBO:
+                continue
+            part_clean = _SALT_AS_RANGE_RE.sub("", part)
+            part_clean = _EMPTY_PAREN_RE.sub("", part_clean)
+            all_words: list[str] = []
+            for word in part_clean.split():
+                if word and not any(c.isdigit() for c in word) and word not in _UNIT_UPPER:
+                    if word not in _EXTRACT_COMBO_FORMS:
+                        all_words.append(word)
+                else:
+                    break
+            full_combo = " ".join(all_words)
+            if full_combo in multiword_generics:
+                if full_combo and full_combo not in generic_tokens:
+                    generic_tokens.append(full_combo)
+                    added_parts.append(full_combo)
+                continue
+            words: list[str] = []
+            for word in all_words:
+                if word in _STOPWORDS_UPPER or word in _SALT_UPPER:
+                    if len(all_words) == 1:
+                        words.append(word)
+                else:
+                    words.append(word)
+            if words:
+                combo_part = " ".join(words)
+                if combo_part and combo_part not in generic_tokens:
+                    generic_tokens.append(combo_part)
+                    added_parts.append(combo_part)
+        if len(added_parts) >= 2:
+            generic_tokens = [
+                g for g in generic_tokens if "+" not in g and not g.startswith("+")
+            ]
+
+    # --- ' IN ' IV reorder (1296-1361)
+    if " IN " in text_upper and "+" not in text_upper:
+        parts = text_upper.split(" IN ", 1)
+        if len(parts) == 2:
+            active_words = [
+                w for w in parts[0].strip().split()
+                if w and not any(c.isdigit() for c in w)
+                and w not in _UNIT_UPPER and w not in _EXTRACT_IN_SKIP
+            ]
+            active_name = " ".join(active_words) if active_words else None
+            base_words: list[str] = []
+            started = False
+            for word in parts[1].strip().split():
+                if not started:
+                    if any(c.isdigit() for c in word) or word in _UNIT_UPPER:
+                        continue
+                    started = True
+                if word and word not in _EXTRACT_IN_SKIP:
+                    if any(c.isdigit() for c in word) and started:
+                        break
+                    if word in _UNIT_UPPER:
+                        break
+                    base_words.append(word)
+                else:
+                    break
+            base_name = " ".join(base_words) if base_words else None
+            if active_name or base_name:
+                new_order: list[str] = []
+                if active_name:
+                    if active_name in generic_tokens:
+                        generic_tokens.remove(active_name)
+                    new_order.append(active_name)
+                if base_name:
+                    if base_name in generic_tokens:
+                        generic_tokens.remove(base_name)
+                    new_order.append(base_name)
+                new_order.extend(generic_tokens)
+                generic_tokens = new_order
+
+    # --- form-modifier tail filter (1363-1391)
+    form_pos = -1
+    for fw in _EXTRACT_FORM_WORDS:
+        pos = text_upper.find(fw)
+        if pos >= 0 and (form_pos < 0 or pos < form_pos):
+            form_pos = pos
+    if form_pos >= 0:
+        filtered = [
+            g for g in generic_tokens
+            if not (
+                g.upper() in FORM_MODIFIER_IGNORE
+                and text_upper.find(g.upper()) > form_pos
+            )
+        ]
+        if filtered:
+            generic_tokens = filtered
+
+    return tokens, generic_tokens
 
 
 # ---------------------------------------------------------------------------

@@ -506,11 +506,14 @@ def dom_dose_similarity_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _W1_HEADLINE_ORACLE = """
-WITH ks AS (SELECT DISTINCT p_partkey AS k FROM part)
+WITH ks AS (
+  SELECT k, translate(CAST(k % 485 AS VARCHAR), '0123456789', 'ABCDEFGHIJ') AS ka
+  FROM (SELECT DISTINCT p_partkey AS k FROM part)
+)
 SELECT
-  CASE WHEN k % 5 = 4 THEN 'GEN' || k || ' + ZPART' || k || ' 10 MG'
+  CASE WHEN k % 5 = 4 THEN 'GEN' || ka || ' + ZPART' || ka || ' ' || (k % 89 + 1) || ' MG'
        ELSE 'GEN' || k || ' 500 MG TABLET' END AS raw_text,
-  CASE WHEN k % 5 = 4 THEN 'GEN' || k || ' + ZPART' || k
+  CASE WHEN k % 5 = 4 THEN 'GEN' || ka || ' + ZPART' || ka
        ELSE 'GEN' || k END AS generic_name,
   CASE k % 5
     WHEN 0 THEN 'N02BE01|J01CR02'
@@ -552,16 +555,35 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("k")
     m = k % 5
     gen = F.concat(F.lit("GEN"), k.cast("string"))
-    combo_name = F.concat(gen, F.lit(" + ZPART"), k.cast("string"))
+    # combination names are DIGIT-FREE (r10): the reference's '+'
+    # block stops collecting a part at its first digit-bearing word
+    # (tokenizer.py:1252-1258), so a digit-suffixed synthetic name
+    # would leave the combination with ONE input and rank as a single
+    # (the extract twin reproduces this; the former approximation did
+    # not, which is what this oracle used to encode)
+    # ... and drawn from a BOUNDED 97-name pool (k % 485, of which
+    # kp % 5 == 4 leaves 97 residues): the production corpus shape is
+    # a Heaps-law vocabulary far smaller than the text volume, and a
+    # per-key-unique combo name would make every text contribute ~6
+    # novel combination-key VARIANTS (reversed/AND/space-joined) that
+    # miss tier 0 and flood the fuzzy probe — the bench would measure
+    # adversarial fuzzy probing, not the W1 rank plan. Texts stay
+    # distinct through the k-varying dose (unique for k < 43,165 =
+    # lcm(485, 89) — holds at every driver SF).
+    kp = k % 485  # 485 = 5*97 -> kp%5==4 keeps 97 distinct combo ids
+    ka = F.translate(kp.cast("string"), "0123456789", "ABCDEFGHIJ")
+    gen4 = F.concat(F.lit("GEN"), ka)
+    combo_name = F.concat(gen4, F.lit(" + ZPART"), ka)
     esoa = ks.select(
-        F.when(m == 4, F.concat(combo_name, F.lit(" 10 MG")))
+        F.when(m == 4, F.concat(combo_name, F.lit(" "), ((k % 89) + 1).cast("string"), F.lit(" MG")))
         .otherwise(F.concat(gen, F.lit(" 500 MG TABLET")))
         .alias("raw_text")
     )
     generics = ks.select(
         F.when(m == 4, combo_name).otherwise(gen).alias("generic_name"),
-        F.concat(F.lit("DB"), k.cast("string")).alias("drugbank_id"),
-    )
+        F.when(m == 4, F.concat(F.lit("DB"), kp.cast("string")))
+        .otherwise(F.concat(F.lit("DB"), k.cast("string"))).alias("drugbank_id"),
+    ).distinct()
     # the m==4 COMPONENT names ride along as plain generics (no ATC):
     # under a combination input they are inadmissible (scoring.py:
     # 268-271) so outputs are unchanged, but their tokens now resolve
@@ -569,12 +591,12 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through to the fuzzy probe, turning the bench into a measure of
     # fuzzy-probing 8K unique tokens instead of the W1 rank plan
     components = ks.filter(m == 4).select(
-        gen.alias("generic_name"),
-        F.concat(F.lit("DBS"), k.cast("string")).alias("drugbank_id"),
+        gen4.alias("generic_name"),
+        F.concat(F.lit("DBS"), kp.cast("string")).alias("drugbank_id"),
     ).union(ks.filter(m == 4).select(
-        F.concat(F.lit("ZPART"), k.cast("string")).alias("generic_name"),
-        F.concat(F.lit("DBZ"), k.cast("string")).alias("drugbank_id"),
-    ))
+        F.concat(F.lit("ZPART"), ka).alias("generic_name"),
+        F.concat(F.lit("DBZ"), kp.cast("string")).alias("drugbank_id"),
+    )).distinct()
     generics = generics.union(components)
     cname = F.when(m == 4, combo_name).otherwise(gen).alias("generic_name")
     atc = None
@@ -584,7 +606,7 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m == 2, "C09AA"), (m == 2, "N02BE01"),
         (m == 4, "N02BE01"), (m == 4, "J01CR02"),
     ):
-        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code"))
+        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code")).distinct()
         atc = leg if atc is None else atc.union(leg)
     return tag_descriptions(esoa, generics, flag_combination_atc(atc)).select(
         "raw_text", "generic_name", "atc_codes", "atc_primary", "matched"

@@ -100,8 +100,24 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
     dims on the driver (dims are broadcast-sized by design)."""
     from ..functions.matching import build_combination_keys_ref_py
 
-    def combo_keys(sgs: list[str], syn: dict[str, str]) -> list[str]:
-        keys = list(build_combination_keys_ref_py(sgs))
+    def combo_keys(
+        sgs: list[str], syn: dict[str, str], clean_tokens: list[str] = ()
+    ) -> list[str]:
+        # CLEAN-token combination keys probe FIRST (reference
+        # tagger.py:672-680 + 757-764 collection order). _clean_tokens
+        # is the clean extraction when one ran, else the merged token
+        # list's FIRST TWO (tagger.py:622) — that [:2] truncation is
+        # what lets a 3-component typo'd combination fuzzy-reach a
+        # 2-component dim generic through the pair key (r10
+        # corpus-fuzz catch, seed 99991 comma-dose combos).
+        keys: list[str] = []
+        if clean_tokens is not None and len(clean_tokens) >= 2:
+            keys = list(build_combination_keys_ref_py(list(clean_tokens)))
+            for k in list(keys):
+                ks = apply_synonym_py(k, syn)
+                if ks != k and ks not in keys:
+                    keys.append(ks)
+        keys += [k for k in build_combination_keys_ref_py(sgs) if k not in keys]
         normalized = [apply_synonym_py(s, syn) for s in sgs]
         keys += [k for k in build_combination_keys_ref_py(normalized) if k not in keys]
         for k in list(keys):
@@ -110,155 +126,13 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 keys.append(ks)
         return keys
 
-    from ..functions.tokens import normalize_generic_combination_py
-
-    import re as _re
-
-    # reference tokenizer.py:982-1002 (normalize_tokens) and 976-1001
-    # (extract_generic_tokens): the trailing-salt multiword table and
-    # the cation exception set, verbatim
-    _TRAILING_SALT_WORDS = {
-        "SODIUM PHOSPHATE", "DISODIUM PHOSPHATE", "SODIUM SUCCINATE",
-        "SODIUM SULFATE", "POTASSIUM PHOSPHATE", "CALCIUM PHOSPHATE",
-        "MAGNESIUM SULFATE", "SODIUM CHLORIDE",
-    }
-    _CATIONS = {"SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM"}
-    from ..functions.constants import PURE_SALT_COMPOUNDS as _PSC
-
-    _PURE_SALT_SORTED = sorted(p.upper() for p in _PSC)
-
-    def multiword_hits(
-        t: str, gname: str | None, multiword, matcher=None
-    ) -> tuple[list[str], list[str], list[str]]:
-        """Reference extract_generic_tokens' multiword matching
-        (tokenizer.py:1113-1200 via tagger.py:606-620): any multiword
-        DIM name — including '+'-combination names like 'ALUMINUM
-        HYDROXIDE + MAGNESIUM HYDROXIDE' — found verbatim in the text
-        (or in the F15-cleaned name) becomes ONE lookup token, which is
-        what lets combination-named unified rows exact-hit with their
-        ATC/DrugBank payload. Longest-first with substring dedup, the
-        reference's order.
-
-        Returns (prepend, append) — r9 randomized-corpus catch: the
-        reference's token ORDER is load-bearing (fuzzy-correction
-        slots assign positionally, and stripped[0]/[1] are the IV
-        active/vehicle). normalize_tokens PREPENDS multiword matches
-        (longest-first, tokenizer.py:1004-1014) — so 'MAGNESIUM
-        HYDROXIDE' leads the token list for 'ALUMINUM HYROXIDE +
-        MAGNESIUM HYDROXIDE' — EXCEPT trailing-salt multiwords
-        ('DRUG SODIUM PHOSPHATE' shapes, the table above), which
-        normalize skips entirely: with ' IN ' before them (IV
-        solutions) the positional pre-pass still emits them at their
-        text position (≈ append — something precedes them by
-        definition), and WITHOUT ' IN ' neither pass emits them at
-        all ('SODIUM PHOSPHATE' in 'DEXAMETHASONE SODIUM PHOSPHATE'
-        never probes).
-
-        Containment is BARE-SUBSTRING, the reference's own test
-        (tokenizer.py:1174 `if mw in text_upper` and normalize_tokens'
-        `if mwg in text`) — NOT word-boundary. This is what lets a
-        combination text whose typo leaves the clean multiword intact
-        as a substring ('AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE')
-        still resolve (r9 corpus-fuzz find, seeds 77/2024/99991; was
-        the one open divergence in PARITY.md).
-
-        Third return list: the reference's PURE_SALT_COMPOUNDS re-add
-        (tokenizer.py:1214-1231) — pure-salt vocabulary names found as
-        bare substrings of the text join the token list APPENDED after
-        the word-level tokens (exact-membership dedup only, unlike the
-        multiword pass's substring dedup), gated by the same
-        '( as …)' content test (psc IN content, one-directional) and
-        the trailing-salt table. The reference iterates a SET here, so
-        multi-re-add relative order is hash-dependent (PARITY.md
-        watchlist); engine rule: first-occurrence text position, then
-        lexical."""
-        tu = (t or "").upper()
-        hay = " " + " ".join(((gname or "") + " ; " + tu).split()) + " "
-        salt_paren = {
-            m.group(1).strip().upper()
-            for m in _re.finditer(r"\(\s*as\s+([^)]+)\)", tu, _re.IGNORECASE)
-        }
-        prepend: list[str] = []
-        append: list[str] = []
-        # r10: `hay` is never mutated, so one automaton scan replaces
-        # the per-text O(|dim multiwords|) substring sweep — candidates
-        # keep the pre-sorted longest-first order
-        if matcher is not None:
-            present = matcher.find(hay)
-            candidates = [m for m in multiword if m in present] if present else ()
-        else:
-            candidates = multiword
-        for mw in candidates:  # pre-sorted longest-first by the caller
-            if mw not in hay or any(mw in h for h in prepend + append):
-                continue
-            if any(mw in sc or sc in mw for sc in salt_paren):
-                continue  # inside a '( as …)' pattern: skipped by both passes
-            if mw in _TRAILING_SALT_WORDS:
-                pos = tu.find(mw)
-                before = tu[:pos].strip() if pos >= 0 else ""
-                if before:
-                    # the bare-substring check is the reference's own
-                    # (runners… tokenizer.py:994-1001 has no padding)
-                    if " IN " in before:
-                        append.append(mw)  # IV base solution: positional
-                        continue
-                    if before.split()[-1] not in _CATIONS:
-                        continue  # trailing salt suffix: never a token
-            prepend.append(mw)
-        # PURE_SALT_COMPOUNDS re-add (reference tokenizer.py:1214-1231):
-        # bare-substring over the TEXT only (not the cleaned gname — the
-        # reference runs this inside extract_generic_tokens per input,
-        # and the raw-text call is the one whose token list survives),
-        # exact-membership dedup (a psc that is a substring of a matched
-        # combo multiword still re-adds — that is what emits the
-        # corrected singles for a typo'd combination), '( as …)'
-        # one-directional content gate, trailing-salt gate.
-        salt_readd: list[str] = []
-        emitted = set(prepend) | set(append)
-        psc_order = sorted(
-            (p for p in _PURE_SALT_SORTED if p in tu),
-            key=lambda p: (tu.find(p), p),
-        )
-        for psc in psc_order:
-            if psc in emitted or psc in salt_readd:
-                continue
-            if any(psc in sc for sc in salt_paren):
-                continue
-            if psc in _TRAILING_SALT_WORDS:
-                pos = tu.find(psc)
-                before = tu[:pos].strip() if pos >= 0 else ""
-                if before and " IN " not in before and before.split()[-1] not in _CATIONS:
-                    continue
-            salt_readd.append(psc)
-        return prepend, append, salt_readd
-
-    def merge_clean(t: str, details: dict, comps: list[str]) -> list[str]:
-        """Reference tagger.py:604-619: when the F15 extractor yields a
-        cleaner generic name than the raw text, ALSO tokenize it and
-        merge (clean tokens first, dedup-preserving order). This is
-        what resolves comma-detail texts like 'CLARITHROMYCIN,
-        CLARITHROMED, 125MG/ML, FOR SUSPENSION' — the raw tokenizer
-        sees one junk-bearing component, the clean one is exact."""
-        gname = details.get("generic_name")
-        if gname and gname != t.upper():
-            clean = [
-                c
-                for c in normalize_generic_combination_py(gname).lower().split(" + ")
-                if c
-            ]
-            if clean and clean != comps:
-                return list(dict.fromkeys(clean + comps))
-        return comps
-
     @F.pandas_udf(_DOC_ENRICH_SCHEMA)
     def _doc_enrich(
         text: pd.Series, n_comp: pd.Series, components: pd.Series
     ) -> pd.DataFrame:
         from ..functions.tokens import (
             categorize_tokens_py,
-            detect_compound_salts_py,
-            normalize_tokens_py,
-            split_with_parentheses_py,
+            extract_generic_tokens_py,
         )
 
         from ..functions.vaccines import match_vaccine_text_py
@@ -285,195 +159,41 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                     d["type_details"] = (
                         f"{d['type_details']}; {vdet}" if d.get("type_details") else vdet
                     )
-        # dose/form/route output columns: F20 categories over the
-        # reference's FULL token chain — split_with_parentheses →
-        # detect_compound_salts → normalize_tokens(drop_stopwords,
-        # multiword, original_text) → categorize (tokenizer.py:
-        # 1113-1200 via tagger.py:606/837/937-951). The stopword drop
-        # matters: full form words (TABLET/VIAL/CAPSULE/...) are
-        # reference STOPWORDS and never categorize as forms — only
-        # abbreviations (TAB/CAPS/SUSP) do — and Part 4's form/route
-        # gates consume these columns, so skipping normalize_tokens
-        # diverges on e.g. 'X 1 g VIAL' annex rows (r6 dense-annex
-        # differential finding).
-        # build_multiword_generics_py uppercases its members, so the
-        # broadcast set IS the upper set — reusing the broadcast object
-        # (not a fresh per-batch frozenset) is what lets the
-        # multiword_prep identity cache hold across tasks in a worker
-        from ..functions.tokens import multiword_prep
+        # --- reference tagger.py:604-637 + 837: ONE extract twin run
+        # per text supplies BOTH the lookup token list and the
+        # dose/form/route categories (the reference's categories come
+        # from the same extract's token list). r10: the former
+        # multiword_hits + word_expand + merge_clean composition
+        # APPROXIMATED extract_generic_tokens; the corpus fuzz's
+        # double-pure-salt IV shapes caught the approximation's
+        # clean-pass hole — the reference re-runs the FULL extractor
+        # on the F15-cleaned name (tagger.py:614-619), where a leading
+        # element-drug token like SODIUM categorizes as a generic.
+        # extract_generic_tokens_py is fuzzed verbatim against the
+        # live reference (scripts/fuzz_extract_tokens_vs_reference.py,
+        # ~9.2K composed texts, 0 mismatches).
+        extracted = [extract_generic_tokens_py(t, multiword) for t in text]
+        cats = [categorize_tokens_py(toks) for toks, _ in extracted]
+        merged = []
+        clean_toks: list[list[str]] = []
+        for t, (toks, gt), d, (vn, _) in zip(text, extracted, details, vac):
+            # vaccine canonical name becomes the PRIMARY token BEFORE
+            # the clean merge (reference tagger.py:608-611)
+            if vn:
+                gt = [vn] + [g for g in gt if g.upper() != vn.upper()]
+            # clean pass: the F15 generic_name (vaccine-overridden
+            # above, like the reference's drug_details) re-extracted,
+            # clean tokens FIRST (tagger.py:613-619)
+            gname = d.get("generic_name")
+            clean_gt: list[str] = []
+            if gname and gname != t.upper():
+                _, clean_gt = extract_generic_tokens_py(gname, multiword)
+                gt = list(dict.fromkeys(clean_gt + gt))
+            # _clean_tokens (tagger.py:622): the clean extraction if it
+            # produced anything, else the merged list's first two
+            clean_toks.append(clean_gt if clean_gt else gt[:2])
+            merged.append([g.lower() for g in gt])
 
-        mw_upper = multiword
-        cats = [
-            categorize_tokens_py(
-                normalize_tokens_py(
-                    detect_compound_salts_py(split_with_parentheses_py(t)),
-                    multiword_generics=mw_upper,
-                    original_text=t,
-                )
-            )
-            for t in text
-        ]
-        merged = [
-            merge_clean(t, d, list(c) if c is not None else [])
-            for t, d, c in zip(text, details, components)
-        ]
-        # multiword dim names found in the text join the token list —
-        # Reference ORDER (r9): multiwords passing normalize_tokens'
-        # gates PREPEND (longest-first); trailing-salt multiwords with
-        # ' IN ' before them are positional — the IV base solution
-        # stays AFTER the active, so stripped[0]=active/[1]=vehicle
-        # holds exactly as before for IV shapes.
-        mw_sorted, mw_matcher = multiword_prep(multiword)
-        hits_split_per_doc = [
-            multiword_hits(t, d.get("generic_name"), mw_sorted, mw_matcher)
-            for t, d in zip(text, details)
-        ]
-        hits_per_doc = [
-            [m.lower() for m in pre + post] for pre, post, _ in hits_split_per_doc
-        ]
-        # salt re-adds merge AFTER the word-level components (reference
-        # appends them after matched-multiword insertion, before the
-        # '+'-block's glued parts)
-        merged = [
-            list(dict.fromkeys(
-                [m.lower() for m in pre] + comps + [m.lower() for m in post]
-                + [m.lower() for m in salts]
-            ))
-            for comps, (pre, post, salts) in zip(merged, hits_split_per_doc)
-        ]
-        # vaccine canonical name becomes the PRIMARY lookup token
-        # (reference tagger.py:608-610 prepend)
-        merged = [
-            (
-                [vn.lower()] + [c for c in comps if c.upper() != vn.upper()]
-                if vn
-                else comps
-            )
-            for (vn, _), comps in zip(vac, merged)
-        ]
-        from ..functions.constants import PURE_SALT_COMPOUNDS
-        from ..functions.tokens import _SALT_UPPER, STOPWORDS
-
-        # batch-scope constants for word_expand (r10: these were
-        # rebuilt per CALL — 20K stopword-frozenset builds per batch)
-        _STOP_LOWER = frozenset(w.lower() for w in STOPWORDS)
-        _SKIP_COMBO_FIRST = {
-            "DILUENT", "SOLVENT", "DOSE", "DOSES", "VIAL", "AMPULE", "SYRINGE",
-        }
-
-        def word_expand(
-            comps: list[str], vn: str | None, hits: list[str], has_plus: bool = False
-        ) -> list[str]:
-            """Reference token granularity: unknown multi-word phrases
-            arrive ONE WORD PER TOKEN from extract_generic_tokens —
-            only multiword DIM names, pure-salt compounds, vaccine
-            names, and '+'-combinations stay whole (tokenizer.py:
-            1113-1200). 'NEOSTIGMINE METHYLSULFATE' must probe as
-            NEOSTIGMINE + METHYLSULFATE, not as one glued phrase
-            (diff-adjudicated). Words already claimed by a multiword
-            dim hit are CONSUMED, not re-emitted (round 7): the
-            reference's tokenizer extracts 'SODIUM CHLORIDE' from
-            'sodium chloride injection usp' and never probes a bare
-            'sodium' — re-emitting it exact-hits single-cation dim
-            rows (e.g. PNF F6 bases) the reference never sees as
-            candidates (diff-adjudicated on SODIUM CHLORIDE INJECTION
-            USP once Part-1 F6 went verbatim).
-
-            Standalone SALT-category words are DROPPED (r9,
-            randomized-corpus fuzz catch): the reference's probe
-            tokens are categorize_tokens' GENERIC bucket
-            (tokenizer.py generic_tokens), so a bare SODIUM — whether
-            a single token or the residue of splitting an unknown
-            'DRUG SODIUM' phrase — never probes ('Qouetiamycin Sodium'
-            exact-hit the single-cation SODIUM dim row here while the
-            reference fuzzy-matched QUETIAMYCIN). Phrases kept whole
-            (multiword dims, pure-salt compounds, vaccines,
-            '+'-combinations) bypass, same as the reference's
-            multiword pre-pass and PURE_SALT re-add."""
-            out: list[str] = []
-            glued: list[str] = []
-            for c in comps:
-                if (
-                    " " in c
-                    and "+" not in c
-                    and c.upper() not in multiword
-                    and c.lower() not in PURE_SALT_COMPOUNDS
-                    and c.upper() != (vn or "").upper()
-                    and "VACCINE" not in c.upper()
-                ):
-                    residue = " " + " ".join(c.split()) + " "
-                    for m in hits:
-                        if m != c:
-                            # loop: back-to-back occurrences share the
-                            # separator space, so one replace pass
-                            # leaves every second occurrence behind
-                            pat = f" {m} "
-                            while pat in residue:
-                                residue = residue.replace(pat, " ")
-                            # reference normalize_tokens consumes the
-                            # RAW substring (`text.replace(mwg, " ")`,
-                            # tokenizer.py:1013) — a multiword claimed
-                            # as a bare substring inside a typo'd word
-                            # ('AALUMINUM HYDROXIDE' claiming 'ALUMINUM
-                            # HYDROXIDE') leaves only the fragment,
-                            # which categorize drops at len<2. A
-                            # '+'-combination hit spans components, so
-                            # its ' + '-separated parts stand in for
-                            # the whole-text replace at this
-                            # per-component granularity.
-                            for frag in ([m] if " + " not in m else m.split(" + ")):
-                                if frag and frag in residue:
-                                    residue = residue.replace(frag, " ")
-                    out.extend(
-                        w for w in residue.split()
-                        if w and len(w) > 1 and w.upper() not in _SALT_UPPER
-                    )
-                    # reference '+'-block (tokenizer.py:1063-1100): on
-                    # combination texts each part's GLUED multi-word
-                    # remainder ALSO joins generic_tokens (appended
-                    # after the word-level tokens) — 'CLAVULANIC ACAID'
-                    # rides alongside CLAVULANIC + ACAID, and the
-                    # combination keys built from it are what let the
-                    # reference fuzzy-rescue typo'd multiword
-                    # components (r9 randomized-corpus catch, seed
-                    # 2024). The block's SECOND PASS filters salt and
-                    # stopword words out of a multi-word glue (so
-                    # 'MAGNESIUM YHDROXIDE' glues to just 'YHDROXIDE' —
-                    # dedupe absorbs it) while a SINGLE-word salt part
-                    # is kept ('ACID + ZINC' keeps ZINC). Non-'+'
-                    # texts never glue (SINECOD FORTE stays two
-                    # tokens).
-                    if (
-                        has_plus
-                        and c.split()[0].upper() not in _SKIP_COMBO_FIRST
-                    ):
-                        gw = [
-                            w for w in c.split()
-                            if w.upper() not in _SALT_UPPER
-                            and w.lower() not in _STOP_LOWER
-                        ]
-                        if gw:
-                            glued.append(" ".join(gw))
-                elif (
-                    " " not in c
-                    and c.upper() in _SALT_UPPER
-                    and c.upper() != (vn or "").upper()
-                    and not has_plus
-                ):
-                    # standalone salt word: salt category, never a
-                    # generic token — EXCEPT as a whole '+'-part, which
-                    # the reference's combination block keeps when the
-                    # part is a single word (tokenizer.py:1084-1087,
-                    # "ZINC alone should be kept")
-                    continue
-                else:
-                    out.append(c)
-            return list(dict.fromkeys(out + glued))
-
-        merged = [
-            word_expand(c, vn, hits, has_plus=("+" in t))
-            for c, (vn, _), hits, t in zip(merged, vac, hits_per_doc, text)
-        ]
         stripped = [
             stripped_generics_py(c, brand_map, multiword) for c in merged
         ]
@@ -488,7 +208,9 @@ def _make_doc_enrich(brand_b, mw_b, syn_b):
                 "details": details,
                 "components": merged,
                 "stripped": stripped,
-                "combo_keys": [combo_keys(sgs, syn) for sgs in stripped],
+                "combo_keys": [
+                    combo_keys(sgs, syn, ct) for sgs, ct in zip(stripped, clean_toks)
+                ],
                 "cat_dose": ["|".join(c["dose"]) or None for c in cats],
                 "cat_form": [next(iter(c["form"]), None) for c in cats],
                 "cat_route": ["|".join(c["route"]) or None for c in cats],

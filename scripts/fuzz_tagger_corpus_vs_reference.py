@@ -59,10 +59,19 @@ def compose_texts(dims: dict[str, pd.DataFrame], n: int, rng: random.Random) -> 
     salts = ["HYDROCHLORIDE", "SULFATE", "SODIUM", "MALEATE", "TRIHYDRATE"]
     forms = ["TAB", "TABLET", "CAPSULE", "SYRUP", "VIAL", "NEBULE", "CREAM"]
 
+    pure_salts = ["SODIUM LACTATE", "POTASSIUM CITRATE", "CALCIUM ACETATE",
+                  "SODIUM GLUCONATE", "MAGNESIUM CITRATE"]
     texts: list[str] = []
     while len(texts) < n:
         r = rng.random()
-        dose = f"{rng.choice([50, 100, 250, 500, 625])}{rng.choice([' MG', 'MG'])}"
+        # r10: comma-grouped and decimal dose shapes (the Part-1 fuzz
+        # found '1,000 mg' parsing divergences — probe the Parts 2-4
+        # chain with the same shapes), occasionally no space
+        dose = rng.choice([
+            f"{rng.choice([50, 100, 250, 500, 625])}{rng.choice([' MG', 'MG'])}",
+            f"1,{rng.choice([0, 2, 5])}00 MG",
+            f"{rng.choice(['0.5', '2.5', '12.5'])} MG",
+        ])
         form = rng.choice(forms)
         if r < 0.30:  # single generic, maybe typo'd / salted / parenthetical
             g = rng.choice(names)
@@ -97,7 +106,15 @@ def compose_texts(dims: dict[str, pd.DataFrame], n: int, rng: random.Random) -> 
         elif r < 0.88:  # IV-ish shapes
             g = rng.choice(names)
             veh = rng.choice(["SODIUM CHLORIDE", "DEXTROSE", "WATER"])
-            texts.append(f"{rng.choice(['5%', '0.9%', '10%'])} {g} IN {veh} 1 L BOTTLE")
+            if rng.random() < 0.25:
+                # r10 (PARITY class 6 shape): TWO pure-salt compounds
+                # reaching the token list only via the set-iteration
+                # re-add — order-flipping rows are excluded by the
+                # triple-run adjudication, everything else must match
+                a, b = rng.sample(pure_salts, 2)
+                texts.append(f"5% {a}{rng.choice(['*', '/'])}{b} IN 1 L BOTTLE")
+            else:
+                texts.append(f"{rng.choice(['5%', '0.9%', '10%'])} {g} IN {veh} 1 L BOTTLE")
         else:  # junk / near-junk
             texts.append(
                 rng.choice([

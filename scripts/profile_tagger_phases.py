@@ -27,23 +27,29 @@ def build_inputs(spark, sf_dir):
     k = F.col("k")
     m = k % 5
     gen = F.concat(F.lit("GEN"), k.cast("string"))
-    combo_name = F.concat(gen, F.lit(" + ZPART"), k.cast("string"))
+    # digit-free, POOL-BOUNDED combo names, in sync with the headline
+    # query (r10 — see plans/domain2.tagger_w1_rank_headline)
+    kp = k % 485
+    ka = F.translate(kp.cast("string"), "0123456789", "ABCDEFGHIJ")
+    gen4 = F.concat(F.lit("GEN"), ka)
+    combo_name = F.concat(gen4, F.lit(" + ZPART"), ka)
     esoa = ks.select(
-        F.when(m == 4, F.concat(combo_name, F.lit(" 10 MG")))
+        F.when(m == 4, F.concat(combo_name, F.lit(" "), ((k % 89) + 1).cast("string"), F.lit(" MG")))
         .otherwise(F.concat(gen, F.lit(" 500 MG TABLET")))
         .alias("raw_text")
     )
     generics = ks.select(
         F.when(m == 4, combo_name).otherwise(gen).alias("generic_name"),
-        F.concat(F.lit("DB"), k.cast("string")).alias("drugbank_id"),
-    )
+        F.when(m == 4, F.concat(F.lit("DB"), kp.cast("string")))
+        .otherwise(F.concat(F.lit("DB"), k.cast("string"))).alias("drugbank_id"),
+    ).distinct()
     components = ks.filter(m == 4).select(
-        gen.alias("generic_name"),
-        F.concat(F.lit("DBS"), k.cast("string")).alias("drugbank_id"),
+        gen4.alias("generic_name"),
+        F.concat(F.lit("DBS"), kp.cast("string")).alias("drugbank_id"),
     ).union(ks.filter(m == 4).select(
-        F.concat(F.lit("ZPART"), k.cast("string")).alias("generic_name"),
-        F.concat(F.lit("DBZ"), k.cast("string")).alias("drugbank_id"),
-    ))
+        F.concat(F.lit("ZPART"), ka).alias("generic_name"),
+        F.concat(F.lit("DBZ"), kp.cast("string")).alias("drugbank_id"),
+    )).distinct()
     generics = generics.union(components)
     cname = F.when(m == 4, combo_name).otherwise(gen).alias("generic_name")
     atc = None
@@ -53,7 +59,7 @@ def build_inputs(spark, sf_dir):
         (m == 2, "C09AA"), (m == 2, "N02BE01"),
         (m == 4, "N02BE01"), (m == 4, "J01CR02"),
     ):
-        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code"))
+        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code")).distinct()
         atc = leg if atc is None else atc.union(leg)
     return esoa, generics, flag_combination_atc(atc)
 
