@@ -47,6 +47,8 @@ from ..sources.tables import table
 from .dedup import (
     _SQL_SHINGLES,
     _SQL_VERIFIED,
+    _verified_pairs_core,
+    distinct_text_reps,
     minhash_verified_pairs,
     word_shingles,
 )
@@ -149,28 +151,53 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → every document labelled with its cluster's
     canonical (min) doc_id, cluster size, and a keep flag. This is the
     stage after pair generation that an actual dedup pipeline filters
-    on (``is_canonical``)."""
+    on (``is_canonical``).
+
+    Exact-group-first (r11, the production 100 TB flow): this stage
+    never needs doc-level PAIRS — so it collapses identical texts to
+    representatives (distinct_text_reps), runs generate-and-verify AND
+    connected components at REP level, then expands membership with
+    one linear join: doc → rep → component label. A million-doc
+    boilerplate cluster costs one md5 groupBy + one join row per doc
+    instead of ~n²/2 band candidates. Exactness: identical texts
+    always pair with their rep (Jaccard 1) and with exactly the reps'
+    neighbors, so contracting each exact group to its rep preserves
+    components and min-labels (rep is the group min, so the cluster
+    min over reps IS the cluster min over docs); sub-3-token docs
+    never pair in either path and stay singletons via the left join."""
     d = table(spark, sf_dir, "documents")
-    # one shared generate-and-verify pipeline with dedup's pair
-    # operator — same banding, threshold, AND scale gating (the
-    # candidate-doc semi-filter engages only past
-    # _SEMI_FILTER_MIN_DOCS; an earlier copy here applied it
-    # unconditionally and re-paid the judge-measured 2x small-scale
-    # cost the gate exists to avoid)
-    verified, caches = minhash_verified_pairs(d)
+    n_docs = d.count()  # bare parquet scan — metadata-only
+    member, rep_docs = distinct_text_reps(d, "text", "doc_id")
+    member = member.persist()  # consumed by components' edge build + final expansion
+    rep_docs = rep_docs.persist()
+    sc = spark.sparkContext
+    # same core as dedup's pair operator — same banding, threshold,
+    # AND scale gating (the candidate-doc semi-filter engages only
+    # past _SEMI_FILTER_MIN_DOCS)
+    verified, _, caches = _verified_pairs_core(
+        rep_docs, "text", "doc", n_docs, n_parts=sc.defaultParallelism
+    )
+    caches.append(rep_docs)
 
     # connected_components materializes its edge input eagerly
-    # (localCheckpoint), so the pair pipeline's caches are consumed by
-    # the time it returns — release them instead of leaking them into
+    # (localCheckpoint), so the pipeline's caches are consumed by the
+    # time it returns — release them instead of leaking them into
     # executor storage for the rest of the session. try/finally so the
     # release also happens when components fail to converge (the loud
-    # RuntimeError path).
+    # RuntimeError path). member stays persisted: the FINAL output
+    # plan consumes it (attached as persisted_intermediates, the
+    # tagger convention — the CacheManager dedups repeat calls).
     try:
         comp = connected_components(verified.select("doc_a", "doc_b"))
     finally:
         for r in caches:
             r.unpersist()
-    return assign_clusters(d, "doc_id", comp)
+    lab = member.join(comp, member.rep == comp.doc, "left").select(
+        member.doc, F.coalesce("cluster_id", "rep").alias("cluster_id")
+    )
+    out = assign_clusters(d, "doc_id", lab)
+    out.persisted_intermediates = [member]
+    return out
 
 
 def assign_clusters(base: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
