@@ -1,0 +1,70 @@
+"""Per-SparkContext memoization for expensive DRIVER-side plan
+artifacts that are pure functions of static vocabulary constants:
+
+- ``cached_column``: big Column expression trees (the native vocab
+  twins build ~450-literal InSets and dozens of regexp stages — each
+  literal is a py4j round trip, measured 0.6 s per rebuild of the
+  combination normalizer at steady state). The unresolved Column is
+  reusable across DataFrames within one JVM, so one build per
+  SparkContext serves every tag() call.
+- ``cached_broadcast``: driver→executor broadcasts of collected dim
+  dicts. Every tag() call re-collects its dims and re-broadcasts the
+  same content (the worker-side trie cache already fingerprints
+  content for this reason — r10); keying the broadcast itself on a
+  content fingerprint skips the per-call pickle + broadcast job and
+  lets the worker caches hit their cheap id() tier.
+
+Keys include ``sc.applicationId`` so a stopped-and-recreated session
+never serves stale py4j object handles. Fingerprints hash the FULL
+content (not a sample): dim dicts are broadcast-sized by contract, so
+hashing them is microseconds against the pickle they replace.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark import SparkContext
+
+_COLUMNS: dict[tuple, Any] = {}
+_BROADCASTS: dict[tuple, Any] = {}
+
+
+def _app_id() -> str:
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else "<none>"
+
+
+def cached_column(name: str, col_name: str, build: Callable[[], Any]):
+    """Return the memoized Column for (builder name, input column
+    name), building it once per SparkContext."""
+    key = (_app_id(), name, col_name)
+    col = _COLUMNS.get(key)
+    if col is None:
+        col = _COLUMNS[key] = build()
+    return col
+
+
+def _freeze(value: Any) -> Any:
+    if isinstance(value, dict):
+        return frozenset((k, _freeze(v)) for k, v in value.items())
+    if isinstance(value, (list, tuple)):
+        return tuple(_freeze(v) for v in value)
+    if isinstance(value, (set, frozenset)):
+        return frozenset(_freeze(v) for v in value)
+    return value
+
+
+def cached_broadcast(sc: SparkContext, name: str, value: Any):
+    """Broadcast ``value`` once per (SparkContext, content): repeat
+    calls with equal content return the SAME Broadcast object."""
+    # the FROZEN CONTENT is the key (not its hash): dict lookup
+    # resolves hash collisions through __eq__, so a hit is exact
+    # equality by construction; the retained frozen copy is
+    # broadcast-sized by the same contract as the value itself
+    key = (sc.applicationId, name, _freeze(value))
+    b = _BROADCASTS.get(key)
+    if b is None:
+        b = _BROADCASTS[key] = sc.broadcast(value)
+    return b

@@ -511,12 +511,29 @@ def normalize_generic_combination_native(col):
     split components on IN/WITH/AND/+ → per-component token filtering
     (stopwords, form/route vocab, bare numbers) → order-preserving
     dedupe → ' + ' join, uppercased. No cross-'+' ion merge — live
-    reference parity (see the Python twin's docstring)."""
+    reference parity (see the Python twin's docstring).
+
+    Driver cost: the expression embeds a ~450-literal InSet plus
+    dozens of regexp stages — ~0.6 s of py4j round trips per build at
+    steady state (r11 measured), paid per tag() call. Pass the column
+    NAME (a str) to get the once-per-SparkContext memoized tree
+    (functions/exprcache); a Column input always builds fresh."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        from .exprcache import cached_column
+
+        return cached_column(
+            "combo_native", col, lambda: _combo_native_build(F.col(col))
+        )
+    return _combo_native_build(col)
+
+
+def _combo_native_build(c):
     from pyspark.sql import Column, functions as F
 
     from .text import normalize_text
 
-    c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(c, r"\([^)]*\)", " ")
     s = normalize_text(s)
     # multiword-generic protection — same patterns as the Python twin

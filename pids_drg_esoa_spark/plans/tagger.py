@@ -34,6 +34,8 @@ shuffles; the only wide op is the per-doc candidate window, whose key
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -394,7 +396,10 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
         .withColumn("text_norm", normalize_text(F.col("raw_text")))
         # native (whole-stage-codegen) twin of the Python extractor —
         # equivalence pinned by tests/test_native_combination_parity.py
-        .withColumn("combo_str", normalize_generic_combination_native(F.col("raw_text")))
+        # passed as a NAME so the ~0.6 s expression tree is memoized
+        # per SparkContext (functions/exprcache) instead of rebuilt
+        # through thousands of py4j round trips per tag() call
+        .withColumn("combo_str", normalize_generic_combination_native("raw_text"))
         .withColumn(
             "components",
             F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
@@ -442,7 +447,27 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
     # localCheckpoint costs a job retry — acceptable for a bounded
     # doc relation, and the runner's checkpoint_dir covers the
     # reliable-checkpoint variant for the long-lineage dims.
-    return docs.localCheckpoint(eager=True)
+    #
+    # LAZY checkpoint + background materialization (r11): eager=False
+    # already truncates the logical plan to a LogicalRDD leaf (no
+    # children — verified), so downstream plan construction can start
+    # immediately while a daemon thread runs the enrich job. The
+    # BlockManager's per-partition compute-or-wait locking makes the
+    # race benign: whoever touches a partition first computes it, the
+    # other waits — keys.count() (the next blocking action) then pays
+    # only the not-yet-finished remainder instead of the full ~1.6 s
+    # enrich wall. Thread failures are swallowed: the partitions are
+    # recomputed (or the error re-raised) by the next real action.
+    docs = docs.localCheckpoint(eager=False)
+
+    def _materialize() -> None:
+        try:
+            docs.count()
+        except Exception:
+            pass  # surfaced by the next action on `docs`
+
+    threading.Thread(target=_materialize, daemon=True).start()
+    return docs
 
 
 # Persisted intermediates created while building the CURRENT
@@ -544,9 +569,12 @@ def _token_matches(
 
     # Singular retry (F29, lookup.py:52-94): plural first word →
     # singular, re-probe the generics dim.
-    sing = keys.withColumn("skey2", _singular_key(F.col("key"))).filter(
-        F.col("skey2") != F.col("key")
-    )
+    from ..functions.exprcache import cached_column
+
+    sing = keys.withColumn(
+        "skey2",
+        cached_column("singular_key", "key", lambda: _singular_key(F.col("key"))),
+    ).filter(F.col("skey2") != F.col("key"))
     tiers.append(tier(sing.join(g, sing.skey2 == F.col("gkey")), 0, PRIORITY_TOKEN, "singular"))
 
     if brands_dim is not None:
@@ -1145,9 +1173,17 @@ def _tag_descriptions_impl(
             if r[0]
         ]
     )
-    syn_b = sc.broadcast(syn_map)
-    brand_b = sc.broadcast(brand_map)
-    mw_b = sc.broadcast(multiword)
+    # content-fingerprinted broadcast reuse (r11): every tag() call
+    # collects the same dims and re-broadcast the same dicts — the
+    # pickle + broadcast cost was a measured slice of the per-call
+    # driver gap, and fresh Broadcast objects also defeated the
+    # worker-side id()-tier trie cache (content tier caught it, at the
+    # cost of a fingerprint verify per batch)
+    from ..functions.exprcache import cached_broadcast
+
+    syn_b = cached_broadcast(sc, "tagger_syn", syn_map)
+    brand_b = cached_broadcast(sc, "tagger_brand", brand_map)
+    mw_b = cached_broadcast(sc, "tagger_mw", multiword)
 
     docs = _components(esoa, text_col, brand_b, mw_b, syn_b)
 
