@@ -40,6 +40,10 @@ class RunResult:
     esoa_with_drug_code: DataFrame
     coverage: dict[str, int] = field(default_factory=dict)
     summary_md: str = ""
+    # reference log_metrics row per run_type (runners.py:1498-1531)
+    part_metrics: dict[str, dict] = field(default_factory=dict)
+    # reference value_counts(match_reason) per part (run_summary.md)
+    reason_counts: dict[str, dict[str, int]] = field(default_factory=dict)
 
 
 def flag_combination_atc(atc: DataFrame) -> DataFrame:
@@ -61,13 +65,39 @@ def flag_combination_atc(atc: DataFrame) -> DataFrame:
 _flag_combination_atc = flag_combination_atc
 
 
-def _coverage(tagged: DataFrame) -> tuple[int, int, int]:
-    row = tagged.agg(
+def _part_stats(
+    tagged: DataFrame,
+) -> tuple[int, int, int, dict[str, int], dict[str, int]]:
+    """Per-part coverage + match-reason counts in ONE aggregation
+    pass: (total, n_atc, n_db, coarse_reasons, granular_reasons).
+
+    ``coarse_reasons`` is the REFERENCE's output vocabulary — its
+    Part-2/3 match_reason column carries only matched / no_match /
+    no_candidates / error (tagger.py:85,821-1027), so its stats-dict
+    ``value_counts`` (runners.py:126,263 — NaN dropped, per OUTPUT
+    ROW) collapses every successful tier to 'matched'. The engine's
+    granular tier labels (exact/synonym/fuzzy/…) are kept alongside
+    for the run-summary breakdown; unmatched rows pass their label
+    through in both vocabularies (food-registry labels — an engine
+    extension; the reference's check_fda_food_fallback is dead code —
+    ride the unmatched branch unchanged)."""
+    rows = tagged.groupBy("matched", "match_reason").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("atc_primary").isNotNull(), 1).otherwise(0)).alias("n_atc"),
         F.sum(F.when(F.col("drugbank_id").isNotNull(), 1).otherwise(0)).alias("n_db"),
-    ).collect()[0]
-    return row.n, row.n_atc, row.n_db
+    ).collect()
+    total = sum(r.n for r in rows)
+    n_atc = sum(r.n_atc for r in rows)
+    n_db = sum(r.n_db for r in rows)
+    granular: dict[str, int] = {}
+    coarse: dict[str, int] = {}
+    for r in rows:
+        if r.match_reason is None:
+            continue
+        granular[str(r.match_reason)] = granular.get(str(r.match_reason), 0) + int(r.n)
+        key = "matched" if r.matched else str(r.match_reason)
+        coarse[key] = coarse.get(key, 0) + int(r.n)
+    return total, n_atc, n_db, coarse, granular
 
 
 def run_drugs_all(
@@ -187,32 +217,74 @@ def run_drugs_all(
     ).persist()
 
     # ---- Part 3: eSOA tagging (dedupe-by-text inside the tagger) ------
+    # Join back to the INPUT ROWS (A6): the reference's esoa_with_atc
+    # is one row per input row — tag_batch(deduplicate=True) merges
+    # results back by text (runners.py:193-231) — so a corpus with
+    # duplicate texts keeps its duplicates in the output AND in the
+    # coverage denominators (r11 metrics-parity catch: the engine
+    # previously emitted one row per DISTINCT text, silently shrinking
+    # Part-3/Part-4 totals on duplicate-bearing corpora).
     # persist: consumed by coverage, Part 4, and the caller.
-    esoa_tagged = tag(inputs["esoa"], "raw_text", with_food=True).persist()
+    esoa_tagged = (
+        inputs["esoa"]
+        .join(tag(inputs["esoa"], "raw_text", with_food=True), "raw_text", "left")
+        .persist()
+    )
 
     # ---- Part 4: bridge to drug codes ---------------------------------
     # Part 4 consumes the TAGGED outputs of Parts 2 and 3 (the
     # reference reads annex_f_with_atc + esoa_with_atc, runners.py:
     # 287-330) — candidate keys come from matched_generic_name and the
     # dose/form/route token columns, never from re-parsed raw text.
-    bridged = bridge_to_drug_codes(esoa_tagged, annex_tagged).persist()
+    # Bridge per DISTINCT text (its internal aggregations assume one
+    # row per text), then expand back to input rows (A6) so the output
+    # and its totals are per ROW like the reference's.
+    bridged = (
+        inputs["esoa"].select("raw_text")
+        .join(
+            bridge_to_drug_codes(
+                esoa_tagged.dropDuplicates(["raw_text"]), annex_tagged
+            ),
+            "raw_text",
+            "left",
+        )
+        .persist()
+    )
 
     # ---- summary + metrics (run_drugs_all.py:52-117) ------------------
-    a_n, a_atc, a_db = _coverage(annex_tagged)
-    e_n, e_atc, e_db = _coverage(esoa_tagged)
+    a_n, a_atc, a_db, a_coarse, a_reasons = _part_stats(annex_tagged)
+    e_n, e_atc, e_db, e_coarse, e_reasons = _part_stats(esoa_tagged)
     reason_rows = bridge_metrics(bridged).collect()
     n_bridged = sum(r.n for r in reason_rows if r.match_reason == "matched_perfect")
     n_total = sum(r.n for r in reason_rows)
+    p4_reasons = {
+        str(r.match_reason): int(r.n)
+        for r in reason_rows
+        if r.match_reason is not None
+    }
 
     def pct(x: int, n: int) -> str:
         return f"{(100.0 * x / n):.1f}%" if n else "n/a"
+
+    def reason_lines(reasons: dict[str, int], n: int) -> list[str]:
+        # the reference's _format_reason_lines ordering: count desc
+        # (ties pinned by name — its value_counts tie order is
+        # insertion order, not reproducible; PARITY class 1 analog)
+        return [
+            f"  - {r}: {c} ({pct(c, n)})"
+            for r, c in sorted(reasons.items(), key=lambda kv: (-kv[1], kv[0]))
+        ]
 
     lines = [
         "## Run summary",
         f"- Annex F rows tagged: {a_n}; ATC {a_atc} ({pct(a_atc, a_n)}); "
         f"DrugBank {a_db} ({pct(a_db, a_n)})",
+        "- Part 2 match reasons:",
+        *reason_lines(a_reasons, a_n),
         f"- eSOA rows tagged: {e_n}; ATC {e_atc} ({pct(e_atc, e_n)}); "
         f"DrugBank {e_db} ({pct(e_db, e_n)})",
+        "- Part 3 match reasons:",
+        *reason_lines(e_reasons, e_n),
         f"- eSOA → Drug Code: {n_bridged} ({pct(n_bridged, n_total)})",
         "- Part 4 failure breakdown:",
     ] + [
@@ -245,6 +317,41 @@ def run_drugs_all(
         "esoa_total": e_n, "esoa_atc": e_atc, "esoa_drugbank": e_db,
         "esoa_drug_code": n_bridged,
     }
+    # Reference-shaped per-part metrics rows — EXACTLY the fields
+    # log_metrics appends per run_type (runners.py:139-146,276-283,
+    # 1419-1424; pcts rounded to 2dp there). The reference appends all
+    # three shapes to ONE ragged CSV (pandas append writes positional
+    # rows against the first header); the engine writes each run_type
+    # under its own schema-stable parquet path instead.
+    def _pct2(x: int, n: int) -> float:
+        return round(100.0 * x / n, 2) if n else 0
+    part_metrics = {
+        "annex_f": {
+            "total": a_n, "matched_atc": a_atc, "matched_atc_pct": _pct2(a_atc, a_n),
+            "matched_drugbank": a_db, "matched_drugbank_pct": _pct2(a_db, a_n),
+        },
+        "esoa": {
+            "total": e_n, "matched_atc": e_atc, "matched_atc_pct": _pct2(e_atc, e_n),
+            "matched_drugbank": e_db, "matched_drugbank_pct": _pct2(e_db, e_n),
+        },
+        "esoa_to_drug_code": {
+            "total": n_total, "matched": n_bridged,
+            "matched_pct": _pct2(n_bridged, n_total),
+        },
+    }
     if metrics_path:
         append_metrics(spark, metrics_path, {k: str(v) for k, v in coverage.items()})
-    return RunResult(annex_tagged, esoa_tagged, bridged, coverage, summary)
+        for run_type, row in part_metrics.items():
+            append_metrics(
+                spark,
+                os.path.join(f"{metrics_path}_parts", run_type),
+                {"run_type": run_type, **{k: str(v) for k, v in row.items()}},
+            )
+    return RunResult(
+        annex_tagged, esoa_tagged, bridged, coverage, summary,
+        part_metrics,
+        # reference-vocabulary reason counts (what its stats dicts /
+        # run_summary sections carry); the granular tier labels are in
+        # summary_md
+        {"annex_f": a_coarse, "esoa": e_coarse, "esoa_to_drug_code": p4_reasons},
+    )

@@ -1,0 +1,175 @@
+"""Metrics / run-summary SURFACE parity (r10 judge item #5): the one
+reference output surface never differentially compared — the stats
+dicts its Part 2/3/4 runners return (runners.py:126-148, 255-283,
+1400-1424: totals, matched counts, 2dp percentages, match-reason
+value_counts) and the metrics_history.csv rows log_metrics appends
+(runners.py:1498-1531) — against the engine's RunResult.part_metrics
+/ reason_counts / coverage from ``run_drugs_all``.
+
+The corpus deliberately contains DUPLICATE eSOA texts (20% of rows
+repeated) because the reference counts per INPUT ROW after its
+dedupe-tag-merge-back, so a per-distinct-text engine accounting would
+silently disagree exactly here — the shape this harness exists to
+pin. Shared Part 1 (the engine's unified builders feed both sides,
+as in diff_reference.py): this isolates the METRICS layer; Part-1
+composition is covered by diff_reference_fullchain.py.
+
+Usage: python scripts/diff_reference_metrics.py [--scale 6]
+Exit 0 iff every compared field matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd  # noqa: E402
+
+import scripts.diff_reference as dr  # noqa: E402
+
+
+def run_reference_with_stats(esoa, annex):
+    """diff_reference.run_reference, but CAPTURING the runners' stats
+    dicts and the metrics_history.csv rows they append."""
+    raw_d, in_d, out_d = (
+        f"{dr.SCRATCH}/raw", f"{dr.SCRATCH}/inputs", f"{dr.SCRATCH}/outputs"
+    )
+    for d in (raw_d, in_d, out_d):
+        os.makedirs(d, exist_ok=True)
+    pd.DataFrame(annex, columns=["Drug Code", "Drug Description"]).to_csv(
+        f"{raw_d}/annex_f.csv", index=False
+    )
+    pd.DataFrame({"raw_text": esoa}).to_csv(f"{in_d}/esoa_combined.csv", index=False)
+    os.environ["PIPELINE_RAW_DIR"] = raw_d
+    os.environ["PIPELINE_INPUTS_DIR"] = in_d
+    os.environ["PIPELINE_OUTPUTS_DIR"] = out_d
+    dr.install_rapidfuzz_shim()
+    sys.path.insert(0, "/root/reference")
+    from pipelines.drugs.scripts import runners as ref_runners
+
+    stats = {
+        "annex_f": ref_runners.run_annex_f_tagging(verbose=False),
+        "esoa": ref_runners.run_esoa_tagging(verbose=False, show_progress=False),
+        "esoa_to_drug_code": ref_runners.run_esoa_to_drug_code(verbose=False),
+    }
+    # the ragged CSV log_metrics wrote (one positional row per part)
+    with open(f"{out_d}/metrics_history.csv") as f:
+        metrics_lines = [ln.strip() for ln in f if ln.strip()]
+    return stats, metrics_lines
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=6)
+    args = ap.parse_args()
+
+    dr.SCRATCH = "/tmp/diffref_metrics"
+    shutil.rmtree(dr.SCRATCH, ignore_errors=True)
+    os.makedirs(dr.SCRATCH, exist_ok=True)
+
+    dims = dr.build_dims()
+    texts, annex = dr.build_corpus(args.scale, 16)
+    # plant DUPLICATE rows: every 5th text appears twice more — the
+    # per-row vs per-distinct accounting probe
+    dups = [t for t in texts[:: 5]] * 2
+    esoa = texts + dups
+    print(f"{len(esoa)} esoa rows ({len(set(esoa))} distinct), {len(annex)} annex rows")
+
+    dr.write_unified_csvs(dims, f"{dr.SCRATCH}/outputs")
+    ref_stats, ref_metrics_lines = run_reference_with_stats(esoa, annex)
+
+    # ---- engine -------------------------------------------------------
+    from pids_drg_esoa_spark.pipelines.runner import run_drugs_all
+    from pids_drg_esoa_spark.session import get_spark
+
+    spark = get_spark(app_name="diffref_metrics")
+    inputs = {k: spark.createDataFrame(v) for k, v in dims.items()}
+    inputs["annex_f"] = spark.createDataFrame(
+        pd.DataFrame(annex, columns=["drug_code", "drug_description"])
+    )
+    inputs["esoa"] = spark.createDataFrame(pd.DataFrame({"raw_text": esoa}))
+    metrics_path = f"{dr.SCRATCH}/engine_metrics"
+    res = run_drugs_all(spark, inputs, metrics_path=metrics_path)
+
+    bad = 0
+
+    def check(label, ref_v, eng_v):
+        nonlocal bad
+        ok = ref_v == eng_v
+        if not ok:
+            bad += 1
+            print(f"  MISMATCH {label}: ref {ref_v!r} eng {eng_v!r}")
+        return ok
+
+    # ---- per-part metrics rows (the log_metrics fields) ---------------
+    for part, ref in ref_stats.items():
+        eng = res.part_metrics[part]
+        if part == "esoa_to_drug_code":
+            fields = [("total", "total"), ("matched", "matched")]
+            pcts = [("matched_pct", "matched_pct")]
+        else:
+            fields = [
+                ("total", "total"),
+                ("matched_atc", "matched_atc"),
+                ("matched_drugbank", "matched_drugbank"),
+            ]
+            pcts = [
+                ("matched_atc_pct", "matched_atc_pct"),
+                ("matched_drugbank_pct", "matched_drugbank_pct"),
+            ]
+        for rk, ek in fields:
+            check(f"{part}.{ek}", int(ref[rk]), int(eng[ek]))
+        for rk, ek in pcts:
+            check(f"{part}.{ek}", round(float(ref[rk]), 2), round(float(eng[ek]), 2))
+        # reason_counts: the run_summary.md breakdown numbers.
+        # Reference QUIRK (runners.py:263-266): run_esoa_tagging
+        # computes reason_counts but never attaches it to its results
+        # dict, so Part 3's run_summary section silently loses its
+        # reason lines (run_drugs_all.py uses .get(..., {})). The
+        # NUMBER the reference computes is still pinned: recompute it
+        # with the same value_counts over its esoa_with_atc output.
+        if part == "esoa":
+            out_csv = pd.read_csv(f"{dr.SCRATCH}/outputs/esoa_with_atc.csv")
+            ref_reasons = {
+                str(r): int(c)
+                for r, c in out_csv["match_reason"].value_counts().items()
+                if pd.notna(r)
+            }
+            assert "reason_counts" not in ref, "reference quirk fixed upstream?"
+        else:
+            ref_reasons = {
+                str(k): int(v) for k, v in ref.get("reason_counts", {}).items()
+            }
+        check(f"{part}.reason_counts", ref_reasons, res.reason_counts[part])
+
+    # ---- engine metrics sink round-trip -------------------------------
+    # the parquet rows the engine appended must carry the same values
+    # as part_metrics (S8 path exercised end-to-end)
+    for part, row in res.part_metrics.items():
+        got = (
+            spark.read.parquet(os.path.join(f"{metrics_path}_parts", part))
+            .drop("recorded_at")
+            .collect()[0]
+            .asDict()
+        )
+        for k, v in row.items():
+            check(f"sink.{part}.{k}", str(v), got[k])
+        check(f"sink.{part}.run_type", part, got["run_type"])
+
+    # the reference's ragged-CSV append wrote one line per part (+1
+    # header) — shape check only; its VALUES are the stats compared
+    # above (log_metrics writes the same dict it returns)
+    check("ref_metrics_csv_lines", 4, len(ref_metrics_lines))
+
+    print(f"METRICS PARITY: {bad} mismatching fields")
+    spark.stop()
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
