@@ -258,6 +258,20 @@ def _kmeans_cell_expr(cents: list[list[int]]) -> Column:
     return (-F.array_max(F.array(*structs))["nj"]).alias("cell")
 
 
+def _pin_wide(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a small-bytes/high-CPU relation to cluster width
+    when it currently sits below it (same rule as the tagger's
+    _pin_parallelism and word_shingles' pin): AQE coalesces by BYTES,
+    so a 20K-vector relation from one parquet file lands on ONE
+    partition and every n×k dot-product scan built on it runs
+    single-core while 31 idle (r11 scale-point catch: the k=400
+    SemDeDup Lloyd pass measured 218 s one-core vs ~4 s pinned)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
+    return df
+
+
 def _kmeans_cell_join(v: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Nearest-centroid assignment via a broadcast centroid dim —
     the LARGE-k path. The literal-centroid expression compiles k×d
@@ -267,18 +281,31 @@ def _kmeans_cell_join(v: DataFrame, cents: list[list[int]]) -> DataFrame:
     vector×centroid candidates through a broadcast cross join and
     takes the per-vector argmax with a partial-aggregated max(struct)
     — shuffle O(n), map work O(n·k), identical assignments
-    (differential-pinned by test_kmeans_assign_join_path_parity)."""
+    (differential-pinned by test_kmeans_assign_join_path_parity).
+
+    The argmax aggregates the (dot, -cid) STRUCT ONLY and joins the
+    vectors back by id afterwards (r11 scale-point catch): the
+    previous shape carried the d-long ``qe`` array through the n×k
+    candidate relation into a ``first(qe)`` aggregation buffer, which
+    falls off hash aggregation onto a sort over n·k array-bearing
+    rows. The dot stays the HOF ``int_dot`` on purpose: an unrolled
+    64-term sum measured FASTER alone but pushed the fused
+    crossjoin+agg+explode stage past the JVM's 64 KB codegen method
+    limit, collapsing the whole stage to interpreted eval (218 s) —
+    the lambda form keeps every stage inside codegen."""
     spark = v.sparkSession
     cent_df = spark.createDataFrame(
         [(j, c) for j, c in enumerate(cents)], "cid long, c array<long>"
     )
     scored = v.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id", "qe",
-        F.struct(int_dot(F.col("qe"), F.col("c")).alias("dot"), (-F.col("cid")).alias("nj")).alias("s"),
+        "vec_id",
+        F.struct(
+            int_dot(F.col("qe"), F.col("c")).alias("dot"),
+            (-F.col("cid")).alias("nj"),
+        ).alias("s"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("qe").alias("qe"), (-F.max("s")["nj"]).alias("cell")
-    )
+    cells = scored.groupBy("vec_id").agg((-F.max("s")["nj"]).alias("cell"))
+    return v.join(cells, "vec_id").select("vec_id", "qe", "cell")
 
 
 def kmeans_fit(
@@ -310,19 +337,27 @@ def kmeans_fit(
         if assign == "literal"
         else _kmeans_cell_join
     )
+    # CPU-density pin (r11): the n·k·d dot-product scans below are
+    # small-bytes/high-CPU — exactly what AQE coalesces to one core.
+    # Results are partitioning-independent (per-row argmax, integer
+    # sums), so the pin is a pure physical choice.
+    v = _pin_wide(v, "vec_id")
     # init = the K smallest vec_ids (== vec_id 0..K-1 on the catalog
     # tables, which is what the SQL oracle hard-codes; robust to
     # non-contiguous ids on arbitrary input)
     init_rows = v.select("vec_id", "qe").orderBy("vec_id").limit(k).collect()
     cents = [[int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows]
     for _ in range(iters):
-        assigned = assigner(v, cents)
+        # persist: the Lloyd stats pass would otherwise re-execute the
+        # n×k assignment subtree it sits on
+        assigned = assigner(v, cents).persist()
         stats = (
             assigned.select("cell", F.posexplode("qe"))
             .groupBy("cell", "pos")
             .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        assigned.unpersist()
         sums: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
             sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["n"]))

@@ -1,0 +1,162 @@
+"""Scale points for the LLM-ops stack (r10 judge item #4) — mirror
+the drugs chain's 100× discipline: run MinHash-LSH pairs, cluster
+assignment, and span-exact dedup at 1×/10×/100× of sf0.1 (5K → 50K →
+500K docs), in BOTH corpus shapes, plus SemDeDup at large k on 10×
+embeddings. Results → SCALE.md.
+
+Corpus shapes:
+- ``distinct``: every copy's text is perturbed with a copy token, so
+  exact-dup collapse finds nothing — the WORST case for the r11
+  exact-group-first path (pure overhead) and the honest scaling
+  series for the generate-and-verify stages.
+- ``dupheavy``: plain replication — every text appears ``mult``
+  times, the crawl-boilerplate shape. Cluster assignment stays
+  LINEAR in output here; the pair operator's OUTPUT contract is
+  quadratic in group size (each group of m identical docs owes
+  m(m-1)/2 pairs), so pairs run only at 10× (225K+ output rows) and
+  are skipped at 100× where the contract itself implies ~2.5e9 rows
+  (candidate GENERATION would stay bounded — it is the output that
+  explodes; logged, not silently dropped).
+
+Usage: python scripts/bench_llmops_scaling.py [--mults 1,10,100]
+One JSON line per measurement on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 2), out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    from pids_drg_esoa_spark.operators.curation import (
+        assign_clusters,
+        connected_components,
+    )
+    from pids_drg_esoa_spark.operators.dedup import (
+        _verified_pairs_core,
+        distinct_text_reps,
+        minhash_verified_pairs,
+        span_dup_stats,
+    )
+    from pids_drg_esoa_spark.operators.similarity import semdedup_keeplist, quantize
+    from pids_drg_esoa_spark.session import get_spark
+    from pids_drg_esoa_spark.sources.tables import table
+
+    spark = get_spark(app_name="llmops-scaling")
+    sc = spark.sparkContext
+    base = table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    n_base = base.count()
+
+    def scaled(mult: int, shape: str):
+        if mult == 1:
+            return base
+        copies = spark.range(mult).select(F.col("id").alias("copy"))
+        out = base.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("copy") * (10 * n_base)).alias("doc_id"),
+            "text",
+            "copy",
+        )
+        if shape == "distinct":
+            # perturb ONE word per copy so no exact dups exist and
+            # near-dup relations stay (copies are 1-token-off)
+            out = out.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"), F.lit(" copytag"), F.col("copy").cast("string")
+                ).alias("text"),
+            )
+        else:
+            out = out.select("doc_id", "text")
+        return out
+
+    def cluster_assign(docs, n_docs):
+        member, reps = distinct_text_reps(docs, "text", "doc_id")
+        member = member.persist()
+        v, _, caches = _verified_pairs_core(
+            reps.persist(), "text", "doc", n_docs, n_parts=sc.defaultParallelism
+        )
+        caches.append(reps)
+        comp = connected_components(v.select("doc_a", "doc_b"))
+        lab = member.join(comp, member.rep == comp.doc, "left").select(
+            member.doc, F.coalesce("cluster_id", "rep").alias("cluster_id")
+        )
+        n = assign_clusters(docs, "doc_id", lab).count()
+        for r in caches + [member]:
+            r.unpersist()
+        return n
+
+    for mult in mults:
+        for shape in ("distinct", "dupheavy"):
+            if mult == 1 and shape == "dupheavy":
+                continue  # identical to distinct at 1×
+            docs = scaled(mult, shape).persist()
+            n_docs = docs.count()
+
+            if shape == "dupheavy" and mult >= 100:
+                emit(metric="minhash_pairs", mult=mult, shape=shape,
+                     skipped="output contract ~n_base*m^2/2 pairs (~2.5e9 rows)")
+            else:
+                def run_pairs():
+                    v, caches = minhash_verified_pairs(docs, n_docs=n_docs)
+                    n = v.count()
+                    for r in caches:
+                        r.unpersist()
+                    return n
+                w, n_pairs = timed(run_pairs)
+                emit(metric="minhash_pairs", mult=mult, shape=shape,
+                     n_docs=n_docs, wall_s=w, n_pairs=n_pairs)
+
+            w, n_rows = timed(lambda: cluster_assign(docs, n_docs))
+            emit(metric="cluster_assign", mult=mult, shape=shape,
+                 n_docs=n_docs, wall_s=w, rows=n_rows)
+
+            w, n_rows = timed(lambda: span_dup_stats(docs).count())
+            emit(metric="span_exact", mult=mult, shape=shape,
+                 n_docs=n_docs, wall_s=w, rows=n_rows)
+            docs.unpersist()
+
+    # --- SemDeDup large k at 10× embeddings ----------------------------
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    n_emb = emb.count()
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    big = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * (10 * n_emb)).alias("vec_id"), "embedding"
+    ).persist()
+    n_big = big.count()
+    for k in (40, 400):
+        w, kept = timed(
+            lambda: semdedup_keeplist(big, k=k, assign="join")
+            .filter(F.col("kept")).count()
+        )
+        emit(metric="semdedup_largek", k=k, n_vectors=n_big, wall_s=w, kept=kept)
+    big.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
