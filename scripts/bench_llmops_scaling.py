@@ -82,12 +82,23 @@ def main() -> None:
             "copy",
         )
         if shape == "distinct":
-            # perturb ONE word per copy so no exact dups exist and
-            # near-dup relations stay (copies are 1-token-off)
+            # interleave a per-copy tag between EVERY pair of words:
+            # every 3-gram shingle contains the tag, so copies share
+            # ZERO shingles across copy boundaries (a genuinely
+            # distinct corpus at scale) while each copy preserves the
+            # natural within-copy near-dup structure. (A first attempt
+            # appended ONE trailing tag — that leaves ~94% shingle
+            # overlap, turning every base text into a 100-clique of
+            # near-dups at 100×: 27.3M pairs, a DIFFERENT corpus
+            # class, recorded separately in SCALE.md.)
+            tag = F.concat(F.lit("c"), F.col("copy").cast("string"))
             out = out.select(
                 "doc_id",
-                F.concat(
-                    F.col("text"), F.lit(" copytag"), F.col("copy").cast("string")
+                F.array_join(
+                    F.flatten(
+                        F.transform(F.split("text", " "), lambda w: F.array(w, tag))
+                    ),
+                    " ",
                 ).alias("text"),
             )
         else:
