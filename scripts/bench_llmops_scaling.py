@@ -82,22 +82,23 @@ def main() -> None:
             "copy",
         )
         if shape == "distinct":
-            # interleave a per-copy tag between EVERY pair of words:
-            # every 3-gram shingle contains the tag, so copies share
-            # ZERO shingles across copy boundaries (a genuinely
-            # distinct corpus at scale) while each copy preserves the
-            # natural within-copy near-dup structure. (A first attempt
-            # appended ONE trailing tag — that leaves ~94% shingle
-            # overlap, turning every base text into a 100-clique of
-            # near-dups at 100×: 27.3M pairs, a DIFFERENT corpus
-            # class, recorded separately in SCALE.md.)
-            tag = F.concat(F.lit("c"), F.col("copy").cast("string"))
+            # suffix a per-copy tag onto EVERY word: token count and
+            # word-equality structure are exactly isomorphic to the
+            # natural corpus within each copy (same shingle sets up to
+            # renaming → same pairs per copy), while copies share ZERO
+            # shingles across copy boundaries — a genuinely distinct
+            # corpus at scale. (Two rejected designs, both measured:
+            # ONE trailing tag leaves ~94% shingle overlap → every
+            # base text becomes a 100-clique of near-dups at 100×,
+            # 27.3M pairs; INTERLEAVING the tag between words creates
+            # '(tag, w, tag)' shingles shared by every doc in a copy
+            # that contains word w → candidate explosion, 372 s at
+            # 10×. Both recorded in SCALE.md.)
+            tag = F.concat(F.lit("_c"), F.col("copy").cast("string"))
             out = out.select(
                 "doc_id",
                 F.array_join(
-                    F.flatten(
-                        F.transform(F.split("text", " "), lambda w: F.array(w, tag))
-                    ),
+                    F.transform(F.split("text", " "), lambda w: F.concat(w, tag)),
                     " ",
                 ).alias("text"),
             )
@@ -146,9 +147,19 @@ def main() -> None:
             emit(metric="cluster_assign", mult=mult, shape=shape,
                  n_docs=n_docs, wall_s=w, rows=n_rows)
 
-            w, n_rows = timed(lambda: span_dup_stats(docs).count())
+            # NOT .count(): the final left join's right side is a
+            # groupBy output (unique on doc_id), so Catalyst ELIMINATES
+            # the join under count() and the measurement reads the
+            # cached docs count (~0.2 s at every scale — caught r11).
+            # Summing an output column forces the full window pipeline.
+            w, n_rows = timed(
+                lambda: int(
+                    span_dup_stats(docs)
+                    .agg(F.sum("n_dup_windows")).collect()[0][0]
+                )
+            )
             emit(metric="span_exact", mult=mult, shape=shape,
-                 n_docs=n_docs, wall_s=w, rows=n_rows)
+                 n_docs=n_docs, wall_s=w, sum_dup_windows=n_rows)
             docs.unpersist()
 
     # --- SemDeDup large k at 10× embeddings ----------------------------
