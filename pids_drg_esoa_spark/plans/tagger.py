@@ -490,6 +490,7 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 def _token_matches(
     keys: DataFrame, generics_dim: DataFrame, synonyms_dim: DataFrame | None,
     brands_dim: DataFrame | None, mixtures_dim: DataFrame | None = None,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """Stage 3 for single tokens (the reference's single IN-list
     lookup + fallbacks, lookup.py:223-306): exact, synonym, singular
@@ -626,13 +627,20 @@ def _token_matches(
     # materializations + the join-backs) that only pays for itself
     # once the pair relation is large — the same size-gate pattern as
     # _PERSIST_MIN_DOCS / _SEMI_FILTER_MIN_DOCS / VOCAB_BROADCAST_MAX_
-    # DOCS. The count is cheap: `keys` is persisted (warmed here, then
-    # probed by every tier) and its parent docs relation is already a
-    # checkpointed leaf. Both shapes are row-identical — the per-key
-    # top-3 windows order on key-determined columns only, so slicing
-    # per (raw_text, key) or per key then joining back keeps the same
+    # DOCS. Both shapes are row-identical — the per-key top-3 windows
+    # order on key-determined columns only, so slicing per
+    # (raw_text, key) or per key then joining back keeps the same
     # rows (pinned by test_fallback_probe_gate_parity).
-    n_pairs = keys.count()
+    #
+    # ``n_pairs_hint`` (r11): the caller passes an ESTIMATE (2× its
+    # doc count — pairs per doc run 2-3 on every measured corpus) so
+    # this gate stops being a blocking mid-build shuffle action
+    # (keys.count() cost ~3 AQE jobs and serialized plan construction
+    # against executor work). The estimate only picks a physical
+    # shape, never rows, and the measured crossover is broad and flat
+    # (5K-50K pairs), so landing a factor of ~2 off the true pair
+    # count stays inside the measured-equal band.
+    n_pairs = n_pairs_hint if n_pairs_hint is not None else keys.count()
     per_distinct = n_pairs >= _PER_DISTINCT_MIN_PAIRS
     if per_distinct:
         # _pin_parallelism: dkeys is small-bytes/high-CPU, exactly
@@ -1285,8 +1293,12 @@ def _tag_descriptions_impl(
             ],
             "bkey string, target_key string",
         )
+    # gate hint: docs is a (lazily materializing) checkpoint leaf —
+    # one cheap count, overlapping the daemon materialization we pay
+    # anyway, instead of keys.count()'s mid-build shuffle action
     token_hits = _persist_tracked(_token_matches(
-        keys, generics_dim, synonyms_dim, brands_targets, mixtures_dim
+        keys, generics_dim, synonyms_dim, brands_targets, mixtures_dim,
+        n_pairs_hint=2 * docs.count(),
     ))
 
     # No synthesized ' + '-joined candidates: the reference never
