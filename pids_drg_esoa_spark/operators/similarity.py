@@ -337,11 +337,17 @@ def kmeans_fit(
         if assign == "literal"
         else _kmeans_cell_join
     )
-    # CPU-density pin (r11): the n·k·d dot-product scans below are
-    # small-bytes/high-CPU — exactly what AQE coalesces to one core.
-    # Results are partitioning-independent (per-row argmax, integer
-    # sums), so the pin is a pure physical choice.
-    v = _pin_wide(v, "vec_id")
+    # CPU-density pin (r11), JOIN PATH ONLY: the n·k·d dot-product
+    # scans are small-bytes/high-CPU — exactly what AQE coalesces to
+    # one core — and at production k (join path) a one-partition
+    # input serialized the k=400 Lloyd pass to 218 s. The literal
+    # path (k≤64, demo/oracle scale) measured the OPPOSITE: the pin's
+    # probe+shuffle cost ~0.6 s against nothing saved
+    # (ann_ivf_kmeans_topk isolated warm 1.6 → 2.2 s), so it stays
+    # unpinned. Results are partitioning-independent either way
+    # (per-row argmax, integer sums) — a pure physical choice.
+    if assign == "join":
+        v = _pin_wide(v, "vec_id")
     # init = the K smallest vec_ids (== vec_id 0..K-1 on the catalog
     # tables, which is what the SQL oracle hard-codes; robust to
     # non-contiguous ids on arbitrary input)
