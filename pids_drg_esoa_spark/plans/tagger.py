@@ -386,49 +386,63 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
     # single-threaded (r6 measured at 155K texts: the enrich stage
     # alone 46-49 s on one core vs 4.7 s pinned wide; AQE cannot see
     # Python CPU, only shuffle bytes).
-    docs = (
-        _pin_parallelism(
-            esoa.select(F.col(text_col).alias("raw_text"))
-            .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
-            .distinct(),
-            "raw_text",
-        )
-        .withColumn("text_norm", normalize_text(F.col("raw_text")))
+    # STAGED selects, not a withColumn chain (r11): the normalize /
+    # combination-twin / form expressions embed thousands of vocab
+    # literals, and each of the former 15 withColumns re-analyzed the
+    # whole tree — pure driver time. Column names and order reproduce
+    # the former chain exactly.
+    base = _pin_parallelism(
+        esoa.select(F.col(text_col).alias("raw_text"))
+        .filter(F.col("raw_text").isNotNull() & (F.trim("raw_text") != ""))
+        .distinct(),
+        "raw_text",
+    ).select(
+        "raw_text",
+        normalize_text(F.col("raw_text")).alias("text_norm"),
         # native (whole-stage-codegen) twin of the Python extractor —
-        # equivalence pinned by tests/test_native_combination_parity.py
+        # equivalence pinned by tests/test_native_combination_parity.py;
         # passed as a NAME so the ~0.6 s expression tree is memoized
         # per SparkContext (functions/exprcache) instead of rebuilt
         # through thousands of py4j round trips per tag() call
-        .withColumn("combo_str", normalize_generic_combination_native("raw_text"))
-        .withColumn(
-            "components",
-            F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != ""),
+        normalize_generic_combination_native("raw_text").alias("combo_str"),
+    )
+    with_comp = (
+        base.select(
+            "*",
+            F.filter(F.split(F.lower("combo_str"), " \\+ "), lambda x: x != "").alias(
+                "components"
+            ),
         )
-        .withColumn("n_comp", F.size("components"))
-        .withColumn(
-            "enrich", doc_enrich(F.col("raw_text"), F.col("n_comp"), F.col("components"))
+        .select("*", F.size("components").alias("n_comp"))
+        .select(
+            "*",
+            doc_enrich(
+                F.col("raw_text"), F.col("n_comp"), F.col("components")
+            ).alias("enrich"),
         )
-        .withColumn("vaccine_canon", F.col("enrich.vaccine_canon"))
-        .withColumn("is_vaccine", F.col("enrich.is_vaccine"))
-        .withColumn("input_class", F.col("enrich.input_class"))
+    )
+    docs = with_comp.select(
+        "raw_text", "text_norm", "combo_str", "components", "n_comp",
+        F.col("enrich.vaccine_canon").alias("vaccine_canon"),
+        F.col("enrich.is_vaccine").alias("is_vaccine"),
+        F.col("enrich.input_class").alias("input_class"),
         # W1 tie-break inputs: the F15 details struct (scoring.py:283-291)
         # and the parsed input form (native twin — stays in codegen)
-        .withColumn("details", F.col("enrich.details"))
+        F.col("enrich.details").alias("details"),
         # clean-merged lookup tokens (reference tagger.py:604-619:
         # details-clean tokens first, raw tokens after, deduped) —
         # feeds the token-tier key explode; the combination gate and
         # mixture tier stay on the raw `components`/`n_comp` so a
         # clean-token VARIANT of one raw component never inflates the
         # all-components-matched requirement
-        .withColumn("lookup_components", F.col("enrich.components"))
+        F.col("enrich.components").alias("lookup_components"),
         # the per-doc stripped generics (ordered: [0]=active, [1]=vehicle)
-        .withColumn("stripped", F.col("enrich.stripped"))
-        .withColumn("combo_keys", F.col("enrich.combo_keys"))
-        .withColumn("cat_dose", F.col("enrich.cat_dose"))
-        .withColumn("cat_form", F.col("enrich.cat_form"))
-        .withColumn("cat_route", F.col("enrich.cat_route"))
-        .withColumn("input_form", parse_form_col(F.col("raw_text")))
-        .drop("enrich")
+        F.col("enrich.stripped").alias("stripped"),
+        F.col("enrich.combo_keys").alias("combo_keys"),
+        F.col("enrich.cat_dose").alias("cat_dose"),
+        F.col("enrich.cat_form").alias("cat_form"),
+        F.col("enrich.cat_route").alias("cat_route"),
+        parse_form_col(F.col("raw_text")).alias("input_form"),
     )
     # docs feeds 4+ subtrees (mixture tier, token keys, synthesized
     # combos, final join): without materialization the pandas_udf
@@ -1044,11 +1058,19 @@ def w1_select_best(
         F.asc_nulls_last("match_reason"),
         F.asc_nulls_last("gm_reason"),
     )
+    # ONE select for all computed rank columns (not a withColumn
+    # chain): every transformation re-analyzes the full cascade tree
+    # under ranked_input, so 5 chained withColumns cost 5 analysis
+    # passes over the largest plan in the tagger (the verify skill's
+    # "plan size is a resource" lesson — r11 driver-cost shave)
     return (
-        ranked_input.withColumn("atc_priority", atc_priority)
-        .withColumn("win_atc", win_atc)
-        .withColumn("form_priority", form_priority)
-        .withColumn("details_score", details_score)
+        ranked_input.select(
+            "*",
+            atc_priority.alias("atc_priority"),
+            win_atc.alias("win_atc"),
+            form_priority.alias("form_priority"),
+            details_score.alias("details_score"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -1363,6 +1385,10 @@ def _tag_descriptions_impl(
         )
     )
     input_set_udf = _make_input_set(syn_b)
+    # input-shape flags (reference tagger.py:915-920), inlined into
+    # ONE select below
+    _HAS_PLUS = F.col("raw_text").contains("+")
+    _HAS_IN = F.upper("raw_text").contains(" IN ") & (F.col("gm.num_input") > 1)
     doc_inputs = _persist_tracked(
         docs.select("raw_text", "stripped", "combo_keys")
         .join(hit_pairs, "raw_text", "left")
@@ -1370,25 +1396,32 @@ def _tag_descriptions_impl(
             "gm",
             input_set_udf("stripped", "combo_keys", "hit_keys", "hit_names", "hit_fuzzy"),
         )
+        # one select, not withColumn×5 (each pass re-analyzes the
+        # doc/hit join tree); the flag expressions are inlined off the
+        # gm struct directly
         .select(
             "raw_text",
             F.col("gm.input_set").alias("input_set"),
             F.col("gm.num_input").alias("num_input"),
             F.col("gm.active").alias("active"),
             F.col("gm.vehicle").alias("vehicle"),
+            _HAS_PLUS.alias("has_plus"),
+            _HAS_IN.alias("has_in"),
+            (_HAS_IN & ~_HAS_PLUS).alias("is_iv"),
+            ((F.col("gm.num_input") > 1) & _HAS_PLUS).alias("is_combination"),
+            (F.col("gm.num_input") == 1).alias("is_single"),
         )
-        .withColumn("has_plus", F.col("raw_text").contains("+"))
-        .withColumn(
-            "has_in", F.upper("raw_text").contains(" IN ") & (F.col("num_input") > 1)
-        )
-        .withColumn("is_iv", F.col("has_in") & ~F.col("has_plus"))
-        .withColumn("is_combination", (F.col("num_input") > 1) & F.col("has_plus"))
-        .withColumn("is_single", F.col("num_input") == 1)
     )  # persisted: probed by the gate join and the W1 ranking join
     validate_udf = _make_validate(syn_b)
     priority_expr = F.lit(4)
     for reason, prio in sorted(MATCH_PRIORITY.items()):
         priority_expr = F.when(F.col("v.reason") == reason, prio).otherwise(priority_expr)
+    # combination inputs keep only combination-named candidates
+    # (scoring.py:268-271); inlined — withColumn passes over this
+    # join+udf tree each cost a full re-analysis
+    cand_is_combo = (
+        F.col("generic_name").contains(" + ") | F.col("generic_name").contains(" AND ")
+    )
     gated = (
         token_cand
         .join(
@@ -1397,23 +1430,19 @@ def _tag_descriptions_impl(
             ),
             "raw_text",
         )
-        .withColumn("v", validate_udf("input_set", "generic_name", "active", "vehicle"))
-        .filter(F.col("v.matches"))
-        # IV vehicle skip (scoring.py:249-266)
-        .filter(~(F.col("is_iv") & F.col("v.iv_skip")))
-        # combination inputs keep only combination-named candidates
-        # (scoring.py:268-271)
-        .withColumn(
-            "cand_is_combo",
-            F.col("generic_name").contains(" + ") | F.col("generic_name").contains(" AND "),
+        .select("*", validate_udf("input_set", "generic_name", "active", "vehicle").alias("v"))
+        .filter(
+            F.col("v.matches")
+            # IV vehicle skip (scoring.py:249-266)
+            & ~(F.col("is_iv") & F.col("v.iv_skip"))
+            & ~(F.col("is_combination") & ~cand_is_combo)
         )
-        .filter(~(F.col("is_combination") & ~F.col("cand_is_combo")))
         # W1 match_priority DERIVED from the generics_match reason
         # (scoring.py:303-310), replacing the former tier constants
-        .withColumn("match_priority", priority_expr)
         .select(
             "raw_text", "generic_name", "drugbank_id", "reference_text",
-            "match_priority", "match_reason", F.col("v.reason").alias("gm_reason"),
+            priority_expr.alias("match_priority"), "match_reason",
+            F.col("v.reason").alias("gm_reason"),
             "sources",
         )
     )
@@ -1469,7 +1498,7 @@ def _tag_descriptions_impl(
     unmatched_name = F.when(
         F.size("stripped") > 0, F.upper(F.array_join("stripped", "|"))
     )
-    tagged = (
+    joined = (
         docs.select(
             "raw_text", "text_norm", "combo_str", "n_comp", "input_class", "is_vaccine",
             "stripped",
@@ -1481,31 +1510,41 @@ def _tag_descriptions_impl(
         )
         .join(best, "raw_text", "left")
         .join(had_candidates, "raw_text", "left")
-        .withColumn("matched", F.col("generic_name").isNotNull())
-        .withColumn(
-            "generic_name",
-            F.when(F.col("matched") & vac_override, vac_name)
-            .when(F.col("matched"), regionalized)
+    )
+    # ONE select instead of withColumn×4 + drop: each of those
+    # transformations re-analyzed the full cascade tree under `best`
+    # (plan size is a resource); the select reproduces the exact
+    # former schema order (in-place replacements, matched appended).
+    matched = F.col("generic_name").isNotNull()
+    replacements = {
+        # matched must be evaluated PRE-override, so it is inlined
+        # (the former withColumn("matched") ran first for the same
+        # reason)
+        "generic_name": (
+            F.when(matched & vac_override, vac_name)
+            .when(matched, regionalized)
             # no_match (candidates existed, none valid) → NULL;
             # no_candidates → pipe-joined stripped tokens
-            .when(F.col("had_candidates").isNull(), unmatched_name),
-        )
-        .withColumn(
-            "reference_text",
-            F.when(F.col("matched") & vac_override, vac_name).otherwise(
-                F.col("reference_text")
-            ),
-        )
-        .withColumn(
+            .when(F.col("had_candidates").isNull(), unmatched_name)
+        ),
+        "reference_text": F.when(matched & vac_override, vac_name).otherwise(
+            F.col("reference_text")
+        ),
+        "match_reason": F.coalesce(
             "match_reason",
-            F.coalesce(
-                "match_reason",
-                F.when(F.col("had_candidates").isNotNull(), "no_match").otherwise(
-                    "no_candidates"
-                ),
+            F.when(F.col("had_candidates").isNotNull(), "no_match").otherwise(
+                "no_candidates"
             ),
-        )
-        .drop("stripped", "_details_generic", "had_candidates")
+        ),
+    }
+    dropped = {"stripped", "_details_generic", "had_candidates"}
+    tagged = joined.select(
+        *[
+            replacements[c].alias(c) if c in replacements else F.col(c)
+            for c in joined.columns
+            if c not in dropped
+        ],
+        matched.alias("matched"),
     )
     if fda_food_dim is not None:
         tagged = _apply_fda_food(tagged, fda_food_dim)
@@ -1543,18 +1582,23 @@ def _apply_fda_food(tagged: DataFrame, fda_food_dim: DataFrame) -> DataFrame:
         .groupBy("raw_text")
         .agg(F.min_by("food_type", F.struct("pos", "food_type")).alias("token_type"))
     )
-    return (
-        with_direct.join(tok_hit, "raw_text", "left")
-        .withColumn(
-            "food_match",
-            F.when(~F.col("matched"), F.coalesce(
-                F.col("direct_type"),
-                F.concat(F.col("token_type"), F.lit("_partial")),
-            )),
-        )
-        .withColumn(
-            "match_reason",
-            F.coalesce(F.col("food_match"), F.col("match_reason")),
-        )
-        .drop("direct_type", "token_type")
+    # one select over the (large) tagged tree — not withColumn×2 +
+    # drop, each a full re-analysis (same r11 plan-cost rule as the
+    # final assembly); schema order reproduced exactly
+    food_match = F.when(
+        ~F.col("matched"),
+        F.coalesce(
+            F.col("direct_type"),
+            F.concat(F.col("token_type"), F.lit("_partial")),
+        ),
+    )
+    joined = with_direct.join(tok_hit, "raw_text", "left")
+    dropped = {"direct_type", "token_type"}
+    return joined.select(
+        *[
+            F.coalesce(food_match, F.col(c)).alias(c) if c == "match_reason" else F.col(c)
+            for c in joined.columns
+            if c not in dropped
+        ],
+        food_match.alias("food_match"),
     )
