@@ -153,6 +153,17 @@ def drugs_all_main(argv: list[str]) -> int:
     with open(os.path.join(args.output_dir, "run_summary.md"), "w") as f:
         f.write(res.summary_md + "\n")
     print(res.summary_md)
+    # METRICS HISTORY tail per run_type — the reference's
+    # print_metrics_comparison (runners.py:1548-1566)
+    from .sources.writers import metrics_comparison
+
+    history = metrics_comparison(
+        spark, os.path.join(args.output_dir, "metrics_history")
+    )
+    for run_type, rows in history.items():
+        print(f"\n{run_type.upper()}:")
+        for r in rows:
+            print("  " + ", ".join(f"{k}={v}" for k, v in r.items()))
     return 0
 
 

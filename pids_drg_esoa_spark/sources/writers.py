@@ -69,6 +69,38 @@ def read_metrics(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).orderBy(F.col("recorded_at"))
 
 
+def metrics_comparison(
+    spark: SparkSession, metrics_path: str, last_n: int = 5
+) -> dict[str, list[dict]]:
+    """S8 twin of the reference's ``print_metrics_comparison``
+    (runners.py:1548-1566): the last ``last_n`` metrics rows per
+    run_type, oldest→latest, so a caller can eyeball coverage drift
+    across runs. Reads the per-run_type parquet dirs that
+    ``run_drugs_all(metrics_path=...)`` appends (``<path>_parts/<run
+    _type>``); returns data instead of printing — the engine's CLI
+    prints, libraries don't. Missing history → empty dict (the
+    reference prints 'No metrics history found')."""
+    import os
+
+    out: dict[str, list[dict]] = {}
+    parts_dir = f"{metrics_path}_parts"
+    if not os.path.isdir(parts_dir):
+        return out
+    for run_type in sorted(os.listdir(parts_dir)):
+        sub = os.path.join(parts_dir, run_type)
+        try:
+            rows = (
+                spark.read.parquet(sub)
+                .orderBy(F.desc("recorded_at"))
+                .limit(last_n)
+                .collect()
+            )
+        except Exception:
+            continue
+        out[run_type] = [r.asDict() for r in reversed(rows)]
+    return out
+
+
 def write_excel_report(df: DataFrame, path: str, sheet: str = "report", max_rows: int = 100_000) -> bool:
     """S7: driver-side Excel presentation sink (match_labs.py:116-123
     — one sheet, header row frozen, autofilter over the data range).

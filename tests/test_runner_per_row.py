@@ -72,3 +72,18 @@ def test_bridge_rows_align_to_input_rows(spark, dup_inputs):
     # null-text row exists with null code
     nulls = res.esoa_with_drug_code.filter("raw_text IS NULL").collect()
     assert len(nulls) == 1 and nulls[0]["drug_code"] is None
+
+
+def test_metrics_comparison_tail(spark, dup_inputs, tmp_path):
+    from pids_drg_esoa_spark.sources.writers import metrics_comparison
+
+    mp = str(tmp_path / "metrics_history")
+    run_drugs_all(spark, dup_inputs, metrics_path=mp)
+    run_drugs_all(spark, dup_inputs, metrics_path=mp)
+    hist = metrics_comparison(spark, mp, last_n=5)
+    assert set(hist) == {"annex_f", "esoa", "esoa_to_drug_code"}
+    assert len(hist["esoa"]) == 2  # two appended runs, oldest->latest
+    assert hist["esoa"][0]["recorded_at"] <= hist["esoa"][1]["recorded_at"]
+    assert all(r["total"] == "6" for r in hist["esoa"])
+    # missing history -> empty dict, no raise
+    assert metrics_comparison(spark, str(tmp_path / "nope")) == {}
