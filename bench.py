@@ -115,6 +115,15 @@ def main() -> None:
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
             timeout=1800,
         )
+        # a crashed subprocess (OOM, import error) must surface its
+        # stderr, not an IndexError/JSONDecodeError on empty stdout
+        if out.returncode != 0 or not out.stdout.strip():
+            tail = (out.stderr or "")[-2000:]
+            raise RuntimeError(
+                f"isolated bench subprocess for {name!r} failed "
+                f"(rc={out.returncode}, stdout empty={not out.stdout.strip()}); "
+                f"stderr tail:\n{tail}"
+            )
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         timings[name] = rec["cold"]
         timings_warm[name] = rec["warm"]

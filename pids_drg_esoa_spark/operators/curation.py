@@ -49,6 +49,7 @@ from .dedup import (
     _SQL_VERIFIED,
     _verified_pairs_core,
     distinct_text_reps,
+    force_wide,
     minhash_verified_pairs,
     word_shingles,
 )
@@ -169,7 +170,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # bare parquet scan — metadata-only
     member, rep_docs = distinct_text_reps(d, "text", "doc_id")
     member = member.persist()  # consumed by components' edge build + final expansion
-    rep_docs = rep_docs.persist()
+    # force_wide before persist (r11 ADVICE): AQE byte-coalescing can
+    # hand the CPU-dense shingle stages a one-partition rep relation
+    rep_docs = force_wide(rep_docs, "doc").persist()
     sc = spark.sparkContext
     # same core as dedup's pair operator — same banding, threshold,
     # AND scale gating (the candidate-doc semi-filter engages only

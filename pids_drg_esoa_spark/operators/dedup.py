@@ -95,6 +95,35 @@ def word_shingles(
     )
 
 
+def force_wide(df: DataFrame, *cols: str) -> DataFrame:
+    """Unconditional hash-repartition to 2× cluster parallelism (+1 on
+    a collision with spark.sql.shuffle.partitions — Spark treats a
+    repartition whose count EQUALS the session setting as
+    AQE-coalescible, the _pin_parallelism caveat).
+
+    Why unconditional and not a width probe: the collapsed minhash
+    path feeds a groupBy output (rep_docs) into the CPU-dense
+    shingle/signature stages, and session.py enables
+    spark.sql.adaptive.coalescePartitions — which coalesces that
+    exchange BY BYTES, so a small-bytes/high-CPU rep relation can land
+    on one partition at runtime no matter what width the static plan
+    claims (r11 ADVICE: asserting width via the n_parts hint silently
+    disabled word_shingles' widening and re-introduced the one-core
+    shingle pathology). A probe (df.rdd.getNumPartitions()) would
+    EXECUTE the groupBy's shuffle at plan-build time under AQE, so the
+    only sound shape is an explicit post-groupBy repartition; it costs
+    one exchange of the distinct-text relation (small by
+    construction) and makes the downstream n_parts hint truthful."""
+    spark_ = df.sparkSession
+    n_part = 2 * spark_.sparkContext.defaultParallelism
+    try:
+        if n_part == int(spark_.conf.get("spark.sql.shuffle.partitions")):
+            n_part += 1
+    except (TypeError, ValueError):
+        pass
+    return df.repartition(n_part, *[F.col(c) for c in cols])
+
+
 def minhash_signature(shingles: DataFrame) -> DataFrame:
     """8 min-hashes AND the set size per doc in ONE aggregation pass
     (no seed explosion): md5 with a literal seed prefix, lexicographic
@@ -392,11 +421,12 @@ def minhash_verified_pairs(
         return verified, caches
     member, rep_docs = distinct_text_reps(docs, text_col, id_col)
     member = member.persist()  # 4 consumers: cross ×2, within ×2
-    rep_docs = rep_docs.persist()
+    # force_wide BEFORE persist: the cached rep relation must already
+    # sit at cluster width or AQE's byte-based coalescing hands the
+    # CPU-dense shingle/signature stages one partition (r11 ADVICE);
+    # the n_parts hint below is truthful only because of this.
+    rep_docs = force_wide(rep_docs, "doc").persist()
     caches = [member, rep_docs]
-    # rep_docs is a groupBy output — already at shuffle-partition
-    # width, so skip word_shingles' rdd probe (it would eagerly run
-    # the exchange under AQE)
     sc = docs.sparkSession.sparkContext
     rep_verified, rep_sizes, rep_caches = _verified_pairs_core(
         rep_docs, "text", "doc", n_docs, n_parts=sc.defaultParallelism

@@ -354,16 +354,19 @@ def kmeans_fit(
     init_rows = v.select("vec_id", "qe").orderBy("vec_id").limit(k).collect()
     cents = [[int(x) * K_MEANS_SCALE for x in r[1]] for r in init_rows]
     for _ in range(iters):
-        # persist: the Lloyd stats pass would otherwise re-execute the
-        # n×k assignment subtree it sits on
-        assigned = assigner(v, cents).persist()
+        # no persist: the per-round assignment feeds exactly ONE
+        # action (the stats collect), so the n×k subtree appears once
+        # in that plan either way — a persist here would cache the
+        # full n-row assignment per Lloyd round while saving nothing
+        # (r11 ADVICE; the r11 SemDeDup fix's load-bearing parts were
+        # the struct-only argmax and _pin_wide, not this cache)
+        assigned = assigner(v, cents)
         stats = (
             assigned.select("cell", F.posexplode("qe"))
             .groupBy("cell", "pos")
             .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        assigned.unpersist()
         sums: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
             sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["n"]))

@@ -200,20 +200,42 @@ def run_drugs_all(
             text_col=text_col,
         )
 
+    # Blank/null texts: the reference tags THROUGH fillna('') — a
+    # blank text reaches its tagger and comes back matched=False with
+    # match_reason='no_candidates' (runners.py:205, tagger.py:391,440
+    # + the empty-candidates branch at tagger.py:821-832), so such
+    # rows are COUNTED in reason_counts. The engine's tag() excludes
+    # blank/null texts from the tag relation entirely (plans/
+    # tagger.py:396), so the join-back leaves matched/match_reason
+    # NULL for exactly those rows — fill them to the reference's
+    # values (r11 ADVICE item; diff_reference_metrics plants blank and
+    # null texts to pin this).
+    def _fill_untaggable(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                "matched": F.coalesce(F.col("matched"), F.lit(False)),
+                "match_reason": F.coalesce(
+                    F.col("match_reason"), F.lit("no_candidates")
+                ),
+            }
+        )
+
     # ---- Part 2: Annex F tagging --------------------------------------
     # annex_order pins the reference's candidate insertion order (the
     # W3 stable-sort tie-break) to the Annex input row order.
     annex_src = inputs["annex_f"].withColumn(
         "annex_order", F.monotonically_increasing_id()
     )
-    annex_tagged = tag(
-        annex_src.select(F.col("drug_description").alias("raw_text")), "raw_text"
-    ).join(
-        annex_src.select(
-            "drug_code", F.col("drug_description").alias("raw_text"), "annex_order"
-        ),
-        "raw_text",
-        "right",
+    annex_tagged = _fill_untaggable(
+        tag(
+            annex_src.select(F.col("drug_description").alias("raw_text")), "raw_text"
+        ).join(
+            annex_src.select(
+                "drug_code", F.col("drug_description").alias("raw_text"), "annex_order"
+            ),
+            "raw_text",
+            "right",
+        )
     ).persist()
 
     # ---- Part 3: eSOA tagging (dedupe-by-text inside the tagger) ------
@@ -225,11 +247,10 @@ def run_drugs_all(
     # previously emitted one row per DISTINCT text, silently shrinking
     # Part-3/Part-4 totals on duplicate-bearing corpora).
     # persist: consumed by coverage, Part 4, and the caller.
-    esoa_tagged = (
+    esoa_tagged = _fill_untaggable(
         inputs["esoa"]
         .join(tag(inputs["esoa"], "raw_text", with_food=True), "raw_text", "left")
-        .persist()
-    )
+    ).persist()
 
     # ---- Part 4: bridge to drug codes ---------------------------------
     # Part 4 consumes the TAGGED outputs of Parts 2 and 3 (the
@@ -239,15 +260,23 @@ def run_drugs_all(
     # Bridge per DISTINCT text (its internal aggregations assume one
     # row per text), then expand back to input rows (A6) so the output
     # and its totals are per ROW like the reference's.
+    # Join back on COALESCE(text, '') — the reference's fillna('')
+    # means a null-text row rides the ''-text bridge result (a null
+    # join key would never match and the row would silently lose its
+    # Part-4 reason: no_generic, like the reference's).
+    tag_key = F.coalesce(F.col("raw_text"), F.lit(""))
     bridged = (
-        inputs["esoa"].select("raw_text")
+        inputs["esoa"].select("raw_text", tag_key.alias("_tag_text"))
         .join(
             bridge_to_drug_codes(
-                esoa_tagged.dropDuplicates(["raw_text"]), annex_tagged
-            ),
-            "raw_text",
+                esoa_tagged.withColumn("raw_text", tag_key)
+                .dropDuplicates(["raw_text"]),
+                annex_tagged,
+            ).withColumnRenamed("raw_text", "_tag_text"),
+            "_tag_text",
             "left",
         )
+        .drop("_tag_text")
         .persist()
     )
 

