@@ -48,9 +48,12 @@ from .dedup import (
     _SQL_SHINGLES,
     _SQL_VERIFIED,
     _verified_pairs_core,
+    band_signature,
     distinct_text_reps,
     force_wide,
+    minhash_signature,
     minhash_verified_pairs,
+    verify_jaccard,
     word_shingles,
 )
 
@@ -113,6 +116,231 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
+# ---------------------------------------------------------------------------
+# Star-sparsified components over the verified-pair graph (r12)
+# ---------------------------------------------------------------------------
+# The bounded-memory path for the one input class that still went
+# quadratic end-to-end (r11 ledger): NEAR-dup (non-identical)
+# mega-cliques — templated boilerplate with interpolated dates/IDs —
+# where every member of an m-clique shares LSH band buckets with every
+# other, so flat candidate generation emits ~m²/2 pairs and
+# connected_components consumes an O(clique²) verified edge list (the
+# 100× trailing-tag corpus OOMed a 48 GB heap). Components never
+# needed the full edge list — any spanning subgraph of the verified
+# graph with the same connectivity suffices.
+
+_ESCALATION_BUDGET = 20_000_000  # cross-label pair rows per escalation
+_SMALL_BUCKET = 16  # buckets this small get all pairs in round 0
+
+
+def components_from_banded(
+    banded: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame,
+    max_rounds: int = 30,
+    escalation_budget: int = _ESCALATION_BUDGET,
+    small_bucket: int = _SMALL_BUCKET,
+) -> DataFrame:
+    """Connected components of the MinHash-verified near-dup graph,
+    computed WITHOUT materializing the full verified edge list:
+
+    1. **Star tier** — per LSH bucket ``(band_idx, band_key)``, test
+       only the |B|−1 edges (bucket-min, member): O(docs·bands)
+       candidates total. On a true near-dup clique (the mega-clique
+       input class) every star edge verifies and the clique is
+       connected by m−1 edges instead of m²/2.
+    2. **Repair tier** — while some bucket still holds ≥2 distinct
+       component labels: test the (bucket-min-rep, label-rep) pairs of
+       each such bucket (≤ labels−1 per bucket per round), anti-joined
+       against the ledger of already-tested pairs so a failing pair is
+       proposed once.
+    3. **Escalation tier** — when repair proposes nothing new but
+       multi-label buckets remain, enumerate ALL untested cross-label
+       member pairs of those buckets and test them, gated by a
+       computed upper bound (Σ per bucket (T²−Σm²)/2): past
+       ``escalation_budget`` the operator raises LOUDLY instead of
+       silently going quadratic. An escalation that tests everything
+       and merges nothing proves convergence.
+
+    EXACTNESS (the contract is unchanged: same connected components as
+    over the full verified-pair graph): every verified pair shares ≥1
+    bucket, labels only ever merge, and a bucket with one label has no
+    cross-label pairs — so at convergence any surviving cross-label
+    verified pair would be an untested pair of an active bucket, which
+    escalation just proved empty; conversely every edge used IS a
+    verified pair. Both directions ⇒ equality (pinned by the flat-path
+    A/B in tests/test_curation_sparsified.py and the unchanged
+    unoptimized-SQL oracles).
+
+    MEMORY: the edge relation handed to min-label propagation is the
+    verified SUBSET of star+repair+escalation candidates — O(docs ·
+    bands + tested) rows, never O(clique²); the tested-pair ledger
+    grows only by proposals actually made (near-linear on every
+    realistic corpus; bounded by the escalation gate otherwise).
+
+    ``banded``: (doc, band_idx, band_key); ``sh``: (doc, sh) distinct
+    shingles; ``sizes``: (doc, n). Inputs should be persisted by the
+    caller — each repair round re-probes them. Returns (doc,
+    cluster_id) for every doc that acquired a verified edge."""
+    thresh = lambda v: v.filter(3 * F.col("n_common") >= 2 * F.col("n_union"))  # noqa: E731
+
+    bucket_min = banded.groupBy("band_idx", "band_key").agg(
+        F.min("doc").alias("bmin"), F.count(F.lit(1)).alias("cnt")
+    )
+    star = (
+        banded.join(bucket_min.filter(F.col("cnt") >= 2), ["band_idx", "band_key"])
+        .filter(F.col("doc") != F.col("bmin"))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+    # Small-bucket all-pairs tier: buckets of ≤ _SMALL_BUCKET members
+    # get their FULL pair set in round 0 — at most _SMALL_BUCKET×|B|
+    # rows per bucket, so still bounded — which resolves the natural-
+    # corpus bucket population (tiny buckets, partially-failing stars)
+    # without repair rounds; star alone would push those pairs through
+    # 1-2 repair/escalation cycles (each a verify + components rerun).
+    # A superset of star and a subset of flat candidates → exactness
+    # untouched.
+    small = banded.join(
+        bucket_min.filter((F.col("cnt") >= 2) & (F.col("cnt") <= small_bucket)),
+        ["band_idx", "band_key"],
+    ).select("band_idx", "band_key", "doc")
+    small_pairs = (
+        small.withColumnRenamed("doc", "doc_a")
+        .join(small.withColumnRenamed("doc", "doc_b"), ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star = star.unionByName(small_pairs).distinct().localCheckpoint()
+    tested = star
+    edges = thresh(verify_jaccard(star, sh, sizes=sizes)).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    labels = connected_components(edges)
+
+    # Round-0 convergence shortcut: if EVERY bucket is small, the
+    # all-pairs tier just tested every within-bucket pair — i.e. every
+    # flat candidate — so edges already hold ALL verified pairs and
+    # labels are final. Natural corpora (tiny buckets) take this exit
+    # and skip the repair machinery entirely; mega-clique corpora have
+    # big buckets and fall through to repair as designed.
+    max_cnt = bucket_min.agg(F.max("cnt")).collect()[0][0] or 0
+    if max_cnt <= small_bucket:
+        return labels
+
+    for _ in range(max_rounds):
+        membership = banded.join(labels, banded.doc == labels.doc, "left").select(
+            banded.doc, "band_idx", "band_key",
+            F.coalesce("cluster_id", banded.doc).alias("lbl"),
+        )
+        reps = membership.groupBy("band_idx", "band_key", "lbl").agg(
+            F.min("doc").alias("rep"), F.count(F.lit(1)).alias("m")
+        )
+        stats = reps.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n_lbls"),
+            F.min("rep").alias("min_rep"),
+            F.sum("m").alias("t"),
+            F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+        )
+        active = stats.filter(F.col("n_lbls") >= 2).localCheckpoint()
+        props = (
+            reps.join(active.select("band_idx", "band_key", "min_rep"),
+                      ["band_idx", "band_key"])
+            .filter(F.col("rep") != F.col("min_rep"))
+            .select(F.col("min_rep").alias("doc_a"), F.col("rep").alias("doc_b"))
+            .distinct()
+            .join(tested, ["doc_a", "doc_b"], "left_anti")
+            .localCheckpoint()
+        )
+        if props.isEmpty():
+            # repair has nothing new — escalate the remaining active
+            # buckets (or prove convergence). Bound BEFORE generating:
+            # cross-label pairs per bucket = (T² − Σm²)/2.
+            row = active.select(
+                ((F.sum(F.col("t") * F.col("t") - F.col("sum_m2"))) / 2).alias("b")
+            ).collect()[0]
+            bound = int(row["b"] or 0)
+            if bound == 0:
+                return labels  # no multi-label buckets — converged
+            if bound > escalation_budget:
+                raise RuntimeError(
+                    f"components escalation would enumerate ~{bound} cross-label "
+                    f"pairs (> budget {escalation_budget}): the verified graph "
+                    "restricted to some LSH bucket is pathologically sparse at "
+                    "mega-bucket size. Raise escalation_budget or pre-block the "
+                    "corpus; refusing to go quadratic silently."
+                )
+            mem_active = membership.join(
+                active.select("band_idx", "band_key"),
+                ["band_idx", "band_key"], "leftsemi",
+            )
+            a = mem_active.select(
+                "band_idx", "band_key",
+                F.col("doc").alias("doc_a"), F.col("lbl").alias("la"),
+            )
+            b = mem_active.select(
+                "band_idx", "band_key",
+                F.col("doc").alias("doc_b"), F.col("lbl").alias("lb"),
+            )
+            untested = (
+                a.join(b, ["band_idx", "band_key"])
+                .filter((F.col("la") != F.col("lb")) & (F.col("doc_a") < F.col("doc_b")))
+                .select("doc_a", "doc_b")
+                .distinct()
+                .join(tested, ["doc_a", "doc_b"], "left_anti")
+                .localCheckpoint()
+            )
+            if untested.isEmpty():
+                return labels  # every cross-label pair tested — exact
+            new_edges = thresh(verify_jaccard(untested, sh, sizes=sizes)).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint()
+            tested = tested.unionByName(untested).localCheckpoint()
+            if new_edges.isEmpty():
+                return labels  # tested EVERYTHING, nothing merged — exact
+        else:
+            new_edges = thresh(verify_jaccard(props, sh, sizes=sizes)).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint()
+            tested = tested.unionByName(props).localCheckpoint()
+            if new_edges.isEmpty():
+                continue  # same proposals next round anti-join away → escalation
+        edges = edges.unionByName(new_edges).localCheckpoint()
+        labels = connected_components(edges)
+    raise RuntimeError(
+        f"components repair loop did not converge in {max_rounds} rounds; "
+        "raise max_rounds (each round either merges labels or exhausts a "
+        "bucket's untested pairs, so this indicates an adversarial bucket "
+        "structure worth inspecting)"
+    )
+
+
+def sparsified_verified_components(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_parts: int | None = None,
+    max_rounds: int = 30,
+    escalation_budget: int = _ESCALATION_BUDGET,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """``components_from_banded`` over the standard MinHash pipeline
+    (same shingling, signature, and banding as minhash_verified_pairs
+    — one definition, so the schemes cannot drift). Returns
+    (labels, caches); the caller unpersists the caches once the labels
+    (already checkpointed leaves) are consumed."""
+    sh = word_shingles(docs, text_col, id_col, 3, n_parts=n_parts).persist()
+    sig = minhash_signature(sh).persist()
+    caches = [sh, sig]
+    banded = band_signature(sig).persist()
+    caches.append(banded)
+    sizes = sig.select("doc", F.col("n_sh").alias("n"))
+    labels = components_from_banded(
+        banded, sh, sizes,
+        max_rounds=max_rounds, escalation_budget=escalation_budget,
+    )
+    return labels, caches
+
+
 # The verified near-dup pair relation, shared with the
 # dedup_minhash_lsh_pairs oracle via ONE fragment (operators/dedup.py
 # _SQL_VERIFIED) so the banding scheme and Jaccard threshold can
@@ -148,59 +376,97 @@ _SQL_PAIRS = f"""
     """,
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: MinHash-LSH verified pairs →
-    connected components → every document labelled with its cluster's
-    canonical (min) doc_id, cluster size, and a keep flag. This is the
-    stage after pair generation that an actual dedup pipeline filters
-    on (``is_canonical``).
-
-    Exact-group-first (r11, the production 100 TB flow): this stage
-    never needs doc-level PAIRS — so it collapses identical texts to
-    representatives (distinct_text_reps), runs generate-and-verify AND
-    connected components at REP level, then expands membership with
-    one linear join: doc → rep → component label. A million-doc
-    boilerplate cluster costs one md5 groupBy + one join row per doc
-    instead of ~n²/2 band candidates. Exactness: identical texts
-    always pair with their rep (Jaccard 1) and with exactly the reps'
-    neighbors, so contracting each exact group to its rep preserves
-    components and min-labels (rep is the group min, so the cluster
-    min over reps IS the cluster min over docs); sub-3-token docs
-    never pair in either path and stay singletons via the left join."""
+    """Near-dup cluster assignment: MinHash-LSH verified components →
+    every document labelled with its cluster's canonical (min) doc_id,
+    cluster size, and a keep flag. This is the stage after pair
+    generation that an actual dedup pipeline filters on
+    (``is_canonical``). See ``cluster_assign_docs`` for the two
+    scale-shape layers (exact-group collapse + star sparsification)."""
     d = table(spark, sf_dir, "documents")
     n_docs = d.count()  # bare parquet scan — metadata-only
-    member, rep_docs = distinct_text_reps(d, "text", "doc_id")
+    out, persisted = cluster_assign_docs(d, "text", "doc_id", n_docs)
+    out.persisted_intermediates = persisted
+    return out
+
+
+def cluster_assign_docs(
+    d: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_docs: int,
+    sparsified: bool = True,
+    escalation_budget: int = _ESCALATION_BUDGET,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The cluster-assignment core, two stacked scale shapes:
+
+    **Exact-group-first** (r11): collapse identical texts to
+    representatives (distinct_text_reps), compute components at REP
+    level, expand membership with one linear join doc → rep → label.
+    A million-doc boilerplate cluster of IDENTICAL texts costs one md5
+    groupBy + one join row per doc. Exactness: identical texts pair
+    with their rep (Jaccard 1) and with exactly the reps' neighbors,
+    so contracting each exact group to its rep preserves components
+    and min-labels (rep is the group min); sub-3-token docs never pair
+    in either path and stay singletons via the left join.
+
+    **Star-sparsified components** (r12, ``sparsified=True`` — the
+    default and the production shape): rep-level components come from
+    ``sparsified_verified_components`` — per-bucket star edges +
+    repair/escalation — instead of the full verified pair list, so a
+    mega-clique of NEAR-identical (non-identical) texts — templated
+    boilerplate, the input class exact-group collapse cannot touch —
+    feeds min-label propagation O(reps·bands) edges instead of
+    O(clique²) (the r11 48 GB OOM). Cluster semantics are unchanged
+    (same components over the verified-pair graph — exactness argued
+    at components_from_banded and pinned by the flat A/B +
+    unoptimized-SQL oracle). ``sparsified=False`` keeps the flat
+    verified-pairs path for A/B.
+
+    Returns (labelled output, persisted intermediates the output plan
+    still consumes)."""
+    member, rep_docs = distinct_text_reps(d, text_col, id_col)
     member = member.persist()  # consumed by components' edge build + final expansion
     # force_wide before persist (r11 ADVICE): AQE byte-coalescing can
     # hand the CPU-dense shingle stages a one-partition rep relation
     rep_docs = force_wide(rep_docs, "doc").persist()
-    sc = spark.sparkContext
-    # same core as dedup's pair operator — same banding, threshold,
-    # AND scale gating (the candidate-doc semi-filter engages only
-    # past _SEMI_FILTER_MIN_DOCS)
-    verified, _, caches = _verified_pairs_core(
-        rep_docs, "text", "doc", n_docs, n_parts=sc.defaultParallelism
-    )
-    caches.append(rep_docs)
+    sc = d.sparkSession.sparkContext
+    caches: list[DataFrame] = [rep_docs]
+    if sparsified:
 
-    # connected_components materializes its edge input eagerly
-    # (localCheckpoint), so the pipeline's caches are consumed by the
-    # time it returns — release them instead of leaking them into
-    # executor storage for the rest of the session. try/finally so the
-    # release also happens when components fail to converge (the loud
-    # RuntimeError path). member stays persisted: the FINAL output
-    # plan consumes it (attached as persisted_intermediates, the
-    # tagger convention — the CacheManager dedups repeat calls).
+        def comp_fn():
+            labels, inner = sparsified_verified_components(
+                rep_docs, "text", "doc", n_parts=sc.defaultParallelism,
+                escalation_budget=escalation_budget,
+            )
+            caches.extend(inner)
+            return labels
+    else:
+        # flat path: same core as dedup's pair operator — same
+        # banding, threshold, AND scale gating
+        def comp_fn():
+            verified, _, inner = _verified_pairs_core(
+                rep_docs, "text", "doc", n_docs, n_parts=sc.defaultParallelism
+            )
+            caches.extend(inner)
+            return connected_components(verified.select("doc_a", "doc_b"))
+
+    # components materialize eagerly (localCheckpoint leaves), so the
+    # pipeline's caches are consumed by the time comp_fn returns —
+    # release them instead of leaking executor storage for the rest of
+    # the session; try/finally so the release also happens on the loud
+    # non-convergence/budget RuntimeError paths. member stays
+    # persisted: the FINAL output plan consumes it (returned as
+    # persisted intermediates, the tagger convention — the
+    # CacheManager dedups repeat calls).
     try:
-        comp = connected_components(verified.select("doc_a", "doc_b"))
+        comp = comp_fn()
     finally:
         for r in caches:
             r.unpersist()
     lab = member.join(comp, member.rep == comp.doc, "left").select(
         member.doc, F.coalesce("cluster_id", "rep").alias("cluster_id")
     )
-    out = assign_clusters(d, "doc_id", lab)
-    out.persisted_intermediates = [member]
-    return out
+    return assign_clusters(d, id_col, lab), [member]
 
 
 def assign_clusters(base: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:

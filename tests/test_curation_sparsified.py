@@ -1,0 +1,137 @@
+"""Star-sparsified components (r12): the bounded-memory components
+path (per-bucket star edges + repair/escalation,
+operators/curation.components_from_banded) must produce EXACTLY the
+connected components of the full verified-pair graph — on the natural
+corpus, on a trailing-tag NEAR-dup mega-clique corpus (the input class
+that OOMed the r11 flat edge list at 100×), and on a crafted
+adversarial bucket where the star edges fail but a non-rep pair
+verifies (forcing the escalation tier). The budget gate must refuse
+loudly rather than go quadratic silently.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pids_drg_esoa_spark.operators.curation import (
+    cluster_assign_docs,
+    components_from_banded,
+)
+from pids_drg_esoa_spark.sources.tables import table
+
+
+def _assign(docs, n_docs, **kw):
+    out, persisted = cluster_assign_docs(docs, "text", "doc_id", n_docs, **kw)
+    rows = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in out.collect()
+    }
+    for p in persisted:
+        p.unpersist()
+    return rows
+
+
+def test_sparsified_equals_flat_natural_corpus(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    assert _assign(d, n, sparsified=True) == _assign(d, n, sparsified=False)
+
+
+def _trailing_tag_corpus(spark, sf_dir, copies=5, base_n=200):
+    """Each base text replicated with a distinct trailing tag — every
+    base text becomes a NEAR-dup (non-identical) clique, the exact
+    shape exact-group collapse cannot touch."""
+    d = table(spark, sf_dir, "documents").limit(base_n)
+    parts = [
+        d.select(
+            (F.col("doc_id") * 10 + i).alias("doc_id"),
+            F.concat("text", F.lit(f" trailtag{i}")).alias("text"),
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_sparsified_equals_flat_trailing_tag_cliques(spark, sf_dir):
+    d = _trailing_tag_corpus(spark, sf_dir)
+    n = d.count()
+    a = _assign(d, n, sparsified=True)
+    b = _assign(d, n, sparsified=False)
+    assert a == b
+    # the corpus really does contain non-singleton near-dup clusters
+    assert any(size >= 2 for (_, _, size, _) in a)
+
+
+def _crafted(spark):
+    """One bucket {1,2,3}; shingles such that the star edges
+    (1,2),(1,3) FAIL Jaccard ≥ 2/3 while the non-rep pair (2,3)
+    PASSES — only the escalation tier can find it."""
+    banded = spark.createDataFrame(
+        [(1, 0, "k"), (2, 0, "k"), (3, 0, "k")], ["doc", "band_idx", "band_key"]
+    )
+    sh_rows = (
+        [(1, s) for s in ["a", "x", "y", "z"]]
+        + [(2, s) for s in ["a", "b", "c", "d"]]
+        + [(3, s) for s in ["a", "b", "c", "d", "e"]]
+    )
+    sh = spark.createDataFrame(sh_rows, ["doc", "sh"])
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return banded, sh, sizes
+
+
+def test_escalation_finds_non_rep_pair(spark):
+    # small_bucket=1 disables the round-0 all-pairs tier so the
+    # crafted bucket exercises star → repair → ESCALATION
+    banded, sh, sizes = _crafted(spark)
+    labels = {
+        (r["doc"], r["cluster_id"])
+        for r in components_from_banded(banded, sh, sizes, small_bucket=1).collect()
+    }
+    # J(1,2)=1/7, J(1,3)=1/8 → star fails; J(2,3)=4/5 ≥ 2/3 → the
+    # escalation tier must connect {2,3}; doc 1 stays edgeless
+    assert labels == {(2, 2), (3, 2)}
+
+
+def test_small_bucket_tier_resolves_in_round_zero(spark):
+    # with the default threshold the same bucket is small enough that
+    # its full pair set is tested upfront — same labels either way
+    banded, sh, sizes = _crafted(spark)
+    labels = {
+        (r["doc"], r["cluster_id"])
+        for r in components_from_banded(banded, sh, sizes).collect()
+    }
+    assert labels == {(2, 2), (3, 2)}
+
+
+def test_escalation_budget_refuses_loudly(spark):
+    banded, sh, sizes = _crafted(spark)
+    with pytest.raises(RuntimeError, match="escalation"):
+        components_from_banded(
+            banded, sh, sizes, escalation_budget=2, small_bucket=1
+        )
+
+
+def test_sparsified_handles_mixed_exact_and_near_dups(spark):
+    """Identical-text groups (exact collapse), near-dup tag variants
+    (star tier), and unrelated singletons in one corpus."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        [(i, base) for i in range(10, 14)]  # identical group
+        + [(i, f"{base} tag{i}") for i in range(20, 25)]  # near-dup clique
+        + [(30, "completely different words that share nothing at all here")]
+        + [(31, "hi")]  # sub-3-token singleton
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = d.count()
+    a = _assign(d, n, sparsified=True)
+    b = _assign(d, n, sparsified=False)
+    assert a == b
+    by_doc = {doc: cid for (doc, cid, _, _) in a}
+    # identical group + its near-dup tag variants all reach cluster 10
+    # (tag texts share ≥2/3 Jaccard with the base 10-token text)
+    assert {by_doc[i] for i in range(10, 14)} == {10}
+    assert by_doc[30] == 30 and by_doc[31] == 31
