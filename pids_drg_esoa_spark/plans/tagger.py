@@ -1174,10 +1174,40 @@ def _tag_descriptions_impl(
     # broadcast-sized BY DESIGN (SCALE.md — they broadcast into every
     # hash join already); collecting them here is the same data volume
     # as the broadcasts Catalyst builds, not a fact-table collect.
+    # The three dict collects run CONCURRENTLY (r12): each is a small
+    # job over an already-materialized leaf, but sequentially they cost
+    # three blocking driver round-trips per tag() call — same
+    # overlapping rule as _materialize_dims.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _collect_syn():
+        if synonyms_dim is None:
+            return []
+        return synonyms_dim.select("synonym", "generic_name").collect()
+
+    def _collect_brands():
+        if brands_dim is None:
+            return []
+        return brands_dim.select("brand_name", "generic_name").collect()
+
+    def _collect_mw():
+        return (
+            generics_dim.select("generic_name")
+            .filter(F.col("generic_name").contains(" "))
+            .distinct()
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_syn = ex.submit(_collect_syn)
+        f_br = ex.submit(_collect_brands)
+        f_mw = ex.submit(_collect_mw)
+        syn_rows, brand_rows, mw_rows = f_syn.result(), f_br.result(), f_mw.result()
+
     syn_map: dict[str, str] = dict(seed_rows)
     if synonyms_dim is not None:
         # later entries override, mirroring the reference's dict build
-        for r in synonyms_dim.select("synonym", "generic_name").collect():
+        for r in syn_rows:
             if r[0] and r[1]:
                 syn_map[str(r[0]).upper()] = str(r[1]).upper()
         synonyms_dim = seed.unionByName(synonyms_dim.select("synonym", "generic_name"))
@@ -1187,22 +1217,10 @@ def _tag_descriptions_impl(
     if brands_dim is not None:
         # deterministic first-wins per brand (the dims are pre-deduped
         # by build_unified_brands; the sort pins ties regardless)
-        for r in sorted(
-            brands_dim.select("brand_name", "generic_name").collect(),
-            key=lambda r: (str(r[0]), str(r[1])),
-        ):
+        for r in sorted(brand_rows, key=lambda r: (str(r[0]), str(r[1]))):
             if r[0] and r[1]:
                 brand_map.setdefault(str(r[0]).upper(), str(r[1]).upper())
-    multiword = build_multiword_generics_py(
-        [
-            r[0]
-            for r in generics_dim.select("generic_name")
-            .filter(F.col("generic_name").contains(" "))
-            .distinct()
-            .collect()
-            if r[0]
-        ]
-    )
+    multiword = build_multiword_generics_py([r[0] for r in mw_rows if r[0]])
     # content-fingerprinted broadcast reuse (r11): every tag() call
     # collects the same dims and re-broadcast the same dicts — the
     # pickle + broadcast cost was a measured slice of the per-call
