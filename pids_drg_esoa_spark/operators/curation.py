@@ -135,11 +135,12 @@ _SMALL_BUCKET = 16  # buckets this small get all pairs in round 0
 
 def components_from_banded(
     banded: DataFrame,
-    sh: DataFrame,
-    sizes: DataFrame,
+    sh: DataFrame | None = None,
+    sizes: DataFrame | None = None,
     max_rounds: int = 30,
     escalation_budget: int = _ESCALATION_BUDGET,
     small_bucket: int = _SMALL_BUCKET,
+    verify_fn=None,
 ) -> DataFrame:
     """Connected components of the MinHash-verified near-dup graph,
     computed WITHOUT materializing the full verified edge list:
@@ -181,8 +182,24 @@ def components_from_banded(
     ``banded``: (doc, band_idx, band_key); ``sh``: (doc, sh) distinct
     shingles; ``sizes``: (doc, n). Inputs should be persisted by the
     caller — each repair round re-probes them. Returns (doc,
-    cluster_id) for every doc that acquired a verified edge."""
-    thresh = lambda v: v.filter(3 * F.col("n_common") >= 2 * F.col("n_union"))  # noqa: E731
+    cluster_id) for every doc that acquired a verified edge.
+
+    ``verify_fn`` (r12): pluggable verifier — (doc_a, doc_b) pairs in,
+    the VERIFIED subset out — so the same star/repair/escalation
+    machinery serves any blocked similarity graph: the default is the
+    MinHash pipeline's exact-Jaccard ≥ 2/3 over ``sh``/``sizes``; the
+    embedding path passes a quantized-dot ≥ 0.95 closure. The verifier
+    must be a pure function of the pair (same pair → same verdict) —
+    the tested-pair ledger and the exactness argument both assume it."""
+    if verify_fn is None:
+        assert sh is not None and sizes is not None, "need sh/sizes or verify_fn"
+
+        def verify_fn(pairs):
+            return verify_jaccard(pairs, sh, sizes=sizes).filter(
+                3 * F.col("n_common") >= 2 * F.col("n_union")
+            )
+
+    thresh = lambda v: v  # verified relation arrives pre-thresholded  # noqa: E731
 
     bucket_min = banded.groupBy("band_idx", "band_key").agg(
         F.min("doc").alias("bmin"), F.count(F.lit(1)).alias("cnt")
@@ -213,7 +230,7 @@ def components_from_banded(
     )
     star = star.unionByName(small_pairs).distinct().localCheckpoint()
     tested = star
-    edges = thresh(verify_jaccard(star, sh, sizes=sizes)).select(
+    edges = thresh(verify_fn(star)).select(
         "doc_a", "doc_b"
     ).localCheckpoint()
     labels = connected_components(edges)
@@ -292,14 +309,14 @@ def components_from_banded(
             )
             if untested.isEmpty():
                 return labels  # every cross-label pair tested — exact
-            new_edges = thresh(verify_jaccard(untested, sh, sizes=sizes)).select(
+            new_edges = thresh(verify_fn(untested)).select(
                 "doc_a", "doc_b"
             ).localCheckpoint()
             tested = tested.unionByName(untested).localCheckpoint()
             if new_edges.isEmpty():
                 return labels  # tested EVERYTHING, nothing merged — exact
         else:
-            new_edges = thresh(verify_jaccard(props, sh, sizes=sizes)).select(
+            new_edges = thresh(verify_fn(props)).select(
                 "doc_a", "doc_b"
             ).localCheckpoint()
             tested = tested.unionByName(props).localCheckpoint()
@@ -667,6 +684,108 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     e = table(spark, sf_dir, "embeddings")
     return assign_clusters(e, "vec_id", comp)
+
+
+def embedding_components_sparse(
+    embeddings: DataFrame,
+    escalation_budget: int = _ESCALATION_BUDGET,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Star-sparsified components over the EXACT label-blocked
+    embedding near-dup graph (quantized dot ≥ 0.95·QUANT², the same
+    relation as ``embedding_near_dup_pairs``): the label is the
+    bucket, the verifier is the integer dot — the same
+    components_from_banded machinery as the text path, so a label
+    population that is a true semantic mega-cluster (the embedding
+    twin of templated boilerplate) connects through |B|−1 star edges
+    instead of a |B|²/2 pair list. Exactness contract unchanged:
+    components equal the flat pair-graph's (same argument as the text
+    path — every verified pair shares its label bucket).
+
+    Scale note: when a LARGE label population is mostly NOT near-dup
+    (organic vectors), the exact contract is inherently quadratic in
+    tests and the escalation budget refuses loudly — that population
+    class belongs to the (label, sign-cell) LSH blocking
+    (embedding_near_dup_lsh), where recall < 1 is the documented
+    trade. Returns (labels, caches)."""
+    from .similarity import NEAR_DUP_DOT_MIN, int_dot, quantize
+
+    v = embeddings.select(
+        F.col("vec_id").alias("doc"),
+        F.col("label"),
+        quantize(F.col("embedding")).alias("qe"),
+    ).persist()
+    banded = v.select(
+        "doc", F.lit(0).alias("band_idx"), F.col("label").cast("string").alias("band_key")
+    )
+    qa = v.select(F.col("doc").alias("doc_a"), F.col("qe").alias("ea"))
+    qb = v.select(F.col("doc").alias("doc_b"), F.col("qe").alias("eb"))
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(qa, "doc_a")
+            .join(qb, "doc_b")
+            .select("doc_a", "doc_b", int_dot(F.col("ea"), F.col("eb")).alias("dot_q"))
+            .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
+        )
+
+    labels = components_from_banded(
+        banded, verify_fn=verify, escalation_budget=escalation_budget
+    )
+    return labels, [v]
+
+
+def _emb_planted_pairs_sql() -> str:
+    """Planted corpus + its exact pair relation, from similarity's ONE
+    definition of the plant and the dot threshold."""
+    from .similarity import _SQL_EMB_PAIRS, _SQL_EMB_PLANTED
+
+    return (
+        _SQL_EMB_PLANTED
+        + ",\n"
+        + _SQL_EMB_PAIRS.replace("FROM embeddings", "FROM embeddings_planted")
+    )
+
+
+@register(
+    "embedding_cluster_assign_sparse",
+    oracle=f"""
+    WITH RECURSIVE {_emb_planted_pairs_sql()},
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM emb_pairs
+        UNION SELECT vec_b, vec_a FROM emb_pairs
+    ),
+    reach(doc, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+    SELECT vec_id,
+           cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM (
+        SELECT m.vec_id, COALESCE(c.cluster_id, m.vec_id) AS cluster_id
+        FROM embeddings_planted m LEFT JOIN comp c ON c.doc = m.vec_id
+    )
+    """,
+)
+def embedding_cluster_assign_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_cluster_assign`` through the star-sparsified
+    components path, over the CLONE-PLANTED corpus (every 50th vector
+    cloned at vec_id+1e6 — the same plant the near-dup pair oracles
+    use) so the hash gates real merging, not just singleton schema:
+    each clone must land in its original's cluster with the original
+    as canonical. The oracle is the UNOPTIMIZED recursive-CTE closure
+    over the flat exact pair relation — equality proves the star
+    construction's expansion is exact on embedding input."""
+    from .similarity import _near_dup_planted
+
+    e = _near_dup_planted(spark, sf_dir)
+    labels, caches = embedding_components_sparse(e)
+    out = assign_clusters(e, "vec_id", labels)
+    out.persisted_intermediates = caches
+    return out
 
 
 @register(

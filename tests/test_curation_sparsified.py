@@ -115,6 +115,70 @@ def test_escalation_budget_refuses_loudly(spark):
         )
 
 
+def _emb_assign_flat(e):
+    from pids_drg_esoa_spark.operators.curation import (
+        assign_clusters,
+        connected_components,
+    )
+    from pids_drg_esoa_spark.operators.similarity import near_dup_pairs_exact
+
+    pairs = near_dup_pairs_exact(e).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    return {
+        (r["vec_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in assign_clusters(e, "vec_id", comp).collect()
+    }
+
+
+def _emb_assign_sparse(e):
+    from pids_drg_esoa_spark.operators.curation import (
+        assign_clusters,
+        embedding_components_sparse,
+    )
+
+    labels, caches = embedding_components_sparse(e)
+    rows = {
+        (r["vec_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in assign_clusters(e, "vec_id", labels).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    return rows
+
+
+def test_embedding_sparse_equals_flat_planted(spark, sf_dir):
+    from pids_drg_esoa_spark.operators.similarity import _near_dup_planted
+
+    e = _near_dup_planted(spark, sf_dir)
+    assert _emb_assign_sparse(e) == _emb_assign_flat(e)
+
+
+def test_embedding_sparse_equals_flat_mega_cluster(spark, sf_dir):
+    """One label carrying a large clone cluster — the embedding twin
+    of the trailing-tag mega-clique: the star tier must connect it
+    with |B|−1 verified edges, matching the flat pair graph."""
+    from pids_drg_esoa_spark.sources.tables import table
+
+    base = table(spark, sf_dir, "embeddings").limit(40)
+    clones = (
+        base.limit(3)
+        .crossJoin(spark.range(25).select(F.col("id").alias("c")))
+        .select(
+            (F.col("vec_id") + 1000 + F.col("c") * 100).alias("vec_id"),
+            "embedding",
+            F.lit(7).alias("label"),
+        )
+    )
+    e = base.select("vec_id", "embedding", F.lit(7).alias("label")).unionByName(clones)
+    a = _emb_assign_sparse(e)
+    assert a == _emb_assign_flat(e)
+    # the clone clusters really merged (3 clusters of 26 members each)
+    sizes = sorted(s for (_, _, s, canon) in a if canon)
+    assert sizes[-3:] == [26, 26, 26]
+
+
 def test_sparsified_handles_mixed_exact_and_near_dups(spark):
     """Identical-text groups (exact collapse), near-dup tag variants
     (star tier), and unrelated singletons in one corpus."""
