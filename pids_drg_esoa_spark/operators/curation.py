@@ -46,6 +46,7 @@ from ..plans.catalog import register
 from ..sources.tables import table
 from .dedup import (
     _SQL_SHINGLES,
+    _sql_shingles,
     _SQL_VERIFIED,
     _verified_pairs_core,
     band_signature,
@@ -484,6 +485,66 @@ def cluster_assign_docs(
         member.doc, F.coalesce("cluster_id", "rep").alias("cluster_id")
     )
     return assign_clusters(d, id_col, lab), [member]
+
+
+# Planted trailing-tag corpus: every document becomes THREE near-dup
+# variants (same text + a distinct trailing tag) — non-identical
+# texts, so exact-group collapse finds nothing and the star tier must
+# carry the whole clique structure. The oracle runs the UNOPTIMIZED
+# quadratic SQL (flat candidates → verify → recursive closure); hash
+# equality proves the star/repair path is exact on the exact input
+# class it exists for (the r11 OOM class), per round, at the gate.
+_SQL_TRAILING_PLANTED = """
+    planted AS (
+        SELECT doc_id * 10 + c AS doc_id,
+               text || ' trailtag' || CAST(c AS VARCHAR) AS text
+        FROM documents, (SELECT unnest([0, 1, 2]) AS c)
+    )
+"""
+
+
+@register(
+    "dedup_cluster_trailing_planted",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRAILING_PLANTED},
+    {_sql_shingles('planted')}, {_SQL_VERIFIED},
+    pairs AS (SELECT doc_a, doc_b FROM verified),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    ),
+    comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+    SELECT doc_id,
+           cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM planted d LEFT JOIN comp c ON c.doc = d.doc_id
+    )
+    """,
+)
+def dedup_cluster_trailing_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over a planted NEAR-dup (non-identical)
+    clique corpus — every text × 3 trailing-tag variants — through the
+    star-sparsified components path. The degenerate input class the
+    r12 sparsification exists for, under the per-round oracle gate."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.crossJoin(
+        spark.range(3).select(F.col("id").alias("c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("c")).alias("doc_id"),
+        F.concat("text", F.lit(" trailtag"), F.col("c").cast("string")).alias("text"),
+    )
+    n_docs = d.count() * 3
+    out, persisted = cluster_assign_docs(planted, "text", "doc_id", n_docs)
+    out.persisted_intermediates = persisted
+    return out
 
 
 def assign_clusters(base: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
