@@ -340,22 +340,73 @@ def sparsified_verified_components(
     n_parts: int | None = None,
     max_rounds: int = 30,
     escalation_budget: int = _ESCALATION_BUDGET,
+    verify: str = "arrays",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """``components_from_banded`` over the standard MinHash pipeline
     (same shingling, signature, and banding as minhash_verified_pairs
     — one definition, so the schemes cannot drift). Returns
     (labels, caches); the caller unpersists the caches once the labels
-    (already checkpointed leaves) are consumed."""
+    (already checkpointed leaves) are consumed.
+
+    ``verify`` picks the Jaccard verifier's physical shape (identical
+    decisions either way):
+
+    - ``'arrays'`` (default): per-doc SORTED md5-shingle arrays built
+      in one groupBy; each candidate pair is verified by a native
+      ``array_intersect`` size — two 1-row-per-pair joins, no
+      explosion. On the trailing-tag 100× corpus the exploded shape
+      below put ~220M (pair × shingle) rows through a shuffle-agg
+      (17.4 GB mem-spill, peak-exec 29.9 GB); the array shape carries
+      one ~3.5 KB array row per doc per join instead (measured in
+      SCALE.md). Contract note: a document's whole shingle set rides
+      in ONE row (~32 bytes/shingle), fine for documents, wrong for
+      book-length inputs — those use ``'join'``.
+    - ``'join'``: the exploded shingle equi-join (verify_jaccard) —
+      the shape that never builds a wide row, kept for arbitrarily
+      long documents and as the A/B twin.
+
+    Both count the intersection of DISTINCT shingles; 'arrays'
+    compares 128-bit md5s of the shingles rather than the raw strings
+    (the same hash the banding scheme already rests on)."""
     sh = word_shingles(docs, text_col, id_col, 3, n_parts=n_parts).persist()
     sig = minhash_signature(sh).persist()
     caches = [sh, sig]
     banded = band_signature(sig).persist()
     caches.append(banded)
     sizes = sig.select("doc", F.col("n_sh").alias("n"))
-    labels = components_from_banded(
-        banded, sh, sizes,
-        max_rounds=max_rounds, escalation_budget=escalation_budget,
-    )
+    if verify == "arrays":
+        arrs = sh.groupBy("doc").agg(
+            F.sort_array(F.collect_list(F.md5("sh"))).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        ).persist()
+        caches.append(arrs)
+        pa = arrs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("ha"),
+                         F.col("n").alias("na"))
+        pb = arrs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hb"),
+                         F.col("n").alias("nb"))
+
+        def verify_fn(pairs: DataFrame) -> DataFrame:
+            c = F.size(F.array_intersect("ha", "hb"))
+            return (
+                pairs.join(pa, "doc_a")
+                .join(pb, "doc_b")
+                .select(
+                    "doc_a", "doc_b",
+                    c.alias("n_common"),
+                    (F.col("na") + F.col("nb") - c).alias("n_union"),
+                )
+                .filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
+            )
+
+        labels = components_from_banded(
+            banded, verify_fn=verify_fn,
+            max_rounds=max_rounds, escalation_budget=escalation_budget,
+        )
+    else:
+        labels = components_from_banded(
+            banded, sh, sizes,
+            max_rounds=max_rounds, escalation_budget=escalation_budget,
+        )
     return labels, caches
 
 
@@ -414,6 +465,7 @@ def cluster_assign_docs(
     n_docs: int,
     sparsified: bool = True,
     escalation_budget: int = _ESCALATION_BUDGET,
+    verify: str = "arrays",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The cluster-assignment core, two stacked scale shapes:
 
@@ -454,7 +506,7 @@ def cluster_assign_docs(
         def comp_fn():
             labels, inner = sparsified_verified_components(
                 rep_docs, "text", "doc", n_parts=sc.defaultParallelism,
-                escalation_budget=escalation_budget,
+                escalation_budget=escalation_budget, verify=verify,
             )
             caches.extend(inner)
             return labels

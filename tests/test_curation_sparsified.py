@@ -64,6 +64,9 @@ def test_sparsified_equals_flat_trailing_tag_cliques(spark, sf_dir):
     assert a == b
     # the corpus really does contain non-singleton near-dup clusters
     assert any(size >= 2 for (_, _, size, _) in a)
+    # the two verifier shapes (array-intersect vs exploded join) make
+    # identical decisions — same clusters either way
+    assert _assign(d, n, sparsified=True, verify="join") == a
 
 
 def _crafted(spark):
