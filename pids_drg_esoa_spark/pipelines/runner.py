@@ -264,19 +264,34 @@ def run_drugs_all(
     # means a null-text row rides the ''-text bridge result (a null
     # join key would never match and the row would silently lose its
     # Part-4 reason: no_generic, like the reference's).
-    tag_key = F.coalesce(F.col("raw_text"), F.lit(""))
     bridged = (
-        inputs["esoa"].select("raw_text", tag_key.alias("_tag_text"))
+        inputs["esoa"].select("raw_text")
         .join(
             bridge_to_drug_codes(
-                esoa_tagged.withColumn("raw_text", tag_key)
-                .dropDuplicates(["raw_text"]),
-                annex_tagged,
-            ).withColumnRenamed("raw_text", "_tag_text"),
-            "_tag_text",
+                esoa_tagged.dropDuplicates(["raw_text"]), annex_tagged
+            ),
+            "raw_text",
             "left",
         )
-        .drop("_tag_text")
+        # NULL-text rows can never equi-join (null keys): the
+        # reference's fillna('') hands them the ''-row result, which
+        # for a null text is ALWAYS (drug_code NULL, generic NULL,
+        # match_reason 'no_generic') — a constant, so fill it after
+        # the join instead of joining on a COALESCE'd key (the r12
+        # first cut; a computed join key cost a measured ~15 s at 155K
+        # by defeating the bridge's raw_text partitioning reuse —
+        # bisected in SCALE.md). The coalesce fires only for null-text
+        # rows: every processed bridge row carries a non-null reason
+        # (the ladder ends in an otherwise()), and every non-null text
+        # joins. Pinned by diff_reference_metrics' planted blank/null
+        # rows and test_runner_per_row.
+        .withColumn(
+            "match_reason",
+            F.coalesce(
+                "match_reason",
+                F.when(F.col("raw_text").isNull(), F.lit("no_generic")),
+            ),
+        )
         .persist()
     )
 
