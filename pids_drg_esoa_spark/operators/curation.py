@@ -200,11 +200,12 @@ def components_from_banded(
                 3 * F.col("n_common") >= 2 * F.col("n_union")
             )
 
-    thresh = lambda v: v  # verified relation arrives pre-thresholded  # noqa: E731
-
+    # one eager materialization — bucket_min feeds THREE consumers
+    # (star join, small-bucket tier, the round-0 max_cnt shortcut);
+    # unchecked, each re-runs the groupBy over banded (r12 review)
     bucket_min = banded.groupBy("band_idx", "band_key").agg(
         F.min("doc").alias("bmin"), F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint()
     star = (
         banded.join(bucket_min.filter(F.col("cnt") >= 2), ["band_idx", "band_key"])
         .filter(F.col("doc") != F.col("bmin"))
@@ -231,7 +232,7 @@ def components_from_banded(
     )
     star = star.unionByName(small_pairs).distinct().localCheckpoint()
     tested = star
-    edges = thresh(verify_fn(star)).select(
+    edges = verify_fn(star).select(
         "doc_a", "doc_b"
     ).localCheckpoint()
     labels = connected_components(edges)
@@ -310,20 +311,23 @@ def components_from_banded(
             )
             if untested.isEmpty():
                 return labels  # every cross-label pair tested — exact
-            new_edges = thresh(verify_fn(untested)).select(
+            new_edges = verify_fn(untested).select(
                 "doc_a", "doc_b"
             ).localCheckpoint()
-            tested = tested.unionByName(untested).localCheckpoint()
+            # union of checkpointed LEAVES — no re-materialization of
+            # the growing ledger per round (r12 review); the union
+            # tree stays shallow (rounds are bounded)
+            tested = tested.unionByName(untested)
             if new_edges.isEmpty():
                 return labels  # tested EVERYTHING, nothing merged — exact
         else:
-            new_edges = thresh(verify_fn(props)).select(
+            new_edges = verify_fn(props).select(
                 "doc_a", "doc_b"
             ).localCheckpoint()
-            tested = tested.unionByName(props).localCheckpoint()
+            tested = tested.unionByName(props)  # props is already a leaf
             if new_edges.isEmpty():
                 continue  # same proposals next round anti-join away → escalation
-        edges = edges.unionByName(new_edges).localCheckpoint()
+        edges = edges.unionByName(new_edges)  # union of leaves
         labels = connected_components(edges)
     raise RuntimeError(
         f"components repair loop did not converge in {max_rounds} rounds; "
@@ -374,6 +378,22 @@ def sparsified_verified_components(
     banded = band_signature(sig).persist()
     caches.append(banded)
     sizes = sig.select("doc", F.col("n_sh").alias("n"))
+    try:
+        return _svc_inner(
+            sh, sizes, banded, caches, verify,
+            max_rounds, escalation_budget,
+        ), caches
+    except BaseException:
+        # the loud RuntimeError paths (escalation budget /
+        # non-convergence) must not leak the persisted
+        # shingle/signature/banded/array relations — the caller's
+        # finally only sees caches we RETURNED (r12 review)
+        for r in caches:
+            r.unpersist()
+        raise
+
+
+def _svc_inner(sh, sizes, banded, caches, verify, max_rounds, escalation_budget):
     if verify == "arrays":
         arrs = sh.groupBy("doc").agg(
             F.sort_array(F.collect_list(F.md5("sh"))).alias("hs"),
@@ -398,16 +418,14 @@ def sparsified_verified_components(
                 .filter(3 * F.col("n_common") >= 2 * F.col("n_union"))
             )
 
-        labels = components_from_banded(
+        return components_from_banded(
             banded, verify_fn=verify_fn,
             max_rounds=max_rounds, escalation_budget=escalation_budget,
         )
-    else:
-        labels = components_from_banded(
-            banded, sh, sizes,
-            max_rounds=max_rounds, escalation_budget=escalation_budget,
-        )
-    return labels, caches
+    return components_from_banded(
+        banded, sh, sizes,
+        max_rounds=max_rounds, escalation_budget=escalation_budget,
+    )
 
 
 # The verified near-dup pair relation, shared with the
@@ -827,7 +845,13 @@ def embedding_components_sparse(
         F.col("label"),
         quantize(F.col("embedding")).alias("qe"),
     ).persist()
-    banded = v.select(
+    # NULL labels never pair in the flat path (null != null in the
+    # label equi-join), but an unfiltered null bucket would be COUNTED
+    # by the bucket stats while every candidate join over it drops
+    # null keys — a large null-label population would trip a spurious
+    # escalation-budget refusal (r12 review). Exclude it: those
+    # vectors are edgeless singletons in both paths.
+    banded = v.filter(F.col("label").isNotNull()).select(
         "doc", F.lit(0).alias("band_idx"), F.col("label").cast("string").alias("band_key")
     )
     qa = v.select(F.col("doc").alias("doc_a"), F.col("qe").alias("ea"))
@@ -841,9 +865,13 @@ def embedding_components_sparse(
             .filter(F.col("dot_q") >= NEAR_DUP_DOT_MIN)
         )
 
-    labels = components_from_banded(
-        banded, verify_fn=verify, escalation_budget=escalation_budget
-    )
+    try:
+        labels = components_from_banded(
+            banded, verify_fn=verify, escalation_budget=escalation_budget
+        )
+    except BaseException:
+        v.unpersist()  # no leak on the loud budget/convergence paths
+        raise
     return labels, [v]
 
 

@@ -83,8 +83,6 @@ def metrics_comparison(
     import logging
     import os
 
-    from pyspark.errors import AnalysisException
-
     out: dict[str, list[dict]] = {}
     # os.listdir discovery assumes a LOCAL metrics path — the same
     # assumption append-side run_drugs_all(metrics_path=...) makes
@@ -103,10 +101,14 @@ def metrics_comparison(
                 .limit(last_n)
                 .collect()
             )
-        except AnalysisException as exc:
-            # expected only for a corrupt/partial/empty dir (a run
-            # killed mid-append); skip LOUDLY — a silently-missing
-            # run_type reads as "no drift" when it's really "no data"
+        except Exception as exc:  # noqa: BLE001
+            # deliberately broad: a run killed mid-append leaves an
+            # empty dir (AnalysisException at plan time) OR a
+            # truncated part file (Py4JJavaError at footer-read /
+            # collect time) — a history READER must skip the one bad
+            # run_type, not lose every run_type's history. The skip is
+            # LOUD (r11 ADVICE: the old silent continue read as "no
+            # drift" when it was really "no data").
             logging.getLogger(__name__).warning(
                 "metrics_comparison: skipping unreadable run_type %r at %s: %s",
                 run_type, sub, exc,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import atexit
 import tempfile
 import sys
 import time
@@ -41,6 +42,8 @@ OPS = (
 )
 
 TILE_DIR = tempfile.mkdtemp(prefix="bench_r5_10x_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, TILE_DIR, ignore_errors=True)  # no /tmp litter (r12 review)
 
 
 def build_tile(spark, sf_dir: str) -> str:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import atexit
 import tempfile
 import sys
 import types
@@ -42,6 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pandas as pd
 
 SCRATCH = tempfile.mkdtemp(prefix="diffref_run_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 # ---------------------------------------------------------------------------
 # Synthetic reference-shaped dims + corpus

@@ -36,6 +36,7 @@ Exit 0 iff 0 mismatching cells.
 from __future__ import annotations
 
 import argparse
+import atexit
 import tempfile
 import os
 import shutil
@@ -60,6 +61,9 @@ from scripts.diff_reference_part1 import write_reference_inputs  # noqa: E402
 
 
 _dr.SCRATCH = tempfile.mkdtemp(prefix="diffref_fullchain_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+
+atexit.register(shutil.rmtree, _dr.SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 SCRATCH = _dr.SCRATCH
 
 

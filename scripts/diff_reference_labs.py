@@ -25,6 +25,8 @@ Exit 0 iff zero mismatching cells.
 from __future__ import annotations
 
 import argparse
+import atexit
+import shutil
 import tempfile
 import os
 import random
@@ -38,6 +40,8 @@ sys.path.insert(0, "/root/reference")
 import pandas as pd
 
 SCRATCH = tempfile.mkdtemp(prefix="diffref_labs_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 WORDS = [
     "urinalysis", "complete blood count", "chest x-ray", "fasting blood sugar",

@@ -21,6 +21,7 @@ Exit 0 iff every compared field matches.
 from __future__ import annotations
 
 import argparse
+import atexit
 import tempfile
 import os
 import shutil
@@ -78,6 +79,8 @@ def main() -> int:
     args = ap.parse_args()
 
     dr.SCRATCH = tempfile.mkdtemp(prefix="diffref_metrics_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+    atexit.register(shutil.rmtree, dr.SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
     shutil.rmtree(dr.SCRATCH, ignore_errors=True)
     os.makedirs(dr.SCRATCH, exist_ok=True)
 

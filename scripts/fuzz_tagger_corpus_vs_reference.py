@@ -20,6 +20,7 @@ Exit 0 iff 0 mismatching cells across Parts 3 and 4.
 from __future__ import annotations
 
 import os
+import atexit
 import tempfile
 import random
 import shutil
@@ -33,6 +34,8 @@ import pandas as pd  # noqa: E402
 import scripts.diff_reference as dr  # noqa: E402
 
 dr.SCRATCH = tempfile.mkdtemp(prefix="fuzz_tagger_corpus_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, dr.SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 
 def typo(rng: random.Random, w: str) -> str:

@@ -19,6 +19,8 @@ Usage: python scripts/measure_part4_variant_tie.py [n_seeds]
 from __future__ import annotations
 
 import os
+import atexit
+import shutil
 import tempfile
 import subprocess
 import sys
@@ -29,6 +31,8 @@ sys.path.insert(0, REPO)
 import pandas as pd  # noqa: E402
 
 SCRATCH = tempfile.mkdtemp(prefix="measure_p4_variant_tie_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 _REF_RUNNER = r"""
 import os, sys

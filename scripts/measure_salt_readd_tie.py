@@ -31,6 +31,7 @@ Prints per-seed reference output + the engine's deterministic pick.
 from __future__ import annotations
 
 import os
+import atexit
 import tempfile
 import shutil
 import subprocess
@@ -44,6 +45,8 @@ import pandas as pd  # noqa: E402
 import scripts.diff_reference as dr  # noqa: E402
 
 SCRATCH = tempfile.mkdtemp(prefix="measure_salt_readd_tie_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 dr.SCRATCH = SCRATCH
 
 TEXT = "5% SODIUM LACTATE*POTASSIUM CITRATE IN 1 L BOTTLE"

@@ -10,6 +10,7 @@ exact mechanism (VERDICT r9 "What's wrong" #1).
 from __future__ import annotations
 
 import os
+import atexit
 import tempfile
 import shutil
 import sys
@@ -22,6 +23,8 @@ import pandas as pd  # noqa: E402
 import scripts.diff_reference as dr  # noqa: E402
 
 dr.SCRATCH = tempfile.mkdtemp(prefix="probe_combo_typo_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, dr.SCRATCH, ignore_errors=True)  # no /tmp litter (r12 review)
 
 TEXTS = [
     "AALUMINUM HYDROXIDE + MAGNESIUM HYDROXIDE 625 MG TAB",

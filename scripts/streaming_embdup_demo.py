@@ -21,6 +21,7 @@ Prints a per-trigger table + one JSON line.
 from __future__ import annotations
 
 import argparse
+import atexit
 import tempfile
 import json
 import math
@@ -33,6 +34,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 WORK = tempfile.mkdtemp(prefix="spark_graft_embdup_demo_")  # unique per invocation (r11 judge: concurrent runs corrupted a shared fixed dir)
+
+atexit.register(shutil.rmtree, WORK, ignore_errors=True)  # no /tmp litter (r12 review)
 DIM = 64
 
 

@@ -110,6 +110,28 @@ def test_small_bucket_tier_resolves_in_round_zero(spark):
     assert labels == {(2, 2), (3, 2)}
 
 
+def test_sparsified_releases_caches_on_raise(spark, monkeypatch):
+    """The loud budget/non-convergence paths must not leak the
+    persisted shingle/signature/banded relations (r12 review: the
+    caller's finally only sees caches that were RETURNED)."""
+    import pids_drg_esoa_spark.operators.curation as cur
+
+    spark.catalog.clearCache()
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("escalation budget (simulated)")
+
+    monkeypatch.setattr(cur, "components_from_banded", boom)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    with pytest.raises(RuntimeError, match="simulated"):
+        cur.sparsified_verified_components(d, "text", "doc_id")
+    assert cm.isEmpty()
+
+
 def test_escalation_budget_refuses_loudly(spark):
     banded, sh, sizes = _crafted(spark)
     with pytest.raises(RuntimeError, match="escalation"):
