@@ -96,10 +96,19 @@ def word_shingles(
 
 
 def force_wide(df: DataFrame, *cols: str) -> DataFrame:
-    """Unconditional hash-repartition to 2× cluster parallelism (+1 on
-    a collision with spark.sql.shuffle.partitions — Spark treats a
-    repartition whose count EQUALS the session setting as
-    AQE-coalescible, the _pin_parallelism caveat).
+    """Unconditional hash-repartition to max(2× cluster parallelism,
+    session shuffle partitions) — never narrower than the session's
+    configured shuffle width (r12 ADVICE: a session built with
+    shuffle_partitions well above 2×cores would otherwise have its
+    rep relation narrowed BELOW session width here).
+
+    The explicit count is what defeats AQE byte-coalescing: on the
+    pinned Spark (4.1.2, probed empirically — an explicit
+    repartition(N, col) keeps N even when N == spark.sql.shuffle.
+    partitions, while repartition(col) without a count coalesced to 1
+    on the same relation) a user-specified partition count is a
+    REPARTITION_BY_NUM shuffle AQE never coalesces, so no count
+    adjustment dodge is needed.
 
     Why unconditional and not a width probe: the collapsed minhash
     path feeds a groupBy output (rep_docs) into the CPU-dense
@@ -117,8 +126,7 @@ def force_wide(df: DataFrame, *cols: str) -> DataFrame:
     spark_ = df.sparkSession
     n_part = 2 * spark_.sparkContext.defaultParallelism
     try:
-        if n_part == int(spark_.conf.get("spark.sql.shuffle.partitions")):
-            n_part += 1
+        n_part = max(n_part, int(spark_.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):
         pass
     return df.repartition(n_part, *[F.col(c) for c in cols])

@@ -132,12 +132,103 @@ def test_sparsified_releases_caches_on_raise(spark, monkeypatch):
     assert cm.isEmpty()
 
 
-def test_escalation_budget_refuses_loudly(spark):
+def test_capped_tier_converges_over_budget(spark):
+    """r13: an over-budget corpus WITH real near-dup structure no
+    longer hits the hard refusal — the degree-capped sampled round
+    finds the (2,3) edge, the merge shrinks the cross-label bound back
+    under budget, and the final full escalation proves exactness. Same
+    labels as the unbudgeted run."""
     banded, sh, sizes = _crafted(spark)
-    with pytest.raises(RuntimeError, match="escalation"):
-        components_from_banded(
+    labels = {
+        (r["doc"], r["cluster_id"])
+        for r in components_from_banded(
             banded, sh, sizes, escalation_budget=2, small_bucket=1
+        ).collect()
+    }
+    assert labels == {(2, 2), (3, 2)}
+
+
+def _no_verify_bucket(spark, n=6):
+    """One bucket of n docs with pairwise-DISJOINT shingle sets: no
+    pair verifies, so the cross-label bound never shrinks — the shape
+    where exactness genuinely cannot be proven within a small budget
+    (the capped round tests fresh pairs and merges nothing)."""
+    banded = spark.createDataFrame(
+        [(i, 0, "k") for i in range(1, n + 1)], ["doc", "band_idx", "band_key"]
+    )
+    sh = spark.createDataFrame(
+        [(i, f"s{i}_{j}") for i in range(1, n + 1) for j in range(4)],
+        ["doc", "sh"],
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return banded, sh, sizes
+
+
+def test_escalation_budget_refuses_loudly_after_capped_stall(spark):
+    banded, sh, sizes = _no_verify_bucket(spark)
+    with pytest.raises(RuntimeError, match="merged nothing"):
+        components_from_banded(
+            banded, sh, sizes, escalation_budget=10, small_bucket=1
         )
+
+
+def test_escalation_budget_degrade_mode_is_loud(spark):
+    """on_budget_exceeded='degrade': the zero-progress corpus returns
+    (possibly under-merged) labels instead of raising, with a
+    RuntimeWarning and an exactness_degraded marker carrying the
+    unproven bound — loud in the return contract, not silent."""
+    import warnings
+
+    banded, sh, sizes = _no_verify_bucket(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = components_from_banded(
+            banded, sh, sizes, escalation_budget=10, small_bucket=1,
+            on_budget_exceeded="degrade",
+        )
+    assert any("under-merged" in str(x.message) for x in w)
+    deg = labels.exactness_degraded
+    assert deg["untested_cross_label_bound"] > deg["escalation_budget"] == 10
+    # nothing verifies in this corpus, so the degraded labels are in
+    # fact exact here: no doc acquired an edge
+    assert labels.count() == 0
+
+
+def test_on_budget_exceeded_validated(spark):
+    banded, sh, sizes = _crafted(spark)
+    with pytest.raises(ValueError, match="on_budget_exceeded"):
+        components_from_banded(
+            banded, sh, sizes, small_bucket=1, on_budget_exceeded="typo"
+        )
+
+
+def test_auto_verifier_switches_to_join_on_wide_docs(spark):
+    """r13: verify='auto' gates the arrays shape on measured max
+    per-doc shingle count. With a tiny threshold the same corpus must
+    route through the exploded-join verifier and produce identical
+    clusters; decision parity between the shapes is already pinned by
+    test_sparsified_equals_flat_trailing_tag_cliques."""
+    from pids_drg_esoa_spark.operators.curation import (
+        sparsified_verified_components,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tag{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+
+    def run(**kw):
+        labels, caches = sparsified_verified_components(d, "text", "doc_id", **kw)
+        rows = {(r["doc"], r["cluster_id"]) for r in labels.collect()}
+        for c in caches:
+            c.unpersist()
+        return rows
+
+    base = run(verify="arrays")
+    # every doc has 4 shingles > threshold 2 → auto must pick 'join'
+    assert run(verify="auto", arrays_max_shingles=2) == base
+    assert run(verify="auto") == base  # default threshold → 'arrays'
+    assert run(verify="join") == base
 
 
 def _emb_assign_flat(e):
