@@ -1,5 +1,5 @@
 """Star-sparsified components (r12): the bounded-memory components
-path (per-bucket star edges + repair/escalation,
+path (per-bucket star edges + escalation,
 operators/curation.components_from_banded) must produce EXACTLY the
 connected components of the full verified-pair graph — on the natural
 corpus, on a trailing-tag NEAR-dup mega-clique corpus (the input class
@@ -315,3 +315,40 @@ def test_sparsified_handles_mixed_exact_and_near_dups(spark):
     # (tag texts share ≥2/3 Jaccard with the base 10-token text)
     assert {by_doc[i] for i in range(10, 14)} == {10}
     assert by_doc[30] == 30 and by_doc[31] == 31
+
+
+def test_split_half_cliques_force_escalation_with_real_banding(spark):
+    """r13: the repair-forcing corpus class from the scale sweep, at
+    unit scale with REAL MinHash banding (not a crafted bucket): A
+    copies keep the text, B copies perturb the first third of the
+    words — within-half Jaccard verifies, cross-half fails but still
+    band-collides — so mixed buckets hold two labels after the star
+    round and only the escalation tier can prove convergence. Pins
+    (a) sparsified == flat and (b) the escalation tier actually fired
+    (the corpus exercises the machinery, not just the output)."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(200)]
+    rows = []
+    for b in range(12):
+        base = [rng.choice(words) for _ in range(24)]
+        for c in range(36):  # > _SMALL_BUCKET so round 0 cannot resolve
+            toks = list(base)
+            if c >= 18:  # B half: perturb the first third
+                toks[:8] = [w + "_q" for w in toks[:8]]
+            rows.append((b * 1000 + c, " ".join(toks + [f"xtag{c}"])))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = d.count()
+    stats: dict = {}
+    a = _assign(d, n, sparsified=True, stats_out=stats)
+    assert a == _assign(d, n, sparsified=False)
+    assert stats["escalations"] >= 1
+    assert stats["escalation_pairs_tested"] > 0
+    assert stats["converged_via"] in (
+        "all_cross_label_pairs_tested", "escalation_exhausted",
+        "no_multi_label_buckets",
+    )
+    # the halves really did stay separate clusters somewhere
+    n_clusters = len({cid for (_, cid, _, _) in a})
+    assert n_clusters >= 24  # ≥2 clusters per base text
