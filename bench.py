@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute); the terminal action
 is a count-style reduction so results never land on the driver.
+
+r13: each cold run also records stage-level byte metrics (shuffle
+read/write, spill, peak execution memory) via the status REST API
+(scripts/spark_metrics.py), so a memory regression in a headline query
+is visible round-over-round in the committed artifact without a manual
+scale sweep. Per-query bytes go to the stderr detail line; the
+canonical stdout line carries the totals plus any queries that
+spilled.
 """
 
 from __future__ import annotations
@@ -34,16 +42,23 @@ def run_isolated(name: str, sf_dir: str) -> None:
     print one JSON line. Invoked as a subprocess by main()."""
     from pids_drg_esoa_spark.plans.catalog import all_specs
     from pids_drg_esoa_spark.session import get_spark
+    from scripts.spark_metrics import stage_delta, stage_snapshot
 
-    spark = get_spark(app_name=f"bench-{name}")
+    spark = get_spark(app_name=f"bench-{name}", ui=True)
     fn = all_specs()[name].fn
     runs = []
-    for _ in range(_HEADLINE_RUNS):
+    bytes_cold = {}
+    for i in range(_HEADLINE_RUNS):
+        before = stage_snapshot(spark)
         t0 = time.time()
         n_rows = fn(spark, sf_dir).count()
         runs.append(round(time.time() - t0, 3))
+        if i == 0:
+            bytes_cold = stage_delta(before, stage_snapshot(spark))
         assert n_rows >= 0
-    print(json.dumps({"name": name, "cold": runs[0], "warm": min(runs[1:])}))
+    print(json.dumps(
+        {"name": name, "cold": runs[0], "warm": min(runs[1:]), "bytes": bytes_cold}
+    ))
     spark.stop()
 
 
@@ -54,8 +69,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pids_drg_esoa_spark.plans.catalog import all_specs
     from pids_drg_esoa_spark.session import get_spark
+    from scripts.spark_metrics import stage_delta, stage_snapshot
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", ui=True)
     specs = all_specs()
 
     # Headline set: one per operator family, heaviest variants.
@@ -91,12 +107,15 @@ def main() -> None:
     # the number to compare round-over-round for real plan deltas).
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
+    qbytes: dict[str, dict] = {}
     for name in headline:
         if name in _ISOLATED:
             continue
+        before = stage_snapshot(spark)
         t0 = time.time()
         n_rows = specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        qbytes[name] = stage_delta(before, stage_snapshot(spark))
         assert n_rows >= 0
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
@@ -127,6 +146,7 @@ def main() -> None:
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         timings[name] = rec["cold"]
         timings_warm[name] = rec["warm"]
+        qbytes[name] = rec.get("bytes", {})
 
     # best-of-2 (min of the two runs) — the flakiness guard: cold
     # numbers whipsaw ±30% on page-cache state, so round-over-round
@@ -151,9 +171,24 @@ def main() -> None:
                 "metric": "headline_queries_detail",
                 "queries_warm": timings_warm,
                 "queries_best": timings_best,
+                "queries_bytes": qbytes,
             }
         ),
         file=sys.stderr,
+    )
+    # byte totals for the canonical line: sums over the cold runs,
+    # peak maxed; plus the named spillers (normally empty — a name
+    # appearing here round-over-round IS the regression signal)
+    bytes_total = {
+        k: round(sum(b.get(k, 0) for b in qbytes.values()), 1)
+        for k in ("shuffle_read_mb", "shuffle_write_mb", "mem_spill_mb", "disk_spill_mb")
+    }
+    bytes_total["peak_exec_mem_mb"] = round(
+        max((b.get("peak_exec_mem_mb", 0) for b in qbytes.values()), default=0), 1
+    )
+    spillers = sorted(
+        n for n, b in qbytes.items()
+        if b.get("mem_spill_mb", 0) or b.get("disk_spill_mb", 0)
     )
     # compact canonical line LAST — the driver records the final ~2000
     # chars of output, and r9's single verbose line outgrew that
@@ -168,6 +203,8 @@ def main() -> None:
         "continuity_19_cold": cont_cold,
         "continuity_19_warm": cont_warm,
         "isolated": list(_ISOLATED),  # quiet fresh-JVM numbers (r11)
+        "bytes_cold": bytes_total,
+        "spill_queries": spillers,
         "sf": float(sf) if sf else None,
     }
     line = json.dumps(compact)
