@@ -62,6 +62,74 @@ from .dedup import (
 # ---------------------------------------------------------------------------
 # Connected components over an edge list (reusable operator)
 # ---------------------------------------------------------------------------
+_release_warned = False
+_silenced_rdd_loggers: set[str] = set()
+
+
+def release_checkpoints(*dfs: DataFrame) -> int:
+    """Free the block-manager blocks behind eager ``localCheckpoint``
+    leaves that have been SUPERSEDED — i.e. no surviving DataFrame may
+    still reference them (a checkpoint severs lineage, so a freed leaf
+    cannot be recomputed; releasing a still-live one would break its
+    readers). Walks each DataFrame's analyzed plan for ``LogicalRDD``
+    leaves and unpersists their RDDs non-blocking, so a long components
+    repair/escalation run returns every round's blocks to the executor
+    as the round is superseded instead of holding them until DataFrame
+    GC (r12 ADVICE). Safe on union trees — every leaf under the plan is
+    released; callers therefore pass only relations whose ENTIRE plan
+    is dead. Returns the number of leaves released. Best-effort: the
+    walk uses JVM internals (``queryExecution().analyzed()``), so
+    upstream drift degrades to the old GC-bound behavior with one
+    logged warning, never a job failure. Unpersist is idempotent —
+    overlapping trees (``tested`` contains the ``star`` leaf) are fine.
+    """
+    global _release_warned
+    released = 0
+    for df in dfs:
+        if df is None:
+            continue
+        try:
+            stack = [df._jdf.queryExecution().analyzed()]
+            while stack:
+                node = stack.pop()
+                if node.getClass().getSimpleName() == "LogicalRDD":
+                    rdd = node.rdd()
+                    # Spark WARNs on unpersisting a locally-checkpointed
+                    # RDD ("lineage truncated … cannot be recomputed") —
+                    # here that is the DESIGN (the leaf is proven
+                    # superseded), so silence that exact logger (the RDD
+                    # class name) rather than spamming one WARN per
+                    # freed leaf per round.
+                    cls = rdd.getClass().getName().rstrip("$")
+                    if cls not in _silenced_rdd_loggers:
+                        try:
+                            jvm = df.sparkSession._jvm
+                            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                                cls, jvm.org.apache.logging.log4j.Level.ERROR
+                            )
+                        except Exception:
+                            pass
+                        _silenced_rdd_loggers.add(cls)
+                    rdd.unpersist(False)
+                    released += 1
+                else:
+                    ch = node.children()
+                    for i in range(ch.size()):
+                        stack.append(ch.apply(i))
+        except Exception:
+            if not _release_warned:
+                _release_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "release_checkpoints: plan walk failed (Spark internal "
+                    "API drift?) — superseded localCheckpoint blocks will be "
+                    "freed by GC instead of eagerly",
+                    exc_info=True,
+                )
+    return released
+
+
 def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Min-label propagation over undirected edges ``(doc_a, doc_b)``
     until fixpoint: returns (doc, cluster_id) for every doc that
@@ -85,30 +153,40 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_rounds):
-        prop = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        # one eager checkpoint per round; the `labels` re-binding below
-        # is a pure column-select over this leaf (no second write)
-        nxt = (
-            labels.join(prop, "doc", "left")
-            .select(
-                "doc",
-                F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("new_lbl"),
-                "lbl",
+    try:
+        for _ in range(max_rounds):
+            prop = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst").alias("doc"))
+                .agg(F.min("lbl").alias("nbr_min"))
             )
-        ).localCheckpoint()
-        changed = nxt.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = nxt.select("doc", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            converged = True
-            break
+            # one eager checkpoint per round; the `labels` re-binding
+            # below is a pure column-select over this leaf (no second
+            # write). The checkpoint is eager, so once `nxt` exists the
+            # previous round's labels leaf is superseded — free it now
+            # instead of at DataFrame GC (r12 ADVICE).
+            nxt = (
+                labels.join(prop, "doc", "left")
+                .select(
+                    "doc",
+                    F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("new_lbl"),
+                    "lbl",
+                )
+            ).localCheckpoint()
+            release_checkpoints(labels)
+            changed = nxt.filter(F.col("new_lbl") < F.col("lbl")).count()
+            labels = nxt.select("doc", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # the doubled-edge leaf is internal — dead on every exit path
+        # (the returned labels plan against the final round's leaf only)
+        release_checkpoints(edges)
     if not converged:
         # Silent non-convergence would split real clusters (several
         # docs wrongly kept as canonical) — fail loudly instead.
+        release_checkpoints(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "
             "graph diameter exceeds the bound — raise max_rounds or use "
@@ -285,179 +363,216 @@ def components_from_banded(
     # and skip the escalation machinery entirely; mega-clique corpora
     # have big buckets and fall through to escalation as designed.
     max_cnt = bucket_min.agg(F.max("cnt")).collect()[0][0] or 0
+    # bucket_min's three consumers are all above — its leaf is dead on
+    # every path from here (r12 ADVICE: free superseded checkpoints
+    # eagerly, don't wait for DataFrame GC)
+    release_checkpoints(bucket_min)
     if max_cnt <= small_bucket:
         if st is not None:
             st["converged_via"] = "round0_all_small_buckets"
+        release_checkpoints(tested, edges)
         return labels
 
     if on_budget_exceeded not in ("raise", "degrade"):
         raise ValueError(
             f"on_budget_exceeded must be 'raise' or 'degrade', got {on_budget_exceeded!r}"
         )
-    for _ in range(max_rounds):
-        membership = banded.join(labels, banded.doc == labels.doc, "left").select(
-            banded.doc, "band_idx", "band_key",
-            F.coalesce("cluster_id", banded.doc).alias("lbl"),
-        )
-        reps = membership.groupBy("band_idx", "band_key", "lbl").agg(
-            F.min("doc").alias("rep"), F.count(F.lit(1)).alias("m")
-        )
-        stats = reps.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("n_lbls"),
-            F.sum("m").alias("t"),
-            F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
-        )
-        active = stats.filter(F.col("n_lbls") >= 2).localCheckpoint()
-
-        # Escalation. Bound BEFORE generating: cross-label pairs per
-        # bucket = (T² − Σm²)/2.
-        row = active.select(
-            ((F.sum(F.col("t") * F.col("t") - F.col("sum_m2"))) / 2).alias("b")
-        ).collect()[0]
-        bound = int(row["b"] or 0)
-        if bound == 0:
-            if st is not None:
-                st["converged_via"] = "no_multi_label_buckets"
-            return labels  # no multi-label buckets — converged
-        if bound > escalation_budget:
-            # Capped tier (r13): a degree-capped deterministic sampled
-            # round instead of an immediate refusal. Each member of an
-            # active bucket is paired with ≤ K+1 of that bucket's
-            # smallest other-label reps (rep = per-label min doc,
-            # unique within a bucket, so the row_number order is total
-            # and the sample reproducible). Candidate count ≤
-            # members·(K+1) ≈ budget/2 + 2·members — never quadratic,
-            # and never worse than O(members), the star tier's own
-            # order. A merge here shrinks the next bound (merged labels
-            # stop counting as cross-label), so corpora with real
-            # near-dup structure converge back UNDER budget; only a
-            # zero-progress capped round falls through to refuse or
-            # degrade.
-            from pyspark.sql import Window as W
-
-            t_total = int(
-                active.agg(F.sum("t").alias("tt")).collect()[0]["tt"] or 0
+    # Everything the escalation loop checkpoints is dead at exit except
+    # the leaf backing the returned labels (internal to the final
+    # connected_components call): the `tested` and `edges` union trees
+    # cover every round's untested/capped/new_edges leaves that were
+    # merged in; `loose` collects the ones that were NOT (empty capped /
+    # empty new_edges short-circuits) plus the current round's `active`.
+    loose: list[DataFrame] = []
+    try:
+        for _ in range(max_rounds):
+            membership = banded.join(labels, banded.doc == labels.doc, "left").select(
+                banded.doc, "band_idx", "band_key",
+                F.coalesce("cluster_id", banded.doc).alias("lbl"),
             )
-            k_cap = max(1, escalation_budget // max(1, 2 * t_total))
-            rep_act = reps.join(
-                active.select("band_idx", "band_key"),
-                ["band_idx", "band_key"], "leftsemi",
+            reps = membership.groupBy("band_idx", "band_key", "lbl").agg(
+                F.min("doc").alias("rep"), F.count(F.lit(1)).alias("m")
             )
-            w_bucket = W.partitionBy("band_idx", "band_key").orderBy("rep")
-            top_reps = (
-                rep_act.select(
-                    "band_idx", "band_key",
-                    F.col("lbl").alias("rl"), "rep",
-                    F.row_number().over(w_bucket).alias("rk"),
+            stats = reps.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).alias("n_lbls"),
+                F.sum("m").alias("t"),
+                F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+            )
+            active = stats.filter(F.col("n_lbls") >= 2).localCheckpoint()
+            loose.append(active)
+
+            # Escalation. Bound BEFORE generating: cross-label pairs per
+            # bucket = (T² − Σm²)/2.
+            row = active.select(
+                ((F.sum(F.col("t") * F.col("t") - F.col("sum_m2"))) / 2).alias("b")
+            ).collect()[0]
+            bound = int(row["b"] or 0)
+            if bound == 0:
+                if st is not None:
+                    st["converged_via"] = "no_multi_label_buckets"
+                return labels  # no multi-label buckets — converged
+            if bound > escalation_budget:
+                # Capped tier (r13): a degree-capped deterministic sampled
+                # round instead of an immediate refusal. Each member of an
+                # active bucket is paired with ≤ K+1 of that bucket's
+                # smallest other-label reps (rep = per-label min doc,
+                # unique within a bucket, so the row_number order is total
+                # and the sample reproducible). Candidate count ≤
+                # members·(K+1) ≈ budget/2 + 2·members — never quadratic,
+                # and never worse than O(members), the star tier's own
+                # order. A merge here shrinks the next bound (merged labels
+                # stop counting as cross-label), so corpora with real
+                # near-dup structure converge back UNDER budget; only a
+                # zero-progress capped round falls through to refuse or
+                # degrade.
+                from pyspark.sql import Window as W
+
+                t_total = int(
+                    active.agg(F.sum("t").alias("tt")).collect()[0]["tt"] or 0
                 )
-                .filter(F.col("rk") <= k_cap + 1)
-            )
+                k_cap = max(1, escalation_budget // max(1, 2 * t_total))
+                rep_act = reps.join(
+                    active.select("band_idx", "band_key"),
+                    ["band_idx", "band_key"], "leftsemi",
+                )
+                w_bucket = W.partitionBy("band_idx", "band_key").orderBy("rep")
+                top_reps = (
+                    rep_act.select(
+                        "band_idx", "band_key",
+                        F.col("lbl").alias("rl"), "rep",
+                        F.row_number().over(w_bucket).alias("rk"),
+                    )
+                    .filter(F.col("rk") <= k_cap + 1)
+                )
+                mem_active = membership.join(
+                    active.select("band_idx", "band_key"),
+                    ["band_idx", "band_key"], "leftsemi",
+                )
+                capped = (
+                    mem_active.join(top_reps, ["band_idx", "band_key"])
+                    .filter((F.col("lbl") != F.col("rl")) & (F.col("doc") != F.col("rep")))
+                    # same doc_a < doc_b canonical order as every other
+                    # tier — the ledger anti-joins depend on it
+                    .select(
+                        F.least("doc", "rep").alias("doc_a"),
+                        F.greatest("doc", "rep").alias("doc_b"),
+                    )
+                    .distinct()
+                    .join(tested, ["doc_a", "doc_b"], "left_anti")
+                    .localCheckpoint()
+                )
+                loose.append(capped)
+                # capped is a leaf now — this round's active is dead
+                release_checkpoints(active)
+                if not capped.isEmpty():
+                    if st is not None:
+                        st["capped_rounds"] += 1
+                        st["capped_pairs_tested"] += capped.count()
+                    new_edges = verify_fn(capped).select(
+                        "doc_a", "doc_b"
+                    ).localCheckpoint()
+                    loose.append(new_edges)
+                    tested = tested.unionByName(capped)
+                    if not new_edges.isEmpty():
+                        edges = edges.unionByName(new_edges)
+                        prev = labels
+                        labels = connected_components(edges)
+                        release_checkpoints(prev)
+                        continue
+                # Capped round made no progress: exactness cannot be proven
+                # within budget. Degrade loudly if asked — labels are at
+                # worst UNDER-merged (every edge used is a verified pair) —
+                # else refuse loudly (the default contract).
+                msg = (
+                    f"components escalation would enumerate ~{bound} cross-label "
+                    f"pairs (> budget {escalation_budget}) and a degree-capped "
+                    f"sampled round (K={k_cap}) merged nothing: the verified graph "
+                    "restricted to some LSH bucket is pathologically sparse at "
+                    "mega-bucket size."
+                )
+                if on_budget_exceeded == "degrade":
+                    import warnings
+
+                    warnings.warn(
+                        msg + " Returning labels BELOW the exactness contract: "
+                        "components may be under-merged (never over-merged); see "
+                        "the exactness_degraded attribute for the unproven bound.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    labels.exactness_degraded = {
+                        "untested_cross_label_bound": bound,
+                        "escalation_budget": escalation_budget,
+                        "capped_k": k_cap,
+                    }
+                    if st is not None:
+                        st["converged_via"] = "degraded_over_budget"
+                    return labels
+                raise RuntimeError(
+                    msg + " Raise escalation_budget, pre-block the corpus, or pass "
+                    "on_budget_exceeded='degrade' for loudly-marked under-merged "
+                    "labels; refusing to go quadratic silently."
+                )
             mem_active = membership.join(
                 active.select("band_idx", "band_key"),
                 ["band_idx", "band_key"], "leftsemi",
             )
-            capped = (
-                mem_active.join(top_reps, ["band_idx", "band_key"])
-                .filter((F.col("lbl") != F.col("rl")) & (F.col("doc") != F.col("rep")))
-                # same doc_a < doc_b canonical order as every other
-                # tier — the ledger anti-joins depend on it
-                .select(
-                    F.least("doc", "rep").alias("doc_a"),
-                    F.greatest("doc", "rep").alias("doc_b"),
-                )
+            a = mem_active.select(
+                "band_idx", "band_key",
+                F.col("doc").alias("doc_a"), F.col("lbl").alias("la"),
+            )
+            b = mem_active.select(
+                "band_idx", "band_key",
+                F.col("doc").alias("doc_b"), F.col("lbl").alias("lb"),
+            )
+            untested = (
+                a.join(b, ["band_idx", "band_key"])
+                .filter((F.col("la") != F.col("lb")) & (F.col("doc_a") < F.col("doc_b")))
+                .select("doc_a", "doc_b")
                 .distinct()
                 .join(tested, ["doc_a", "doc_b"], "left_anti")
                 .localCheckpoint()
             )
-            if not capped.isEmpty():
+            loose.append(untested)
+            # untested is a leaf now — this round's active is dead
+            release_checkpoints(active)
+            if untested.isEmpty():
                 if st is not None:
-                    st["capped_rounds"] += 1
-                    st["capped_pairs_tested"] += capped.count()
-                new_edges = verify_fn(capped).select(
-                    "doc_a", "doc_b"
-                ).localCheckpoint()
-                tested = tested.unionByName(capped)
-                if not new_edges.isEmpty():
-                    edges = edges.unionByName(new_edges)
-                    labels = connected_components(edges)
-                    continue
-            # Capped round made no progress: exactness cannot be proven
-            # within budget. Degrade loudly if asked — labels are at
-            # worst UNDER-merged (every edge used is a verified pair) —
-            # else refuse loudly (the default contract).
-            msg = (
-                f"components escalation would enumerate ~{bound} cross-label "
-                f"pairs (> budget {escalation_budget}) and a degree-capped "
-                f"sampled round (K={k_cap}) merged nothing: the verified graph "
-                "restricted to some LSH bucket is pathologically sparse at "
-                "mega-bucket size."
-            )
-            if on_budget_exceeded == "degrade":
-                import warnings
-
-                warnings.warn(
-                    msg + " Returning labels BELOW the exactness contract: "
-                    "components may be under-merged (never over-merged); see "
-                    "the exactness_degraded attribute for the unproven bound.",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-                labels.exactness_degraded = {
-                    "untested_cross_label_bound": bound,
-                    "escalation_budget": escalation_budget,
-                    "capped_k": k_cap,
-                }
+                    st["converged_via"] = "all_cross_label_pairs_tested"
+                return labels  # every cross-label pair tested — exact
+            if st is not None:
+                st["escalations"] += 1
+                st["escalation_pairs_tested"] += untested.count()
+            new_edges = verify_fn(untested).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint()
+            loose.append(new_edges)
+            tested = tested.unionByName(untested)
+            if new_edges.isEmpty():
                 if st is not None:
-                    st["converged_via"] = "degraded_over_budget"
-                return labels
-            raise RuntimeError(
-                msg + " Raise escalation_budget, pre-block the corpus, or pass "
-                "on_budget_exceeded='degrade' for loudly-marked under-merged "
-                "labels; refusing to go quadratic silently."
-            )
-        mem_active = membership.join(
-            active.select("band_idx", "band_key"),
-            ["band_idx", "band_key"], "leftsemi",
+                    st["converged_via"] = "escalation_exhausted"
+                return labels  # tested EVERYTHING, nothing merged — exact
+            edges = edges.unionByName(new_edges)  # union of leaves
+            prev = labels
+            labels = connected_components(edges)
+            release_checkpoints(prev)
+        # non-convergence: nothing is returned, so the labels leaf is
+        # dead too (the finally below frees the rest)
+        release_checkpoints(labels)
+        raise RuntimeError(
+            f"components escalation loop did not converge in {max_rounds} rounds; "
+            "raise max_rounds (each round either merges labels or exhausts a "
+            "bucket's untested pairs, so this indicates an adversarial bucket "
+            "structure worth inspecting)"
         )
-        a = mem_active.select(
-            "band_idx", "band_key",
-            F.col("doc").alias("doc_a"), F.col("lbl").alias("la"),
-        )
-        b = mem_active.select(
-            "band_idx", "band_key",
-            F.col("doc").alias("doc_b"), F.col("lbl").alias("lb"),
-        )
-        untested = (
-            a.join(b, ["band_idx", "band_key"])
-            .filter((F.col("la") != F.col("lb")) & (F.col("doc_a") < F.col("doc_b")))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .join(tested, ["doc_a", "doc_b"], "left_anti")
-            .localCheckpoint()
-        )
-        if untested.isEmpty():
-            if st is not None:
-                st["converged_via"] = "all_cross_label_pairs_tested"
-            return labels  # every cross-label pair tested — exact
-        if st is not None:
-            st["escalations"] += 1
-            st["escalation_pairs_tested"] += untested.count()
-        new_edges = verify_fn(untested).select(
-            "doc_a", "doc_b"
-        ).localCheckpoint()
-        tested = tested.unionByName(untested)
-        if new_edges.isEmpty():
-            if st is not None:
-                st["converged_via"] = "escalation_exhausted"
-            return labels  # tested EVERYTHING, nothing merged — exact
-        edges = edges.unionByName(new_edges)  # union of leaves
-        labels = connected_components(edges)
-    raise RuntimeError(
-        f"components escalation loop did not converge in {max_rounds} rounds; "
-        "raise max_rounds (each round either merges labels or exhausts a "
-        "bucket's untested pairs, so this indicates an adversarial bucket "
-        "structure worth inspecting)"
-    )
+    finally:
+        # Exit-time sweep (r12 ADVICE): every leaf the loop checkpointed
+        # is superseded on every exit path — the returned labels plan
+        # only against their own internal connected_components leaf.
+        # `tested`/`edges` are union TREES whose leaves include each
+        # merged round's untested/capped/new_edges; `loose` catches the
+        # ones short-circuited before a merge. Double-frees are no-ops.
+        release_checkpoints(tested, edges, *loose)
 
 
 def sparsified_verified_components(

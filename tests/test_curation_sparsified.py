@@ -352,3 +352,51 @@ def test_split_half_cliques_force_escalation_with_real_banding(spark):
     # the halves really did stay separate clusters somewhere
     n_clusters = len({cid for (_, cid, _, _) in a})
     assert n_clusters >= 24  # ≥2 clusters per base text
+
+
+def _persistent_ids(spark):
+    return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """r13 (r12 ADVICE): each propagation round's localCheckpoint must
+    be freed as it is superseded, and the internal doubled-edge leaf at
+    return — only the single leaf backing the returned labels survives
+    the call; release_checkpoints(labels) returns the session to its
+    pre-call block set."""
+    from pids_drg_esoa_spark.operators.curation import (
+        connected_components,
+        release_checkpoints,
+    )
+
+    # a 6-deep path forces several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)] + [(10, 11)], ["doc_a", "doc_b"]
+    )
+    before = _persistent_ids(spark)
+    labels = connected_components(pairs)
+    got = {(r["doc"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, 8)} | {(10, 10), (11, 10)}
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 1, f"superseded round checkpoints leaked: {leaked}"
+    assert release_checkpoints(labels) >= 1
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_components_from_banded_releases_checkpoints_on_escalation_path(spark):
+    """Same contract through the full star → escalation machinery: the
+    crafted escalation-forcing bucket converges with every transient
+    leaf (bucket_min, star, active, untested ledger, edge unions, each
+    round's components) freed — at most the returned labels' own leaf
+    outlives the call."""
+    from pids_drg_esoa_spark.operators.curation import release_checkpoints
+
+    banded, sh, sizes = _crafted(spark)
+    before = _persistent_ids(spark)
+    labels = components_from_banded(banded, sh, sizes, small_bucket=1)
+    got = {(r["doc"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {(2, 2), (3, 2)}
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 1, f"transient components checkpoints leaked: {leaked}"
+    release_checkpoints(labels)
+    assert _persistent_ids(spark) - before == set()
