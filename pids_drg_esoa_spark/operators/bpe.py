@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import register
 from ..sources.tables import table
+from .curation import release_checkpoints
 
 SB = "\x02"  # symbol-begin sentinel (never in the [a-z0-9] alphabet)
 SE = "\x03"  # symbol-end sentinel
@@ -133,9 +134,15 @@ def bpe_train(
         # re-pin the vocab every 16 rounds: each round's aggregation
         # otherwise replays the WHOLE accumulated replace chain from
         # the pre-loop checkpoint (O(M²) at the few-hundred-merge
-        # scale this path supports; checkpointing keeps it linear)
+        # scale this path supports; checkpointing keeps it linear).
+        # The superseded pin (the old leaf under the replace chain) is
+        # freed as soon as the new one materializes; the final pin is
+        # freed at return — only the merge LIST leaves this function.
         if rank % 16 == 0:
+            prev = cur
             cur = cur.localCheckpoint(eager=True)
+            release_checkpoints(prev)
+    release_checkpoints(cur)
     return merges
 
 

@@ -258,6 +258,12 @@ def stream_neardup_against_index(
             new_sig.select("doc", F.col("n_sh").alias("nb")).write.mode(
                 "overwrite"
             ).parquet(os.path.join(grow_index_dir, "sizes", part))
+            # the batch checkpoints are fully consumed (probe joins +
+            # index appends above) — free them so a long-running stream
+            # doesn't accumulate one leaf pair per micro-batch
+            from ..operators.curation import release_checkpoints
+
+            release_checkpoints(new_sh, new_sig)
 
     q = stream_esoa_parts(spark, directory, process, checkpoint_dir)
     q.neardup_index = (idx_sh, idx_sig, idx_bands)
@@ -366,6 +372,11 @@ def stream_embdup_against_index(
                 F.col("new_vec").alias("index_vec"), "label",
                 F.col("nqe").alias("qe"), "cell",
             ).write.mode("overwrite").parquet(os.path.join(grow_index_dir, part))
+            # batch checkpoint fully consumed (match join + append) —
+            # free it; one leaf per micro-batch otherwise
+            from ..operators.curation import release_checkpoints
+
+            release_checkpoints(new)
 
     src = (
         spark.readStream.schema(EMBEDDING_PART_SCHEMA)
