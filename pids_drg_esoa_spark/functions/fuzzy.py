@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def indel_distance_py(a: str, b: str) -> int:
-    """Edit distance with substitution cost 2 (= LCS-based indel)."""
+def indel_distance_dp(a: str, b: str) -> int:
+    """Reference O(|a|·|b|) LCS DP — kept as the equivalence oracle
+    for the bit-parallel fast path below (pytest pins them equal)."""
     if a == b:
         return 0
     la, lb = len(a), len(b)
@@ -44,6 +45,35 @@ def indel_distance_py(a: str, b: str) -> int:
     return la + lb - 2 * prev[lb]
 
 
+def indel_distance_py(a: str, b: str) -> int:
+    """Edit distance with substitution cost 2 (= LCS-based indel).
+
+    Bit-parallel LCS (Hyyrö/Allison–Dix): V starts all-ones over |b|
+    bits; per char of a, u = V & M[c]; V = (V + u) | (V − u); LCS =
+    count of zero bits in V. One O(1) big-int step per char of ``a``
+    instead of an O(|b|) Python inner loop — measured ~10× faster on
+    the tagger's 6-25 char keys, exact-equal to the DP (including the
+    >64-bit multi-word path; Python ints are arbitrary-width so no
+    word-boundary code is needed). u ⊆ V so V − u never underflows."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    m: dict[str, int] = {}
+    bit = 1
+    for c in b:
+        m[c] = m.get(c, 0) | bit
+        bit <<= 1
+    mask = bit - 1
+    v = mask
+    get = m.get
+    for c in a:
+        u = v & get(c, 0)
+        v = ((v + u) | (v - u)) & mask
+    return la + lb - 2 * (lb - bin(v).count("1"))
+
+
 def fuzz_ratio_py(a: str | None, b: str | None) -> float:
     """rapidfuzz fuzz.ratio parity: 0-100 normalized indel similarity."""
     if a is None or b is None:
@@ -55,8 +85,20 @@ def fuzz_ratio_py(a: str | None, b: str | None) -> float:
 
 
 @F.pandas_udf(T.DoubleType())
-def fuzz_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+def _fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([fuzz_ratio_py(x, y) for x, y in zip(a, b)])
+
+
+# Marked non-deterministic ON PURPOSE (optimization guide §4.4): the
+# tagger projects the ratio and immediately filters on it; Catalyst
+# pushes that filter below the projection and DUPLICATES the UDF —
+# the executed r13 plan showed ArrowEvalPython → Filter(≥85) →
+# ArrowEvalPython twice per probe path, so every candidate pair paid
+# the scorer twice. The function is pure; the annotation only forbids
+# the optimizer from duplicating/reordering it, halving the Python
+# work. (Do not blanket-apply this to cheap UDFs — it also blocks
+# legitimate filter pushdown past the node.)
+fuzz_ratio = _fuzz_ratio_udf.asNondeterministic()
 
 
 def length_band_filter(len_a, len_b, min_ratio: float = 85.0):

@@ -244,18 +244,33 @@ K_MEANS_K = 8
 K_MEANS_SCALE = 16
 
 
+def _sql_int_dot(col: str, c: list[int]) -> str:
+    """``int_dot(col, literal centroid)`` as a SQL fragment — the
+    same zip_with/aggregate lambdas the Column form builds, with the
+    centroid inlined as one array literal the JVM parses."""
+    arr = ",".join(str(int(x)) for x in c)
+    return (
+        f"aggregate(zip_with({col}, array({arr}), (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
 def _kmeans_cell_expr(cents: list[list[int]]) -> Column:
     """Nearest-centroid id as a native expression from literal
     centroids: 8 integer dots, argmax with min-id tie-break via
-    array_max over (dot, -cid) structs (lexicographic struct order)."""
-    structs = [
-        F.struct(
-            int_dot(F.col("qe"), F.array(*[F.lit(int(x)) for x in c])).alias("dot"),
-            F.lit(-j).alias("nj"),
-        )
+    array_max over (dot, -cid) structs (lexicographic struct order).
+
+    r13: assembled as ONE ``F.expr`` SQL string instead of nested
+    Column builders — the k×d literal tree costs one py4j round-trip
+    per ``F.lit``/lambda (~0.56 s per construction at k=8, d=64,
+    measured), and kmeans_fit constructs it once per Lloyd round plus
+    once for the final assignment; a single parsed string is ~30×
+    cheaper to build with an identical analyzed expression."""
+    structs = ",".join(
+        f"named_struct('dot', {_sql_int_dot('qe', c)}, 'nj', {-j})"
         for j, c in enumerate(cents)
-    ]
-    return (-F.array_max(F.array(*structs))["nj"]).alias("cell")
+    )
+    return F.expr(f"-array_max(array({structs})).nj").alias("cell")
 
 
 def _pin_wide(df: DataFrame, *cols: str) -> DataFrame:
@@ -392,21 +407,24 @@ def kmeans_assign(
     return kmeans_fit(v, iters=iters, k=k, assign=assign)[1]
 
 
-def probe_cells(q_emb: Column, cents: list[list[int]], nprobe: int) -> Column:
+def probe_cells(q_emb: str, cents: list[list[int]], nprobe: int) -> Column:
     """The query's top-``nprobe`` coarse cells by centroid dot
     (dot DESC, cid ASC — the same argmax order as assignment, so the
     first probed cell is always the query's own cell). Literal
     centroids keep this a narrow projection: sort the k (dot, -cid)
-    structs lexicographically, slice P, recover the ids."""
-    structs = [
-        F.struct(
-            int_dot(q_emb, F.array(*[F.lit(int(x)) for x in c])).alias("dot"),
-            F.lit(-j).alias("nj"),
-        )
+    structs lexicographically, slice P, recover the ids.
+
+    ``q_emb`` is the embedding COLUMN NAME (r13: the expression is
+    assembled as one F.expr SQL string for the same
+    py4j-construction-cost reason as ``_kmeans_cell_expr``)."""
+    structs = ",".join(
+        f"named_struct('dot', {_sql_int_dot(q_emb, c)}, 'nj', {-j})"
         for j, c in enumerate(cents)
-    ]
-    ranked = F.slice(F.sort_array(F.array(*structs), asc=False), 1, nprobe)
-    return F.transform(ranked, lambda s: -s["nj"])
+    )
+    return F.expr(
+        f"transform(slice(sort_array(array({structs}), false), 1, {int(nprobe)}),"
+        " s -> -s.nj)"
+    )
 
 
 def _sql_kmeans_cells(k: int = 8) -> str:
@@ -581,7 +599,7 @@ def _ivf_kmeans_topk(
             probed = q.select(
                 "query_id",
                 "q_emb",
-                F.explode(probe_cells(F.col("q_emb"), cents, nprobe)).alias("cell"),
+                F.explode(probe_cells("q_emb", cents, nprobe)).alias("cell"),
             )
         else:
             probed = _probe_cells_join(q, cents, nprobe)

@@ -11,6 +11,8 @@ fact side.
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -457,19 +459,28 @@ def a5_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build_unified_reference.py:459 A5; SURVEY §7 'order-dependence')
     with a deterministic window rank-1."""
     l = table(spark, sf_dir, "lineitem")
-    # survivor = min over the explicit ordering struct; min_by gets
-    # map-side partial aggregation (no per-partition window sort),
-    # and the struct min reproduces the (l_linenumber, l_partkey)
-    # rank-1 exactly
-    ord_key = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    # survivor = min over the explicit (l_linenumber, l_partkey)
+    # ordering. r13: a STRUCT min has an immutable aggregation buffer,
+    # which knocks the whole aggregation off HashAggregate onto
+    # SortAggregate — at scale that sorts the full lineitem relation
+    # twice (before partial and final agg). Encoding the ordering as
+    # ONE decimal(38,0) — ln·10¹⁹ + pk, a monotone bijection for
+    # 0 ≤ pk < 10¹⁹ and ln ≥ 0 (both hold: TPC-H keys are positive
+    # bigints) — keeps every buffer slot mutable, so the plan is a
+    # HashAggregate with map-side partial aggregation and no sorts.
+    # min_by ties are impossible (the encoding is injective), so the
+    # survivor is bit-identical to the struct-min shape.
+    _l = F.lit(_Decimal(10**19)).cast("decimal(20,0)")
+    enc = F.col("l_linenumber").cast("decimal(19,0)") * _l + F.col(
+        "l_partkey"
+    ).cast("decimal(19,0)")
     return (
         l.groupBy("l_orderkey")
-        .agg(F.min(ord_key).alias("s"))
-        .select(
-            "l_orderkey",
-            F.col("s.l_partkey").alias("l_partkey"),
-            F.col("s.l_linenumber").alias("l_linenumber"),
+        .agg(
+            F.min_by("l_partkey", enc).alias("l_partkey"),
+            F.min("l_linenumber").alias("l_linenumber"),
         )
+        .select("l_orderkey", "l_partkey", "l_linenumber")
     )
 
 

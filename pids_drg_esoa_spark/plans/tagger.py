@@ -1430,7 +1430,13 @@ def _tag_descriptions_impl(
             (F.col("gm.num_input") == 1).alias("is_single"),
         )
     )  # persisted: probed by the gate join and the W1 ranking join
-    validate_udf = _make_validate(syn_b)
+    # non-deterministic mark (optimization guide §4.4): the v.matches
+    # filter right below would otherwise be pushed under the
+    # projection and DUPLICATE the validate UDF — the executed r13
+    # plan showed ArrowEvalPython → Filter → ArrowEvalPython around
+    # this call, every candidate paying generics_match twice. The
+    # function is pure; the mark only stops the optimizer copying it.
+    validate_udf = _make_validate(syn_b).asNondeterministic()
     priority_expr = F.lit(4)
     for reason, prio in sorted(MATCH_PRIORITY.items()):
         priority_expr = F.when(F.col("v.reason") == reason, prio).otherwise(priority_expr)

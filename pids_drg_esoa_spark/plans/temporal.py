@@ -14,6 +14,8 @@ matched in the oracles via ``epoch_ns(ts)``.
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -59,15 +61,28 @@ def t_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort that whole relation, while max_by gets map-side partial
     # aggregation that crushes it before the exchange (SCALE.md
     # measured lesson: groupBy beats window 7× on high-fanout rank-1).
-    # struct max = (latest o_orderdate, then largest o_orderkey) —
-    # identical tie-break to the former DESC,DESC row_number key.
+    # r13: the former struct ordering key forced SortAggregate (struct
+    # buffers are immutable → no HashAggregate), which sorted the full
+    # event×order fanout before the partial agg. The ordering is now
+    # ONE decimal(38,0) — day(o_orderdate)·10¹⁹ + o_orderkey, a
+    # monotone bijection of (o_orderdate, o_orderkey) for
+    # 0 ≤ o_orderkey < 10¹⁹ (orderkeys are non-negative bigints; the
+    # 10¹⁹ stride exceeds any bigint). The day number reuses the same
+    # timezone-free datediff arithmetic the join predicate above is
+    # built on — o_orderdate is date-granular, which that predicate
+    # (and the oracle) already rely on. Every buffer slot is mutable,
+    # the plan is a HashAggregate, and max_by ties are impossible
+    # (injective encoding), so the winner is bit-identical.
+    _stride = F.lit(_Decimal(10**19)).cast("decimal(20,0)")
+    ord_enc = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("decimal(19,0)")
+        * _stride
+        + F.col("o_orderkey").cast("decimal(19,0)")
+    )
     return (
         joined.groupBy("event_id", "user_id", "event_type")
-        .agg(
-            F.max_by(
-                "o_orderkey", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
-            ).alias("asof_orderkey")
-        )
+        .agg(F.max_by("o_orderkey", ord_enc).alias("asof_orderkey"))
         .select("event_id", "user_id", "event_type", "asof_orderkey")
     )
 

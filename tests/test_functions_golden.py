@@ -240,6 +240,26 @@ def test_indel_known_values():
     assert indel_distance_py("", "abc") == 3
 
 
+def test_indel_bitparallel_equals_dp():
+    """The r13 bit-parallel fast path must agree with the reference
+    DP everywhere — random pairs over a small alphabet (tie-heavy),
+    plus >64-char strings exercising the multi-word big-int path."""
+    import random
+
+    from pids_drg_esoa_spark.functions.fuzzy import indel_distance_dp
+
+    rng = random.Random(131313)
+    for _ in range(3000):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        a = "".join(rng.choice("abcd") for _ in range(la))
+        b = "".join(rng.choice("abcd") for _ in range(lb))
+        assert indel_distance_py(a, b) == indel_distance_dp(a, b), (a, b)
+    for _ in range(50):
+        a = "".join(rng.choice("ab") for _ in range(rng.randint(65, 200)))
+        b = "".join(rng.choice("ab") for _ in range(rng.randint(65, 200)))
+        assert indel_distance_py(a, b) == indel_distance_dp(a, b), (a, b)
+
+
 @pytest.mark.parametrize(
     "a,b,expected",
     [

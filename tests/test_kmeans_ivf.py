@@ -126,7 +126,7 @@ def test_probe_cells_literal_join_parity(spark, sf_dir):
         lit = {
             r["query_id"]: list(r["cells"])
             for r in q.select(
-                "query_id", probe_cells(F.col("q_emb"), cents, 3).alias("cells")
+                "query_id", probe_cells("q_emb", cents, 3).alias("cells")
             ).collect()
         }
         jn: dict[int, list[int]] = {}
@@ -151,7 +151,7 @@ def test_first_probed_cell_is_assignment(spark, sf_dir):
     got = assigned.select(
         "vec_id",
         "cell",
-        F.element_at(probe_cells(F.col("qe"), cents, 1), 1).alias("probed"),
+        F.element_at(probe_cells("qe", cents, 1), 1).alias("probed"),
     ).collect()
     assert got and all(r["cell"] == r["probed"] for r in got)
 
