@@ -136,9 +136,10 @@ def minhash_signature(shingles: DataFrame) -> DataFrame:
     """8 min-hashes AND the set size per doc in ONE aggregation pass
     (no seed explosion): md5 with a literal seed prefix, lexicographic
     min. Carrying n here spares the verify stage a shingle recompute."""
+    # one parsed expression per min (r13): same analyzed aggregates,
+    # ~5× fewer py4j round-trips per plan construction
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"m{h}")
-        for h in range(N_HASHES)
+        F.expr(f"min(md5(concat('{h}|', sh))) AS m{h}") for h in range(N_HASHES)
     ] + [F.count(F.lit(1)).alias("n_sh")]
     return shingles.groupBy("doc").agg(*aggs)
 
@@ -533,17 +534,22 @@ def dedup_minhash_planted_cluster(spark: SparkSession, sf_dir: str) -> DataFrame
     return verified
 
 
-def _simhash_bits_spark(tok_col: str = "tok") -> list:
-    """32 majority-vote bit aggregates from md5 hex-char high bits:
-    hex digit ≥ 8 ⇔ top bit set — engine-portable bit extraction."""
-    h = F.md5(F.col(tok_col))
-    outs = []
-    for i in range(32):
-        bit = F.substring(h, i + 1, 1).isin(*"89abcdef")
-        outs.append(
-            F.when(F.sum(F.when(bit, 1).otherwise(-1)) > 0, "1").otherwise("0").alias(f"b{i}")
-        )
-    return outs
+def _simhash_expr(tok_col: str = "tok") -> Column:
+    """The whole 32-bit majority-vote fingerprint as ONE aggregate
+    expression: hex digit ≥ 8 ⇔ md5 top bit set (engine-portable bit
+    extraction), sum(±1) > 0 per position, concat of the 32 bits.
+
+    r13: assembled as a single ``F.expr`` SQL string — the former
+    builder made ~300 py4j round-trips per call (32 bits × ~8 Column
+    calls), a measured 0.75 s of the 0.93 s warm wall; one parsed
+    string is two calls with the identical analyzed aggregate."""
+    bits = ",".join(
+        "CASE WHEN sum(CASE WHEN substring(md5({t}), {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        "THEN '1' ELSE '0' END".format(t=tok_col, p=i + 1)
+        for i in range(32)
+    )
+    return F.expr(f"concat({bits})").alias("simhash")
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -552,10 +558,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFra
     the fingerprint and pair operators — the banding keys MUST come
     from the same fingerprint scheme or they silently drift."""
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
-    agg = tok.groupBy("doc_id").agg(*_simhash_bits_spark())
-    return agg.select(
-        "doc_id", F.concat(*[F.col(f"b{i}") for i in range(32)]).alias("simhash")
-    )
+    return tok.groupBy("doc_id").agg(_simhash_expr())
 
 
 
