@@ -29,6 +29,8 @@ back optimization the reference hand-rolls (A6).
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -157,19 +159,43 @@ def j9_j10_candidate_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE grouped pass over the high-fanout candidate relation — not a
     # window (full sort, measured 7× slower at sf0.1) and not two
     # grouped passes (the li⋈cand join would execute twice). rank-1 by
-    # an ordering tuple ≡ max_by over the same tuple as a struct; the
-    # tuple is null for invalid candidates, and max_by skips null
-    # ordering keys, so best_partkey ranges over valid rows only.
+    # an ordering tuple ≡ max_by over the same tuple; the key is null
+    # for invalid candidates, and max_by skips null ordering keys, so
+    # best_partkey ranges over valid rows only.
     # Partial (map-side) aggregation crushes the fanout pre-shuffle.
+    #
+    # r13: the tuple was a STRUCT — immutable aggregation buffer, so
+    # the whole pass planned as SortAggregate (full sort of the
+    # li×cand fanout before partial AND final agg — the wrong shape at
+    # 100 TB). Encoded instead as ONE injective decimal(38,0), digit
+    # layout (high → low):
+    #   d37..d34  is_exact        (0/1 — one digit used, headroom 3)
+    #   d33..d19  n_shared        (count of shared-token pairs; ≤
+    #                              tokens(src)·tokens(cand) ≪ 10¹⁵)
+    #   d18       5 − |Δdose|     (valid ⇒ |Δdose| ≤ DOSE_TOL = 5, and
+    #                              it is an exact small integer:
+    #                              cand_size is int and l_quantity is
+    #                              integral by the TPC-H dbgen contract
+    #                              — 1..50, checked across all testdata
+    #                              SFs; the bigint cast is exact)
+    #   d17..d0   10¹⁸ − partkey  (positive: partkey ∈ [1, 10¹⁸))
+    # Every component is monotone in the original tuple field and the
+    # partkey slot is injective per group, so ties are impossible and
+    # the max_by winner is bit-identical to the struct shape — both
+    # queries re-verified hash-exact vs the DuckDB oracle. All buffer
+    # slots mutable ⇒ HashAggregate, no sorts.
     valid = F.col("dose_ok") & F.col("form_ok")
+    _d = lambda n: F.lit(_Decimal(n)).cast("decimal(38,0)")  # noqa: E731
     rank_key = F.when(
         valid,
-        F.struct(
-            F.col("is_exact").cast("int").alias("k1"),
-            F.col("n_shared").alias("k2"),
-            (-F.abs(F.col("cand_size") - F.col("l_quantity"))).alias("k3"),
-            (-F.col("cand_partkey")).alias("k4"),
-        ),
+        F.col("is_exact").cast("decimal(38,0)") * _d(10**34)
+        + F.col("n_shared").cast("decimal(38,0)") * _d(10**19)
+        + (
+            _d(5)
+            - F.abs(F.col("cand_size") - F.col("l_quantity")).cast("bigint").cast("decimal(38,0)")
+        )
+        * _d(10**18)
+        + (_d(10**18) - F.col("cand_partkey").cast("decimal(38,0)")),
     )
     summary = scored.groupBy("l_orderkey", "l_linenumber").agg(
         F.max_by("cand_partkey", rank_key).alias("best_partkey"),
