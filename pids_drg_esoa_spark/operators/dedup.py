@@ -637,39 +637,45 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity falls as the radius guarantee grows. Completes the
     simhash family: fingerprints → banded candidates → verified
     pairs, the same generate/verify contract as MinHash-LSH."""
+    # r13 (guide §2.3 — shuffle fewer bytes; §1.2 — per-task work):
+    # the fingerprint rides the four band joins as ONE bigint
+    # (conv(bits, 2, 10); 32 '0'/'1' chars < 2³² so the cast is exact)
+    # instead of the 32-char string, hamming distance is
+    # bit_count(la XOR lb) — identical to counting differing chars,
+    # since char i differs ⇔ bit i differs — and the ≤ 3 verify runs
+    # per BAND, before the union's dropDuplicates, so the dedupe
+    # exchange carries only verified pairs (a few rows) instead of
+    # every candidate (~n²/256 per band on uniform fingerprints).
+    # Verify-then-dedupe is row-identical: duplicates of a pair carry
+    # the same fingerprints, hence the same hamming, on every band.
     fp = simhash_fingerprints(
         table(spark, sf_dir, "documents"), "text", "doc_id"
-    ).persist()  # probed by all four band joins
+    ).withColumn("sl", F.expr("cast(conv(simhash, 2, 10) as bigint)")).persist()
     blocks = fp.select(
-        "doc_id", "simhash",
+        "doc_id", "sl",
         *[F.substring("simhash", 1 + 8 * b, 8).alias(f"blk{b}") for b in range(4)],
     )
     pairs = None
     for block in range(4):
         key = f"blk{block}"
         a = blocks.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), key
+            F.col("doc_id").alias("doc_a"), F.col("sl").alias("la"), key
         )
         b = blocks.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), key
+            F.col("doc_id").alias("doc_b"), F.col("sl").alias("lb"), key
         )
         j = (
             a.join(b, key)
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sa", "sb")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr("cast(bit_count(la ^ lb) as bigint)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
         )
         pairs = j if pairs is None else pairs.unionByName(j)
-    cand = pairs.dropDuplicates(["doc_a", "doc_b"])
-    hamming = sum(
-        F.when(
-            F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(32)
-    )
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= 3)
-    )
+    return pairs.dropDuplicates(["doc_a", "doc_b"])
 
 
 @register(

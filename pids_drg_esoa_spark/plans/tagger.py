@@ -474,13 +474,21 @@ def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFra
     # recomputed (or the error re-raised) by the next real action.
     docs = docs.localCheckpoint(eager=False)
 
+    # r13: the daemon's count IS the doc count the token-tier gate
+    # needs later (tagger.py ~1341) — publish it through a one-slot
+    # future on the DataFrame object so the gate can join() this
+    # thread instead of paying a second count job mid-build.
+    count_slot: dict[str, int] = {}
+
     def _materialize() -> None:
         try:
-            docs.count()
+            count_slot["n"] = docs.count()
         except Exception:
             pass  # surfaced by the next action on `docs`
 
-    threading.Thread(target=_materialize, daemon=True).start()
+    t = threading.Thread(target=_materialize, daemon=True)
+    t.start()
+    docs._tag_count_future = (t, count_slot)  # type: ignore[attr-defined]
     return docs
 
 
@@ -1334,11 +1342,18 @@ def _tag_descriptions_impl(
             "bkey string, target_key string",
         )
     # gate hint: docs is a (lazily materializing) checkpoint leaf —
-    # one cheap count, overlapping the daemon materialization we pay
-    # anyway, instead of keys.count()'s mid-build shuffle action
+    # reuse the daemon materializer's count (join its thread) instead
+    # of running a second count job mid-build; the fallback count
+    # covers a failed/absent daemon (its error resurfaces here).
+    _cf = getattr(docs, "_tag_count_future", None)
+    if _cf is not None:
+        _cf[0].join()
+        n_docs = _cf[1].get("n")
+    else:
+        n_docs = None
     token_hits = _persist_tracked(_token_matches(
         keys, generics_dim, synonyms_dim, brands_targets, mixtures_dim,
-        n_pairs_hint=2 * docs.count(),
+        n_pairs_hint=2 * (n_docs if n_docs is not None else docs.count()),
     ))
 
     # No synthesized ' + '-joined candidates: the reference never

@@ -159,15 +159,18 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
         for i in range(32)
     )
     brute = {
-        (r.doc_a, r.doc_b)
+        (r.doc_a, r.doc_b): r.h
         for r in a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("h", hamming)
         .filter(F.col("h") <= 3)
         .collect()
     }
+    # values too (r13): the operator now computes hamming as
+    # bit_count(conv(bits,2,10) XOR ...) — this per-char brute count
+    # pins the bit-parallel path value-for-value, not just set-wise
     got = {
-        (r.doc_a, r.doc_b)
+        (r.doc_a, r.doc_b): r.hamming
         for r in dedup_simhash_hamming_pairs(spark, sf_dir).collect()
     }
     assert got == brute
