@@ -327,11 +327,14 @@ def distinct_text_reps(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("text"),
     )
-    reps = eligible.groupBy("th").agg(
-        F.min("doc").alias("rep"),
-        # identical md5 ⇒ identical text: first() is value-deterministic
-        F.first("text").alias("text"),
-    )
+    # r13 (guide §5): text rides as a GROUP KEY, not a first() agg —
+    # identical md5 ⇒ identical text, so adding it to the key changes
+    # no groups, while a first(text) buffer held an immutable string
+    # that knocked the whole aggregation off HashAggregate onto
+    # SortAggregate (the full eligible relation was sorted, partial and
+    # final, before aggregating). Keys may be strings under hash agg;
+    # only BUFFER slots must be mutable — min(doc) is a long.
+    reps = eligible.groupBy("th", "text").agg(F.min("doc").alias("rep"))
     member = (
         eligible.select("th", "doc").join(reps.select("th", "rep"), "th").select("doc", "rep")
     )

@@ -65,9 +65,33 @@ def a9_max_by_unique_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint") * 1_000_000_000_000
         + F.col("c_custkey")
     )
-    return c.groupBy("c_nationkey").agg(
-        F.max_by("c_name", key).alias("richest_customer"),
+    # r13 (guide §5): max_by with a STRING value keeps an immutable
+    # string in the aggregation buffer, which knocks the whole agg off
+    # HashAggregate onto SortAggregate — the full customer relation was
+    # sorted (per partition, partial AND final) before aggregating.
+    # The key is already unique (custkey digits), so aggregate max(key)
+    # (all-mutable buffer → HashAggregate with map-side partials),
+    # recover the winning custkey from the key's low digits — pmod,
+    # not %, because round(acctbal*100) goes negative for TPC-H's
+    # negative balances while the custkey digits stay in [0, 1e12) —
+    # and broadcast the |nations|-row result back onto customer to
+    # fetch the name. Costs a second pushed-down scan of two customer
+    # columns; removes the full-relation sort. max_by(name, unique
+    # key) ≡ name of the max-key row, and custkey is customer's
+    # primary key, so the join-back is exact.
+    best = c.groupBy("c_nationkey").agg(
+        F.max(key).alias("best_key"),
         F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+    ).withColumn("best_custkey", F.pmod(F.col("best_key"), F.lit(1_000_000_000_000)))
+    names = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(best)
+        .join(names, best.best_custkey == names.c_custkey)
+        .select(
+            "c_nationkey",
+            F.col("c_name").alias("richest_customer"),
+            "max_balance",
+        )
     )
 
 

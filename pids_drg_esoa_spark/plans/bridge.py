@@ -22,6 +22,8 @@ Spark-first shape:
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -544,7 +546,8 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     index_df = (
         build_annex_index_ref(annex_f) if annex_ref_mode else build_annex_index(annex_f)
     )
-    index = F.broadcast(_materialize_dim(index_df))
+    index_mat = _materialize_dim(index_df)
+    index = F.broadcast(index_mat)
 
     cand = (
         esoa.filter(F.col("has_generic"))
@@ -603,28 +606,66 @@ def bridge_to_drug_codes(tagged: DataFrame, annex_f: DataFrame) -> DataFrame:
     # W3 + flags in ONE grouped pass (map-side combinable; no window
     # sort over the fanout). Valid = dose ∧ form ∧ route
     # (runners.py:1357-1365); best valid by (details_score, comp_pos,
-    # annex_order, drug_code) — the reference sorts STABLY over its
+    # annex_order) — the reference sorts STABLY over its
     # per-component collection order, so score ties resolve by the
     # eSOA component position first, then annex insertion order within
-    # the component (runners.py:1170-1190,1367-1371; r9 fuzz catch),
-    # drug_code as a final determinism backstop. A drug_code reached
-    # by several components appears once per component; min_by keeps
-    # the smallest comp_pos = the reference's dedupe-keep-first.
+    # the component (runners.py:1170-1190,1367-1371; r9 fuzz catch).
+    # A drug_code reached by several components appears once per
+    # component; the min keeps the smallest comp_pos = the
+    # reference's dedupe-keep-first.
+    #
+    # r13 (guide §5): the former rank key was a STRUCT fed to
+    # min_by(drug_code, …) — struct ordering buffers are immutable and
+    # a string value keeps a string in the buffer, so the aggregation
+    # fell off HashAggregate onto SortAggregate, which SORTS the whole
+    # text×candidate fanout (the big relation at scale) before partial
+    # aggregation. The ordering tuple is now ONE injective
+    # decimal(38,0) — (details_score+40)·10³⁰ + comp_pos·10²⁰ +
+    # (annex_order+10¹⁹) — and the winner's drug_code is recovered by
+    # a broadcast join on the annex_order digits. Monotone
+    # lexicographic because every lower slot stays below one unit of
+    # the slot above: details_score ∈ [-38, 0] (fixed weight sum) so
+    # score+40 ∈ [2, 40]; comp_pos is a posexplode int ≥ 0 < 2³¹, so
+    # comp_pos·10²⁰ < 2.2·10²⁹ < 10³⁰; annex_order+10¹⁹ ∈
+    # (8·10¹⁷, 2·10¹⁹) for ANY bigint < 10²⁰. Max enc < 41·10³⁰, well
+    # inside decimal(38,0), and every intermediate precision below is
+    # exact (34/32/21 digits). The former struct's trailing drug_code
+    # was a determinism backstop that can never decide: within one
+    # raw_text group, (comp_pos, annex_order) repeats only when one
+    # annex row indexes the same component twice, and such duplicates
+    # carry the SAME drug_code (one drug_code per annex row), so
+    # dropping the field from the ordering cannot change the winner —
+    # annex_order → drug_code is functional, which also makes the
+    # join-back exact. Pinned by the p4_bridge/w3 oracles and
+    # fuzz_part4_ranking_vs_reference.
     valid = F.col("dose_ok") & F.col("form_ok") & F.col("route_ok")
-    rank_key = F.when(
+    _dec = lambda n, p: F.lit(_Decimal(n)).cast(f"decimal({p},0)")  # noqa: E731
+    rank_enc = F.when(
         valid,
-        F.struct(
-            F.col("details_score"), F.col("comp_pos"),
-            F.col("annex_order"), F.col("drug_code"),
-        ),
+        (F.col("details_score").cast("decimal(3,0)") + _dec(40, 2)) * _dec(10**30, 31)
+        + F.col("comp_pos").cast("decimal(10,0)") * _dec(10**20, 21)
+        + (F.col("annex_order").cast("decimal(19,0)") + _dec(10**19, 20)),
     )
     summary = flagged.groupBy("raw_text").agg(
-        F.min_by("drug_code", rank_key).alias("best_drug_code"),
+        F.min(rank_enc).alias("best_enc"),
         F.max(valid.cast("int")).alias("has_valid"),
         F.max(F.col("dose_ok").cast("int")).alias("has_dose_ok"),
         F.max(F.col("form_ok").cast("int")).alias("has_form_ok"),
         F.max(F.col("route_ok").cast("int")).alias("has_route_ok"),
         F.count(F.lit(1)).alias("n_cand"),
+    )
+    # annex_order digits back out of the winning encoding; the tiny
+    # annex dim maps them to the winner's drug_code (functional — one
+    # drug_code per annex row; min() only collapses the per-component
+    # index duplicates of that same row).
+    code_map = F.broadcast(
+        index_mat.groupBy("annex_order").agg(F.min("drug_code").alias("best_drug_code"))
+    )
+    summary = summary.withColumn(
+        "best_annex_order",
+        (F.col("best_enc") % _dec(10**20, 21) - _dec(10**19, 20)).cast("long"),
+    ).join(code_map, F.col("best_annex_order") == code_map.annex_order, "left").drop(
+        "annex_order", "best_enc", "best_annex_order"
     )
 
     # Reason ladder with the reference's label strings and priority:
