@@ -238,54 +238,66 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, the fraction of word-2-grams taken by the single most
     frequent 2-gram, the fraction of 2-gram positions whose 2-gram
     occurs ≥2× in the doc, and the top-3-gram fraction — the signals
-    that catch boilerplate/looping text. Shape: two keyed explodes +
-    groupBy(doc, gram) with map-side combine, re-aggregated per doc;
+    that catch boilerplate/looping text. Shape: ONE keyed explode over
+    2-gram start positions carries BOTH gram sizes as tagged rows (the
+    3-gram is NULL on the last position and filtered), so the corpus is
+    tokenized once and shuffled twice (count by (doc, n, gram), re-agg
+    by doc) instead of the two-passes-four-exchanges per-size shape;
     every shuffle key carries doc_id so the work partitions with the
-    corpus. Integer micros outputs (reference: the quality-filter tier
-    a curation pipeline runs before training)."""
+    corpus. Per-doc stats split back out of the tagged counts with
+    conditional aggregates. Integer micros outputs (reference: the
+    quality-filter tier a curation pipeline runs before training)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-
-    def gram_stats(n: int, with_dup: bool):
-        idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
-            F.array().cast("array<int>")
+    idx2 = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    g2 = F.concat_ws(
+        " ", F.element_at("tk", F.col("i")), F.element_at("tk", F.col("i") + 1)
+    )
+    g3 = F.when(
+        F.col("i") <= F.size("tk") - 2,
+        F.concat_ws(
+            " ",
+            F.element_at("tk", F.col("i")),
+            F.element_at("tk", F.col("i") + 1),
+            F.element_at("tk", F.col("i") + 2),
+        ),
+    )
+    both = (
+        d.select("doc_id", F.explode(idx2).alias("i"), toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(2).alias("n"), g2.alias("gram")),
+                    F.struct(F.lit(3).alias("n"), g3.alias("gram")),
+                )
+            ).alias("t"),
         )
-        gram = F.concat_ws(
-            " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
-        )
-        counts = (
-            d.select("doc_id", F.explode(idx).alias("i"), toks.alias("tk"))
-            .select("doc_id", gram.alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        aggs = [
-            F.max("c").alias(f"top{n}"),
-            F.sum("c").cast("bigint").alias(f"n{n}"),
-        ]
-        if with_dup:
-            aggs.append(
-                F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
-                .cast("bigint")
-                .alias(f"dup{n}")
-            )
-        return counts.groupBy("doc_id").agg(*aggs)
-
-    s2 = gram_stats(2, with_dup=True)
-    s3 = gram_stats(3, with_dup=False)
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    counts = both.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    s = counts.groupBy("doc_id").agg(
+        F.max(F.when(is2, F.col("c"))).alias("top2"),
+        F.sum(F.when(is2, F.col("c"))).cast("bigint").alias("n2"),
+        F.coalesce(F.sum(F.when(is2 & (F.col("c") >= 2), F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup2"),
+        F.max(F.when(is3, F.col("c"))).alias("top3"),
+        F.sum(F.when(is3, F.col("c"))).cast("bigint").alias("n3"),
+    )
     micros = lambda num, den: F.coalesce(  # noqa: E731
         F.floor(num * 1000000.0 / den), F.lit(0)
     ).cast("bigint")
-    return (
-        d.join(s2, "doc_id", "left")
-        .join(s3, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_2grams"),
-            micros(F.col("top2"), F.col("n2")).alias("top_2gram_frac_micros"),
-            micros(F.col("dup2"), F.col("n2")).alias("dup_2gram_frac_micros"),
-            micros(F.col("top3"), F.col("n3")).alias("top_3gram_frac_micros"),
-        )
+    return d.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_2grams"),
+        micros(F.col("top2"), F.col("n2")).alias("top_2gram_frac_micros"),
+        micros(F.col("dup2"), F.col("n2")).alias("dup_2gram_frac_micros"),
+        micros(F.col("top3"), F.col("n3")).alias("top_3gram_frac_micros"),
     )
 
 
