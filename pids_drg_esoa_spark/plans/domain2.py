@@ -551,7 +551,11 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tagger import tag_descriptions
 
     p = table(spark, sf_dir, "part")
-    ks = p.select(F.col("p_partkey").alias("k")).distinct()
+    # ONE scan+distinct of part, frozen as a leaf: esoa, the generics
+    # dim, and the atc dim all derive from ks, and before the
+    # checkpoint each union leg below re-derived the scan+distinct
+    # (~10 sequential AQE stage-jobs during dim materialization).
+    ks = p.select(F.col("p_partkey").alias("k")).distinct().localCheckpoint()
     k = F.col("k")
     m = k % 5
     gen = F.concat(F.lit("GEN"), k.cast("string"))
@@ -579,35 +583,43 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(gen, F.lit(" 500 MG TABLET")))
         .alias("raw_text")
     )
-    generics = ks.select(
-        F.when(m == 4, combo_name).otherwise(gen).alias("generic_name"),
-        F.when(m == 4, F.concat(F.lit("DB"), kp.cast("string")))
-        .otherwise(F.concat(F.lit("DB"), k.cast("string"))).alias("drugbank_id"),
-    ).distinct()
     # the m==4 COMPONENT names ride along as plain generics (no ATC):
     # under a combination input they are inadmissible (scoring.py:
     # 268-271) so outputs are unchanged, but their tokens now resolve
     # in tier 0 — without these rows every component token would fall
     # through to the fuzzy probe, turning the bench into a measure of
-    # fuzzy-probing 8K unique tokens instead of the W1 rank plan
-    components = ks.filter(m == 4).select(
-        gen4.alias("generic_name"),
-        F.concat(F.lit("DBS"), kp.cast("string")).alias("drugbank_id"),
-    ).union(ks.filter(m == 4).select(
-        F.concat(F.lit("ZPART"), ka).alias("generic_name"),
-        F.concat(F.lit("DBZ"), kp.cast("string")).alias("drugbank_id"),
-    )).distinct()
-    generics = generics.union(components)
+    # fuzzy-probing 8K unique tokens instead of the W1 rank plan.
+    # One tagged explode + one distinct builds the whole dim (the
+    # former per-leg union-distinct shape re-aggregated ks 3×); the
+    # row SET is identical — the main row and the two m==4 component
+    # rows can never collide (component names are ' + '-free).
+    def _g(name_col, id_col):
+        return F.struct(name_col.alias("generic_name"), id_col.alias("drugbank_id"))
+
+    generics = ks.select(
+        F.explode(
+            F.when(
+                m == 4,
+                F.array(
+                    _g(combo_name, F.concat(F.lit("DB"), kp.cast("string"))),
+                    _g(gen4, F.concat(F.lit("DBS"), kp.cast("string"))),
+                    _g(F.concat(F.lit("ZPART"), ka), F.concat(F.lit("DBZ"), kp.cast("string"))),
+                ),
+            ).otherwise(F.array(_g(gen, F.concat(F.lit("DB"), k.cast("string")))))
+        ).alias("t")
+    ).select("t.generic_name", "t.drugbank_id").distinct()
     cname = F.when(m == 4, combo_name).otherwise(gen).alias("generic_name")
-    atc = None
-    for cond, code in (
-        (m == 0, "N02BE01"), (m == 0, "J01CR02"),
-        (m == 1, "J01CR02"),
-        (m == 2, "C09AA"), (m == 2, "N02BE01"),
-        (m == 4, "N02BE01"), (m == 4, "J01CR02"),
-    ):
-        leg = ks.filter(cond).select(cname, F.lit(code).alias("atc_code")).distinct()
-        atc = leg if atc is None else atc.union(leg)
+    # same collapse for the atc dim: the former 7-leg union (each leg
+    # a filter + per-leg distinct over its own ks derivation) is one
+    # explode of the per-residue code list + one distinct — the same
+    # (generic_name, atc_code) set (m==3 rows explode an empty array)
+    codes = (
+        F.when(m.isin(0, 4), F.array(F.lit("N02BE01"), F.lit("J01CR02")))
+        .when(m == 1, F.array(F.lit("J01CR02")))
+        .when(m == 2, F.array(F.lit("C09AA"), F.lit("N02BE01")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    atc = ks.select(cname, F.explode(codes).alias("atc_code")).distinct()
     return tag_descriptions(esoa, generics, flag_combination_atc(atc)).select(
         "raw_text", "generic_name", "atc_codes", "atc_primary", "matched"
     )
