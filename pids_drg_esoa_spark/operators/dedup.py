@@ -651,34 +651,42 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every candidate (~n²/256 per band on uniform fingerprints).
     # Verify-then-dedupe is row-identical: duplicates of a pair carry
     # the same fingerprints, hence the same hamming, on every band.
+    # r13 second pass (guide §2.2 — fewer exchanges, one codegen'd
+    # join): the four per-block self-joins collapse to ONE equi-join
+    # on exploded (band_idx, band_key) rows — the same shape as
+    # minhash's band_signature — which is row-identical (each band's
+    # matches carry its band_idx, so the union over blocks IS the
+    # exploded join's output) while shuffling the same 4n band rows
+    # through one exchange pair instead of four.
     fp = simhash_fingerprints(
         table(spark, sf_dir, "documents"), "text", "doc_id"
     ).withColumn("sl", F.expr("cast(conv(simhash, 2, 10) as bigint)")).persist()
-    blocks = fp.select(
-        "doc_id", "sl",
-        *[F.substring("simhash", 1 + 8 * b, 8).alias(f"blk{b}") for b in range(4)],
+    banded = fp.select(
+        "doc_id",
+        "sl",
+        F.expr(
+            "stack(4, 0, substring(simhash, 1, 8), 1, substring(simhash, 9, 8), "
+            "2, substring(simhash, 17, 8), 3, substring(simhash, 25, 8)) "
+            "as (band_idx, band_key)"
+        ),
     )
-    pairs = None
-    for block in range(4):
-        key = f"blk{block}"
-        a = blocks.select(
-            F.col("doc_id").alias("doc_a"), F.col("sl").alias("la"), key
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sl").alias("la"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sl").alias("lb"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(bit_count(la ^ lb) as bigint)").alias("hamming"),
         )
-        b = blocks.select(
-            F.col("doc_id").alias("doc_b"), F.col("sl").alias("lb"), key
-        )
-        j = (
-            a.join(b, key)
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select(
-                "doc_a",
-                "doc_b",
-                F.expr("cast(bit_count(la ^ lb) as bigint)").alias("hamming"),
-            )
-            .filter(F.col("hamming") <= 3)
-        )
-        pairs = j if pairs is None else pairs.unionByName(j)
-    return pairs.dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 @register(
