@@ -327,18 +327,33 @@ def distinct_text_reps(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("text"),
     )
-    # r13 (guide §5): text rides as a GROUP KEY, not a first() agg —
-    # identical md5 ⇒ identical text, so adding it to the key changes
-    # no groups, while a first(text) buffer held an immutable string
-    # that knocked the whole aggregation off HashAggregate onto
-    # SortAggregate (the full eligible relation was sorted, partial and
-    # final, before aggregating). Keys may be strings under hash agg;
-    # only BUFFER slots must be mutable — min(doc) is a long.
-    reps = eligible.groupBy("th", "text").agg(F.min("doc").alias("rep"))
-    member = (
-        eligible.select("th", "doc").join(reps.select("th", "rep"), "th").select("doc", "rep")
+    # r14 (guide §2.3/§8 + §5): text enters NO aggregate — neither as
+    # a buffer (r12's first(text) forced SortAggregate: immutable
+    # string buffer) nor as a group key (r13's groupBy(th, text) kept
+    # HashAggregate but a group key survives column pruning, so
+    # Catalyst's size estimate for the rep relation stayed text-wide
+    # and flipped the member join and both pair-expansion joins from
+    # broadcast to sort-merge — the r13 driver measured −25% cold).
+    # The rep pick aggregates the 40-byte (th, doc) proxy only — the
+    # guide §8 pattern: decide with small rows (th IS the text), move
+    # the heavy column once — and the texts of the winners are
+    # re-attached by a LEFT SEMI join on the unique doc id (rep ids
+    # are a subset of eligible doc ids, exactly one eligible row
+    # each, so the semi keeps exactly one (doc=rep, text) row per
+    # distinct text — the same relation the agg used to emit). Semi,
+    # not inner: rows are identical (no right column is needed), but
+    # Catalyst's non-CBO join estimate is the PRODUCT of the child
+    # sizes for inner joins (probed: 2.4e10 vs the true ~2.5e5 here)
+    # and the left size for semi joins — an inner join here would
+    # re-poison every downstream broadcast decision, the very bug
+    # this shape fixes. Costs one extra corpus scan; saves shipping
+    # every text through the agg exchange and keeps accurate (narrow)
+    # estimates for every downstream join.
+    reps = eligible.select("th", "doc").groupBy("th").agg(F.min("doc").alias("rep"))
+    member = eligible.select("th", "doc").join(reps, "th").select("doc", "rep")
+    rep_docs = eligible.select("doc", "text").join(
+        reps.select(F.col("rep").alias("doc")), "doc", "leftsemi"
     )
-    rep_docs = reps.select(F.col("rep").alias("doc"), "text")
     return member, rep_docs
 
 
