@@ -56,6 +56,46 @@ def _freeze(value: Any) -> Any:
     return value
 
 
+_CHECKPOINTS: dict[str, list[tuple[Any, Any]]] = {}
+# FIFO cap: evicted entries drop their strong ref so the checkpointed
+# RDD becomes GC-reapable again (today's no-registry behavior). Bounds
+# registry growth for callers that loop over many DISTINCT synthetic
+# dims (fuzz harnesses) while comfortably holding every dim a real
+# runner/tagger session resolves.
+_CHECKPOINTS_MAX = 64
+
+
+def cached_checkpoint(df, eager: bool = True):
+    """Content-keyed eager ``localCheckpoint`` memo per SparkContext:
+    a DataFrame whose ANALYZED plan is semantically equal to one
+    already checkpointed this session (``plan.sameResult`` — the same
+    equality the CacheManager uses to dedup persisted relations)
+    returns the EXISTING checkpointed leaf instead of re-running the
+    materialization job. This is plan-construction dedup with persist()
+    semantics, NOT cross-run result caching: the registry is keyed on
+    applicationId and dies with the process, exactly like a persisted
+    relation (and like persist, a caller that mutates files underneath
+    a semantically-equal plan mid-session reads the materialized
+    snapshot — Spark's standard cached-relation behavior).
+
+    Why: tag_descriptions re-materialized every dim on EVERY call
+    (eager checkpoint job + plan analysis each time, ~1.5-2 s of the
+    ~5 s warm build), and repeated headline invocations accumulated a
+    fresh never-released checkpoint per call (r13 ADVICE #1); the
+    registry resolves a semantically-equal dim to ONE leaf per
+    session."""
+    sc = df.sparkSession.sparkContext
+    plan = df._jdf.queryExecution().analyzed()
+    entries = _CHECKPOINTS.setdefault(sc.applicationId, [])
+    for stored_plan, stored_df in list(entries):
+        if plan.sameResult(stored_plan):
+            return stored_df
+    out = df.localCheckpoint(eager=eager)
+    entries.append((plan, out))
+    del entries[:-_CHECKPOINTS_MAX]
+    return out
+
+
 def cached_broadcast(sc: SparkContext, name: str, value: Any):
     """Broadcast ``value`` once per (SparkContext, content): repeat
     calls with equal content return the SAME Broadcast object."""

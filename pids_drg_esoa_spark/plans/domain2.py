@@ -555,7 +555,14 @@ def tagger_w1_rank_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim, and the atc dim all derive from ks, and before the
     # checkpoint each union leg below re-derived the scan+distinct
     # (~10 sequential AQE stage-jobs during dim materialization).
-    ks = p.select(F.col("p_partkey").alias("k")).distinct().localCheckpoint()
+    # r14: through the content-keyed registry — repeat invocations in
+    # one session reuse ONE leaf (r13 ADVICE #1: the per-call eager
+    # checkpoints were never released), and a stable ks leaf makes the
+    # derived dims plan-equal across calls so _materialize_dim's
+    # registry resolves them without re-materialization.
+    from ..functions.exprcache import cached_checkpoint
+
+    ks = cached_checkpoint(p.select(F.col("p_partkey").alias("k")).distinct())
     k = F.col("k")
     m = k % 5
     gen = F.concat(F.lit("GEN"), k.cast("string"))
