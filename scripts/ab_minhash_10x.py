@@ -24,12 +24,15 @@ def main() -> None:
     spark = get_spark(app_name="ab-minhash", ui=False)
     base = table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
     n_base = base.count()
+    # stride from max(doc_id)+1, not 10*n_base (r13 ADVICE #2: sparse
+    # ids would collide across copies and plant phantom duplicates)
+    stride = base.agg(F.max("doc_id")).first()[0] + 1
     copies = spark.range(mult).select(F.col("id").alias("copy"))
     tag = F.concat(F.lit("_c"), F.col("copy").cast("string"))
     docs = (
         base.crossJoin(copies)
         .select(
-            (F.col("doc_id") + F.col("copy") * (10 * n_base)).alias("doc_id"),
+            (F.col("doc_id") + F.col("copy") * stride).alias("doc_id"),
             F.array_join(
                 F.transform(F.split("text", " "), lambda w: F.concat(w, tag)), " "
             ).alias("text"),
