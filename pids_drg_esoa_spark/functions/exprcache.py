@@ -56,6 +56,28 @@ def _freeze(value: Any) -> Any:
     return value
 
 
+_VALUES: dict[tuple, Any] = {}
+
+
+def cached_value(name: str, key: tuple, build: Callable[[], Any]):
+    """Generic per-SparkContext memo for driver-side plan artifacts
+    (UDF objects, prepared relations) keyed on (builder name, caller
+    key). Same contract as cached_column: the artifact must be a pure
+    function of its key. Primary use: the tagger's per-call
+    pandas-UDF wrappers — a FRESH UDF object per tag() call pickles
+    into a distinct PythonUDF plan node, so the CacheManager saw
+    every call's persisted tier relations as new plans and
+    re-computed them; keying the UDF object on its broadcast inputs
+    (stable via cached_broadcast) makes repeat plans CacheManager-
+    equal, the same session-scoped dedup every other operator already
+    gets from persist()."""
+    k = (_app_id(), name, key)
+    v = _VALUES.get(k)
+    if v is None:
+        v = _VALUES[k] = build()
+    return v
+
+
 _CHECKPOINTS: dict[str, list[tuple[Any, Any]]] = {}
 # FIFO cap: evicted entries drop their strong ref so the checkpointed
 # RDD becomes GC-reapable again (today's no-registry behavior). Bounds

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..functions.exprcache import cached_checkpoint
+from ..functions.exprcache import cached_checkpoint, cached_value
 from ..functions.fuzzy import fuzz_ratio, length_band_filter
 from ..functions.routes_forms import parse_form_col
 from ..functions.text import normalize_text
@@ -378,7 +378,14 @@ def _pin_parallelism(df: DataFrame, *cols: str) -> DataFrame:
 
 def _components(esoa: DataFrame, text_col: str, brand_b, mw_b, syn_b) -> DataFrame:
     """Stages 1-2: dedupe texts, extract combination components."""
-    doc_enrich = _make_doc_enrich(brand_b, mw_b, syn_b)
+    # r14: memoized per broadcast inputs (exprcache.cached_value) — a
+    # fresh UDF object per call pickles into a DISTINCT PythonUDF plan
+    # node, defeating both the checkpoint registry's sameResult and
+    # the CacheManager's plan-equality dedup of the persisted tiers.
+    doc_enrich = cached_value(
+        "tagger_doc_enrich", (id(brand_b), id(mw_b), id(syn_b)),
+        lambda: _make_doc_enrich(brand_b, mw_b, syn_b),
+    )
     # Explicit repartition after the dedupe shuffle (_pin_parallelism):
     # AQE's coalescing is BYTE-based (parallelismFirst still coalesces
     # below minPartitionSize), and 155K distinct short texts compress
@@ -1196,7 +1203,17 @@ def _tag_descriptions_impl(
     seed_rows = [(k.upper(), v.upper()) for k, v in SPELLING_SYNONYMS_FULL.items()] + [
         (v.upper(), k.upper()) for k, v in REGIONAL_CANONICAL.items()
     ]
-    seed = spark.createDataFrame(seed_rows, "synonym string, generic_name string")
+    # r14: memoized — createDataFrame produces a fresh LogicalRDD leaf
+    # per call, and LogicalRDDs are never sameResult-equal across
+    # instances, so every plan containing the seed (fb, token_hits,
+    # doc_inputs) looked new to the CacheManager and the persisted
+    # tiers re-computed on every warm call (probed: +3 persistent RDDs
+    # per call). The rows are a pure module constant; one DataFrame
+    # per SparkContext restores plan equality.
+    seed = cached_value(
+        "tagger_seed_synonyms", (),
+        lambda: spark.createDataFrame(seed_rows, "synonym string, generic_name string"),
+    )
 
     # Driver-side dict twins of the dims for the per-doc Python stages
     # (input-set construction + candidate validation). The dims are
@@ -1438,7 +1455,9 @@ def _tag_descriptions_impl(
             F.collect_list((F.col("match_reason") == "fuzzy")).alias("hit_fuzzy"),
         )
     )
-    input_set_udf = _make_input_set(syn_b)
+    input_set_udf = cached_value(
+        "tagger_input_set", (id(syn_b),), lambda: _make_input_set(syn_b)
+    )  # r14: stable UDF object per broadcast — see _components' note
     # input-shape flags (reference tagger.py:915-920), inlined into
     # ONE select below
     _HAS_PLUS = F.col("raw_text").contains("+")
@@ -1472,7 +1491,10 @@ def _tag_descriptions_impl(
     # plan showed ArrowEvalPython → Filter → ArrowEvalPython around
     # this call, every candidate paying generics_match twice. The
     # function is pure; the mark only stops the optimizer copying it.
-    validate_udf = _make_validate(syn_b).asNondeterministic()
+    validate_udf = cached_value(
+        "tagger_validate", (id(syn_b),),
+        lambda: _make_validate(syn_b).asNondeterministic(),
+    )  # r14: stable UDF object per broadcast — see _components' note
     priority_expr = F.lit(4)
     for reason, prio in sorted(MATCH_PRIORITY.items()):
         priority_expr = F.when(F.col("v.reason") == reason, prio).otherwise(priority_expr)
